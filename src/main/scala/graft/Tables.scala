@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table registry over a scale-factor directory of parquet files.
+  *
+  * Mirrors the reference's source seam: the reference addresses tables as
+  * `(keyspace, table)` option pairs behind a `format()` string
+  * (reference `SparkUtils.scala:62-65`); here the seam is a directory of
+  * immutable parquet snapshots — one file-set per table — which is also how
+  * the reference's SSTable→Parquet job lays out its output
+  * (reference `App.scala:65-81`).
+  *
+  * Scale notes: `spark.read.parquet` yields a `FileSourceScanExec` whose
+  * splits are parquet row groups — at 100 TB this is thousands of parallel
+  * input splits with predicate pushdown and column pruning handled by
+  * Catalyst; nothing here caps parallelism.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
