@@ -1,7 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.etl.Generator
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.Relational
+import graft.streaming.EventWindows
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -10,19 +13,101 @@ import graft.operators.Relational
   * both sides — the driver sorts columns by name before hashing.
   */
 object SparkEntry {
+  import Tables._
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+    Relational.pricingSummary(lineitem(spark, "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d)))
+    "q01_pricing_summary" -> ((s, d) => Relational.pricingSummary(lineitem(s, d))),
+    "q02_filter_predicates" -> ((s, d) => Relational.filterPredicates(orders(s, d))),
+    "q03_star_join_broadcast" -> ((s, d) =>
+      Relational.starJoinBroadcast(orders(s, d), customer(s, d), nation(s, d), region(s, d))),
+    "q04_fact_join" -> ((s, d) => Relational.factJoin(lineitem(s, d), orders(s, d))),
+    "q05_anti_join" -> ((s, d) => Relational.antiJoin(customer(s, d), orders(s, d))),
+    "q06_semi_join" -> ((s, d) => Relational.semiJoin(customer(s, d), orders(s, d))),
+    "q07_outer_join_agg" -> ((s, d) => Relational.outerJoinAgg(customer(s, d), orders(s, d))),
+    "q08_rollup" -> ((s, d) =>
+      Relational.rollupRevenue(orders(s, d), customer(s, d), nation(s, d), region(s, d))),
+    "q09_cube" -> ((s, d) => Relational.cubeFlags(lineitem(s, d))),
+    "q10_count_distinct" -> ((s, d) => Relational.countDistinct2(lineitem(s, d))),
+    "q11_approx_distinct" -> ((s, d) => Relational.approxDistinct(lineitem(s, d))),
+    "q12_window_rank" -> ((s, d) => Relational.windowRank(orders(s, d))),
+    "q13_window_running" -> ((s, d) => Relational.windowRunning(orders(s, d))),
+    "q14_window_range" -> ((s, d) => Relational.windowRange(orders(s, d))),
+    "q15_topk" -> ((s, d) => Relational.topK(orders(s, d))),
+    "q16_set_ops" -> ((s, d) => Relational.setOps(customer(s, d), orders(s, d))),
+    "q17_scalar_string" -> ((s, d) => Relational.scalarString(part(s, d))),
+    "q18_scalar_date" -> ((s, d) => Relational.scalarDate(orders(s, d))),
+    "q19_json_extract" -> ((s, d) => Relational.jsonExtract(events(s, d))),
+    "q20_array_ops" -> ((s, d) => Relational.arrayOps(embeddings(s, d))),
+    "q21_range_join" -> ((s, d) => Relational.rangeJoin(events(s, d))),
+    "q22_asof_join" -> ((s, d) => Relational.asofJoin(events(s, d))),
+    "q23_tumbling_window" -> ((s, d) => EventWindows.tumbling(events(s, d))),
+    "q24_sliding_window" -> ((s, d) => EventWindows.sliding(events(s, d))),
+    "q25_session_window" -> ((s, d) => EventWindows.sessions(events(s, d))),
+    "q26_generator" -> ((s, _) => Generator.generate(s, 10000, 8).orderBy("id")),
+    "q30_dedup_exact" -> ((s, d) => Dedup.exact(documents(s, d))),
+    "q31_dedup_normalized" -> ((s, d) => Dedup.normalized(documents(s, d))),
+    "q32_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(documents(s, d))),
+    "q33_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(documents(s, d))),
+    "q34_simhash" -> ((s, d) => Dedup.simhash(documents(s, d))),
+    "q35_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embeddings(s, d))),
+    "q36_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(embeddings(s, d))),
+    "q37_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embeddings(s, d))),
+    "q40_token_stats" -> ((s, d) => TextAnalysis.tokenStats(documents(s, d))),
+    "q41_term_freq" -> ((s, d) => TextAnalysis.termFreq(documents(s, d))),
+    "q42_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(documents(s, d))),
+    "q43_langid" -> ((s, d) => TextAnalysis.langId(documents(s, d))),
+    "q44_quality_score" -> ((s, d) => TextAnalysis.qualityScore(documents(s, d))),
+    "q45_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(documents(s, d))),
+    "q50_binary_meta" -> ((s, d) => Multimodal.binaryMeta(documents(s, d))),
+    "q51_media_features" -> ((s, d) => Multimodal.mediaFeatures(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q1_pricing_summary" -> Relational.pricingSummarySql
+    "q01_pricing_summary" -> Relational.pricingSummarySql,
+    "q02_filter_predicates" -> Relational.filterPredicatesSql,
+    "q03_star_join_broadcast" -> Relational.starJoinBroadcastSql,
+    "q04_fact_join" -> Relational.factJoinSql,
+    "q05_anti_join" -> Relational.antiJoinSql,
+    "q06_semi_join" -> Relational.semiJoinSql,
+    "q07_outer_join_agg" -> Relational.outerJoinAggSql,
+    "q08_rollup" -> Relational.rollupRevenueSql,
+    "q09_cube" -> Relational.cubeFlagsSql,
+    "q10_count_distinct" -> Relational.countDistinct2Sql,
+    "q12_window_rank" -> Relational.windowRankSql,
+    "q13_window_running" -> Relational.windowRunningSql,
+    "q14_window_range" -> Relational.windowRangeSql,
+    "q15_topk" -> Relational.topKSql,
+    "q16_set_ops" -> Relational.setOpsSql,
+    "q17_scalar_string" -> Relational.scalarStringSql,
+    "q18_scalar_date" -> Relational.scalarDateSql,
+    "q19_json_extract" -> Relational.jsonExtractSql,
+    "q20_array_ops" -> Relational.arrayOpsSql,
+    "q21_range_join" -> Relational.rangeJoinSql,
+    "q22_asof_join" -> Relational.asofJoinSql,
+    "q23_tumbling_window" -> EventWindows.tumblingSql,
+    "q24_sliding_window" -> EventWindows.slidingSql,
+    "q25_session_window" -> EventWindows.sessionsSql,
+    "q26_generator" -> Generator.oracleSql(10000),
+    "q30_dedup_exact" -> Dedup.exactSql,
+    "q31_dedup_normalized" -> Dedup.normalizedSql,
+    "q32_minhash_lsh" -> Dedup.minhashLshSql,
+    "q33_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "q35_cosine_topk" -> Similarity.cosineTopKSql,
+    "q36_embedding_neardup" -> Similarity.embeddingNearDupSql,
+    "q40_token_stats" -> TextAnalysis.tokenStatsSql,
+    "q41_term_freq" -> TextAnalysis.termFreqSql,
+    "q42_tfidf_top" -> TextAnalysis.tfidfTopSql,
+    "q43_langid" -> TextAnalysis.langIdSql,
+    "q44_quality_score" -> TextAnalysis.qualityScoreSql,
+    "q45_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q50_binary_meta" -> Multimodal.binaryMetaSql,
+    "q51_media_features" -> Multimodal.mediaFeaturesSql
   )
 }

@@ -1,0 +1,161 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines
+  * (SURVEY.md §2B "LLM: dedup"). All distributed: no collect(), state is
+  * O(partition), joins are key-based (never all-pairs on the Spark side).
+  *
+  * The 100 TB shapes:
+  *  - exact / normalized dedup: one shuffle on the (hashed) key;
+  *  - MinHash+LSH: candidates come from an equi-join on (band, bandHash) —
+  *    the classic shingle→minhash→band→bucket-join pipeline; only
+  *    candidates pay the exact-verify cost;
+  *  - inverted-index exact Jaccard: explode shingles, equi-join on the
+  *    shingle, count shared — the exact counterpart used to validate LSH.
+  */
+object Dedup {
+
+  private def words(text: Column): Column = split(text, " ")
+
+  /** Distinct 2-gram (word bigram) shingles of a document. */
+  def shingles(text: Column): Column = {
+    val w = words(text)
+    array_distinct(transform(sequence(lit(1), size(w) - 1),
+      j => concat(element_at(w, j), lit(" "), element_at(w, j + 1))))
+  }
+
+  /** Exact duplicate groups by full text: keeper = min doc_id. */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select(col("keeper"), col("n_copies"))
+      .orderBy(col("keeper"))
+
+  val exactSql: String =
+    """SELECT min(doc_id) AS keeper, count(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keeper""".stripMargin
+
+  /** Normalized-text dedup: lowercase, strip non-alphanumerics, collapse
+    * whitespace, then group by md5 of the canonical form. The md5 keeps
+    * the shuffle key small (16 bytes vs document size) — the point at
+    * 100 TB. */
+  def normalized(documents: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    documents
+      .withColumn("fp", md5(norm.cast("binary")))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select(col("fp"), col("keeper"), col("n_copies"))
+      .orderBy(col("keeper"))
+  }
+
+  val normalizedSql: String =
+    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |                               ' +', ' ', 'g'))) AS fp,
+      |  min(doc_id) AS keeper, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin
+
+  /** MinHash + LSH near-dup pairs with exact-Jaccard verification.
+    *
+    * 64 permutations (xxhash64 with per-permutation salt), 16 bands × 4
+    * rows. For the planted near-dups (J >= 0.9) the miss probability is
+    * (1 - 0.9^4)^16 ≈ 1e-8; for background pairs (J < 0.2) the candidate
+    * probability is ~2.5% — so verification cost stays ~linear in true
+    * pairs, not quadratic in corpus size. Candidates are then verified
+    * with exact shingle Jaccard and filtered at `threshold`.
+    */
+  def minhashLsh(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val nPerm = 64
+    val rowsPerBand = 4
+    val toks = documents.select(col("doc_id"), shingles(col("text")).as("sh"))
+
+    val sig = toks.withColumn("sig",
+      transform(sequence(lit(0), lit(nPerm - 1)),
+        i => array_min(transform(col("sh"),
+          t => xxhash64(concat(t, lit("#"), i.cast("string")))))))
+
+    val bands = sig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(nPerm / rowsPerBand - 1)),
+        b => struct(b.as("band_id"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+            .as("band_hash"))))
+        .as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val a = toks.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = toks.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle: exhaustive exact-Jaccard pairs — only viable at oracle SF;
+    * the LSH recall at the planted pairs' J makes the outputs identical
+    * with probability 1 - 1e-8 (see minhashLsh). */
+  val minhashLshSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |s AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(len(w) - 1),
+      |          j -> w[j+1] || ' ' || w[j+2])) sh
+      |      FROM t),
+      |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+      |        round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+      |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Exact n-gram Jaccard via a shingle inverted index: explode shingles,
+    * equi-join postings on the shingle, count shared per pair. Exact and
+    * still key-partitioned — the standard exact-verify counterpart to LSH.
+    * (At extreme scale, stop-shingle removal / df-cutoff bounds hot keys;
+    * kept exact here because the oracle is exact.) */
+  def ngramJaccard(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val toks = documents.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val postings = toks.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    postings.as("a").join(postings.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+      .withColumn("jaccard", round(col("inter") / (col("sza") + col("szb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // Same oracle as minhashLsh: both compute exact-Jaccard >= 0.8 pairs.
+  val ngramJaccardSql: String = minhashLshSql
+
+  /** SimHash 64-bit fingerprints: per-bit majority vote over token hashes.
+    * No DuckDB oracle (xxhash64 has no DuckDB equivalent) — registered as
+    * a rows-only query; unit tests assert the near-dup grouping. */
+  def simhash(documents: DataFrame): DataFrame = {
+    val toks = array_distinct(words(col("text")))
+    val bits = transform(sequence(lit(0), lit(63)), k =>
+      when(aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(call_function("shiftright", xxhash64(t), k)
+          .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0L,
+        call_function("shiftleft", lit(1L), k)).otherwise(lit(0L)))
+    documents
+      .withColumn("simhash", aggregate(bits, lit(0L), (a, b) => a.bitwiseOR(b)))
+      .select(col("doc_id"), col("simhash"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators (SURVEY.md §2B "LLM: multimodal").
+  *
+  * Media is modeled as an opaque `binary` column plus typed metadata —
+  * the reference's own pattern (`course BinaryType`, reference
+  * `SparkUtils.scala:82`). The synthetic corpus has no real media, so the
+  * documents' UTF-8 bytes stand in for blobs; decode is a clearly-marked
+  * deterministic FAKE (this container has no image/audio codecs) while
+  * the Spark-side plumbing — schema, batch iteration via mapPartitions,
+  * partition-local decoder init — is real and is what a production
+  * decode (JNI/FFI codec) would plug into.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Extracted features. In production these come from a decoder; here
+    * they are a deterministic function of the payload bytes so the
+    * pipeline is oracle-checkable. */
+  case class MediaFeatures(doc_id: Long, media_type: String, byte_len: Long,
+                           head_sum: Long, fake_width: Long, fake_height: Long)
+
+  /** Binary metadata ops on the blob column: length, sha256, hex prefix. */
+  def binaryMeta(documents: DataFrame): DataFrame = {
+    val bin = encode(col("text"), "UTF-8")
+    documents.select(
+      col("doc_id"),
+      length(bin).cast("long").as("byte_len"),
+      sha2(bin, 256).as("sha"),
+      upper(substring(hex(bin), 1, 16)).as("hex_prefix"))
+      .orderBy(col("doc_id"))
+  }
+
+  val binaryMetaSql: String =
+    """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+      |  sha256(text) AS sha,
+      |  upper(substring(hex(encode(text)), 1, 16)) AS hex_prefix
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Wrap documents as a typed media Dataset (payload = UTF-8 bytes,
+    * media_type assigned round-robin as a stand-in for a real column). */
+  def asMedia(documents: DataFrame): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** FAKE decoder — deterministic stand-in for a real codec. A real
+    * implementation initializes the codec once per partition (the
+    * expensive part) and streams batches through it; that shape is
+    * preserved here.
+    */
+  private def decodePartition(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
+    // partition-local "codec" init would go here (once per partition,
+    // not per row):
+    rows.map { r =>
+      val headSum = r.payload.take(16).foldLeft(0L)((a, b) => a + (b & 0xff))
+      MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
+        headSum, r.payload.length.toLong % 640, headSum % 480)
+    }
+  }
+
+  /** Feature extraction over media batches: mapPartitions keeps decoder
+    * init per-partition and lets a real codec batch its input. Output is
+    * a flat typed schema ready for downstream joins. */
+  def mediaFeatures(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    asMedia(documents)
+      .mapPartitions(decodePartition)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  // Oracle mirrors the deterministic fake decode (ASCII text ⇒ byte ==
+  // codepoint, so ord() equals the byte value).
+  val mediaFeaturesSql: String =
+    """WITH m AS (SELECT doc_id,
+      |    ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
+      |    octet_length(encode(text)) AS byte_len,
+      |    list_sum(list_transform(range(least(16, length(text))),
+      |      i -> ord(substring(text, (i + 1)::INT, 1)))) AS head_sum
+      |  FROM documents)
+      |SELECT doc_id, media_type, byte_len, head_sum,
+      |  byte_len % 640 AS fake_width, head_sum % 480 AS fake_height
+      |FROM m ORDER BY doc_id""".stripMargin
+}

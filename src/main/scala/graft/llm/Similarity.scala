@@ -1,0 +1,127 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (SURVEY.md §2B
+  * "LLM: similarity"). Dot products / norms are pure built-in higher-order
+  * functions (`zip_with` + `aggregate`) — whole-stage-codegen'd, no UDFs.
+  *
+  * Scale paths:
+  *  - brute-force top-k: broadcast the (small) probe set, stream the
+  *    corpus once, per-partition top-k via window rank. Corpus is never
+  *    shuffled full-width — only (probe × k) survivors move.
+  *  - IVF: partition the corpus by coarse centroid (here: label as the
+  *    inverted-file cell), probe only the nearest cells. Cuts the scanned
+  *    fraction to n_probe/n_cells of the corpus at 100 TB.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Brute-force cosine top-k: probes (vec_id < nProbes) against the full
+    * corpus. Cosine is rounded to 4 decimals BEFORE ranking so ordering is
+    * bit-stable across engines; ties break on neighbor id. */
+  def cosineTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val probes = base.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
+    val pairs = base.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(dot(col("pe"), col("embedding")) / (col("pn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  val cosineTopKSql: String =
+    """WITH v AS (SELECT vec_id, embedding,
+      |             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
+      |           FROM embeddings),
+      |pairs AS (SELECT p.vec_id probe_id, n.vec_id neighbor_id,
+      |            round(list_sum(list_transform(list_zip(p.embedding, n.embedding),
+      |              z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (p.nrm * n.nrm), 4) cos
+      |          FROM v p JOIN v n ON p.vec_id < 10 AND n.vec_id != p.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |        ORDER BY cos DESC, neighbor_id) rnk FROM pairs)
+      |SELECT probe_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+      |ORDER BY probe_id, rnk""".stripMargin
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, blocked by
+    * label (the IVF cell) so the join is equi-keyed, never all-pairs.
+    * Threshold 0.4 fits the synthetic corpus (max within-label cosine is
+    * ~0.47; real near-dup corpora use ~0.95 — the plan shape is what
+    * matters). */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val v = embeddings.select(col("vec_id"), col("label"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    v.as("a").join(v.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(dot(col("a.embedding"), col("b.embedding")) /
+        (col("a.nrm") * col("b.nrm")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val embeddingNearDupSql: String =
+    """WITH v AS (SELECT vec_id, label, embedding,
+      |             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
+      |           FROM embeddings)
+      |SELECT a.vec_id vec_a, b.vec_id vec_b,
+      |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |    z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (a.nrm * b.nrm), 4) cos
+      |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |    z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (a.nrm * b.nrm), 4) >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** IVF-style approximate top-k: coarse-quantize the corpus into cells
+    * (centroid = per-label mean vector), then search only the `nCells`
+    * cells nearest each probe. Approximate by construction — no SQL
+    * oracle; unit tests check recall against cosineTopK. */
+  def ivfTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
+              nCells: Int = 3): DataFrame = {
+    val dim = 64
+    val v = embeddings.select(col("vec_id"), col("label"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    // per-cell centroid: elementwise mean — one avg aggregate per
+    // position (aggregates can't live inside higher-order lambdas).
+    val cells = v.groupBy(col("label"))
+      .agg(avg(element_at(col("embedding"), 1)).as("c1"),
+        (2 to dim).map(i => avg(element_at(col("embedding"), i)).as(s"c$i")): _*)
+      .select(col("label").as("cell"),
+        array((1 to dim).map(i => col(s"c$i")): _*).as("centroid"))
+    val probes = v.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
+    // rank cells per probe by centroid cosine, keep nCells
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val probeCells = probes.crossJoin(broadcast(cells))
+      .withColumn("ccos", dot(col("pe"), col("centroid")) /
+        (col("pn") * l2norm(col("centroid"))))
+      .withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= nCells)
+      .select(col("probe_id"), col("pe"), col("pn"), col("cell"))
+    // search only vectors in the selected cells
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    broadcast(probeCells).join(v,
+        col("cell") === col("label") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(dot(col("pe"), col("embedding")) / (col("pn") * col("nrm")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+}

@@ -1,0 +1,183 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM data pipelines (SURVEY.md §2B):
+  * token statistics, term frequency, tf-idf, heuristic language ID,
+  * quality scoring, canonical fingerprinting. All built-ins — every one
+  * is DuckDB-oracle-checkable and codegen'd.
+  */
+object TextAnalysis {
+
+  private def words(text: Column): Column = split(text, " ")
+
+  /** Language marker sets for the n-gram/stopword-count heuristic. The
+    * synthetic corpus shares one vocabulary across langs, so these are
+    * configurable markers demonstrating the mechanism (deterministic
+    * scoring + argmax), not a trained model. */
+  val markers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("hash", "batch"), "en" -> Seq("the", "a"),
+    "es" -> Seq("data", "row"), "fr" -> Seq("query", "value"),
+    "zh" -> Seq("window", "join"))
+
+  /** Per-document token statistics. */
+  def tokenStats(documents: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    documents.select(
+      col("doc_id"),
+      size(w).cast("long").as("n_tokens"),
+      size(array_distinct(w)).cast("long").as("n_distinct"),
+      round(aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(w), 4).as("avg_token_len"),
+      col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenStatsSql: String =
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |  round(list_sum(list_transform(string_split(text, ' '), t -> length(t)))::DOUBLE
+      |        / len(string_split(text, ' ')), 4) AS avg_token_len,
+      |  n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Global top-20 terms. explode → partial-agg per partition → one small
+    * shuffle; top-k via TakeOrderedAndProject. */
+  def termFreq(documents: DataFrame, k: Int = 20): DataFrame =
+    documents
+      .select(explode(words(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(k)
+
+  val termFreqSql: String =
+    """SELECT term, count(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin
+
+  /** tf-idf: top term per document by round(tf * ln(N/df), 4), ties on
+    * term. Rounding happens BEFORE ranking so cross-engine ordering is
+    * stable. */
+  def tfidfTop(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tfidfTopSql: String =
+    """WITH tf AS (SELECT doc_id, term, count(*) tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) term FROM documents)
+      |  GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) n_docs FROM documents),
+      |scored AS (SELECT doc_id, tf.term, round(tf * ln(n_docs::DOUBLE / df), 4) tfidf
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY tfidf DESC, term) rnk FROM scored)
+      |SELECT doc_id, term, tfidf FROM r WHERE rnk = 1 ORDER BY doc_id""".stripMargin
+
+  /** Heuristic language ID: per-language marker-token counts, argmax with
+    * ties broken by language code. */
+  def langId(documents: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    def score(ms: Seq[String]): Column =
+      size(filter(w, t => ms.map(m => t === m).reduce(_ || _))).cast("long")
+    val scored = documents.select(
+      (col("doc_id") +: col("lang").as("actual_lang") +:
+        markers.toSeq.sortBy(_._1).map { case (l, ms) => score(ms).as(s"s_$l") }): _*)
+    val langs = markers.keys.toSeq.sorted
+    val m = greatest(langs.map(l => col(s"s_$l")): _*)
+    // first lang in asc order wins ties — mirrors the oracle's CASE order
+    scored.withColumn("pred_lang",
+        langs.foldRight(lit("??")) { (l, e) => when(col(s"s_$l") === m, lit(l)).otherwise(e) })
+      .select((col("doc_id") +: col("actual_lang") +:
+        langs.map(l => col(s"s_$l")) :+ col("pred_lang")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String = {
+    val langs = markers.keys.toSeq.sorted
+    val scoreCols = langs.map { l =>
+      val in = markers(l).map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($in))) AS s_$l"
+    }.mkString(",\n  ")
+    val m = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val pred = "CASE " + langs.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ") + " END"
+    s"""WITH s AS (SELECT doc_id, lang AS actual_lang,
+       |  $scoreCols
+       |FROM documents)
+       |SELECT doc_id, actual_lang, ${langs.map(l => s"s_$l").mkString(", ")},
+       |  $pred AS pred_lang
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality score: distinct ratio, stopword ratio, mean token length →
+    * weighted score in [0,1], keep-flag at 0.5. */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val stop = markers.values.flatten.toSeq.sorted
+    val nTok = size(w).cast("double")
+    val distinctRatio = size(array_distinct(w)) / nTok
+    val stopRatio = size(filter(w, t => stop.map(m => t === m).reduce(_ || _))) / nTok
+    val meanLen = aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok
+    // floor-quantize to basis points: floor() of a bit-identical double is
+    // engine-independent, unlike decimal round at .xxxx5 boundaries
+    // (Spark rounds the shortest decimal repr HALF_UP; DuckDB rounds the
+    // binary value).
+    val score = floor((lit(0.3) * distinctRatio + lit(0.4) * (lit(1.0) - stopRatio) +
+      lit(0.3) * least(meanLen / 10.0, lit(1.0))) * 10000).cast("long")
+    documents.select(col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        round(distinctRatio, 4).as("distinct_ratio"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(meanLen, 4).as("mean_token_len"),
+        score.as("quality_bp"),
+        (score >= 5000).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String = {
+    val stop = markers.values.flatten.toSeq.sorted.map(m => s"'$m'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       |m AS (SELECT doc_id, len(w) AS n_tokens,
+       |  len(list_distinct(w))::DOUBLE / len(w) AS dr,
+       |  len(list_filter(w, t -> t IN ($stop)))::DOUBLE / len(w) AS sr,
+       |  list_sum(list_transform(w, t -> length(t)))::DOUBLE / len(w) AS ml
+       |FROM t)
+       |SELECT doc_id, n_tokens, round(dr, 4) AS distinct_ratio,
+       |  round(sr, 4) AS stop_ratio, round(ml, 4) AS mean_token_len,
+       |  CAST(floor((0.3 * dr + 0.4 * (1.0 - sr) + 0.3 * least(ml / 10.0, 1.0)) * 10000) AS BIGINT) AS quality_bp,
+       |  CAST(floor((0.3 * dr + 0.4 * (1.0 - sr) + 0.3 * least(ml / 10.0, 1.0)) * 10000) AS BIGINT) >= 5000 AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Canonical document fingerprint: md5 of the sorted distinct token
+    * set — groups bag-of-words duplicates regardless of word order. */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("fp",
+        md5(array_join(array_sort(array_distinct(words(col("text")))), " ").cast("binary")))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+      .select(col("fp"), col("keeper"), col("n_docs"))
+      .orderBy(col("keeper"))
+
+  val fingerprintSql: String =
+    """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+      |  min(doc_id) AS keeper, count(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational operator suite (SURVEY.md §2B) as pure DataFrame → DataFrame
@@ -10,16 +11,24 @@ import org.apache.spark.sql.functions._
   *
   * Determinism contract for the DuckDB oracle: every query ends with a
   * total `orderBy` on non-null keys, money/double aggregates are rounded,
-  * timestamps leave the plan as DATE or epoch-micros BIGINT.
+  * timestamps leave the plan as DATE or epoch-micros BIGINT, computed
+  * integers are cast to LongType (DuckDB's BIGINT default).
+  *
+  * Scale notes are per-function; the common themes:
+  *  - dimension joins are explicitly `broadcast()` (region/nation/customer
+  *    are bounded; never shuffle the fact side for them);
+  *  - fact-fact joins shuffle once on the join key and Catalyst/AQE picks
+  *    sort-merge with skew splitting;
+  *  - window functions shuffle once on the partition key — O(rows) state,
+  *    no driver involvement.
   */
 object Relational {
 
-  /** Round a double column for cross-engine hash stability. */
   def r2(c: Column): Column = round(c, 2)
 
-  /** TPC-H Q1-shaped pricing summary: scan + filter (pushed to parquet) +
-    * hash aggregate (partial+final, map-side combine) + small sort.
-    * At 100 TB: the only shuffle is 4-8 group keys wide — negligible. */
+  // --------------------------------------------------------------------
+  // q1: scan + filter + hash agg + sort (TPC-H Q1 shape)
+  // --------------------------------------------------------------------
   def pricingSummary(lineitem: DataFrame): DataFrame =
     lineitem
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -49,4 +58,458 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q2: predicate zoo — IN, BETWEEN, LIKE, null-safe; all pushed to parquet
+  // --------------------------------------------------------------------
+  def filterPredicates(orders: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderstatus").isin("O", "F") &&
+        col("o_totalprice").between(1000.0, 100000.0) &&
+        col("o_orderpriority").like("%URGENT%") &&
+        col("o_custkey").isNotNull)
+      .select(col("o_orderkey"), col("o_custkey"),
+        r2(col("o_totalprice")).as("total"),
+        col("o_orderdate").cast("date").as("odate"),
+        col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+
+  val filterPredicatesSql: String =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total,
+      |  CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+      |FROM orders
+      |WHERE o_orderstatus IN ('O','F')
+      |  AND o_totalprice BETWEEN 1000.0 AND 100000.0
+      |  AND o_orderpriority LIKE '%URGENT%'
+      |  AND o_custkey IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q3: star join through broadcast dims (customer→nation→region)
+  // At 100 TB the fact table streams through map-side hash joins against
+  // broadcast dims — zero shuffle for the dimension legs.
+  // --------------------------------------------------------------------
+  def starJoinBroadcast(orders: DataFrame, customer: DataFrame,
+                        nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), r2(sum(col("o_totalprice"))).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val starJoinBroadcastSql: String =
+    """SELECT r_name, n_name, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q4: fact-fact join (lineitem ⋈ orders) — sort-merge under AQE, one
+  // shuffle each side on the join key, skew handled by AQE skew-join.
+  // --------------------------------------------------------------------
+  def factJoin(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  val factJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q5/q6: semi + anti joins (EXISTS / NOT EXISTS). Left side streams,
+  // right side is the build; no row multiplication ever.
+  // --------------------------------------------------------------------
+  def antiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  def semiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  val semiJoinSql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q7: outer join with null-aware aggregation
+  // --------------------------------------------------------------------
+  def outerJoinAgg(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        r2(sum(coalesce(col("o_totalprice"), lit(0.0)))).as("total_spend"))
+      .orderBy(col("c_custkey"))
+
+  val outerJoinAggSql: String =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+      |  round(sum(coalesce(o_totalprice, 0.0)), 2) AS total_spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q8/q9: rollup + cube. NULL group keys are coalesced to a sentinel so
+  // cross-engine NULL ordering never matters.
+  // --------------------------------------------------------------------
+  def rollupRevenue(orders: DataFrame, customer: DataFrame,
+                    nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), r2(sum(col("o_totalprice"))).as("revenue"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("region"), col("nation"))
+
+  val rollupRevenueSql: String =
+    """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  def cubeFlags(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("n"), col("qty"))
+      .orderBy(col("rflag"), col("lstatus"))
+
+  val cubeFlagsSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+      |  coalesce(l_linestatus, 'ALL') AS lstatus,
+      |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY rflag, lstatus""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q10: exact count-distinct (expand + two-phase agg in Spark).
+  // q11 (no oracle): approx_count_distinct — the 100 TB path; HLL++ sketch
+  // is O(1) memory per group vs the exact expansion.
+  // --------------------------------------------------------------------
+  def countDistinct2(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val countDistinct2Sql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+      |  count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  def approxDistinct(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_nd_part"),
+        countDistinct(col("l_partkey")).as("exact_nd_part"))
+      .orderBy(col("l_returnflag"))
+
+  // --------------------------------------------------------------------
+  // q12: ranking windows (row_number / rank / dense_rank / ntile), top-3
+  // per customer. Deterministic: total tie-break on o_orderkey.
+  // --------------------------------------------------------------------
+  def windowRank(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .withColumn("nt", ntile(4).over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), r2(col("o_totalprice")).as("total"),
+        col("rn").cast("long").as("rn"), col("rk").cast("long").as("rk"),
+        col("drk").cast("long").as("drk"), col("nt").cast("long").as("nt"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val windowRankSql: String =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total,
+      |  rn, rk, drk, nt
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER w AS rn, rank() OVER w AS rk,
+      |    dense_rank() OVER w AS drk, ntile(4) OVER w AS nt
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |) WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q13: analytic windows — running sum with ROWS frame, lag/lead.
+  // --------------------------------------------------------------------
+  def windowRunning(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("odate"),
+        r2(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0))).as("running_total"),
+        r2(lag(col("o_totalprice"), 1).over(w)).as("prev_total"),
+        r2(lead(col("o_totalprice"), 1).over(w)).as("next_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val windowRunningSql: String =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+      |  round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_total,
+      |  round(lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS next_total
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q14: RANGE frame on a numeric order key.
+  // --------------------------------------------------------------------
+  // Prices are 2-decimal money: order the RANGE frame on exact integer
+  // cents (Spark's rangeBetween takes Long bounds).
+  def windowRange(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(round(col("o_totalprice") * 100).cast("long"))
+      .rangeBetween(-50000L, 0L)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), r2(col("o_totalprice")).as("total"),
+        count(lit(1)).over(w).as("n_in_range"),
+        r2(sum(col("o_totalprice")).over(w)).as("sum_in_range"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val windowRangeSql: String =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total,
+      |  count(*) OVER w AS n_in_range,
+      |  round(sum(o_totalprice) OVER w, 2) AS sum_in_range
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+      |             RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q15: global top-k — Spark's TakeOrderedAndProject: per-partition
+  // top-k then a k-row merge on the driver; never a full global sort.
+  // --------------------------------------------------------------------
+  def topK(orders: DataFrame, k: Int = 20): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), r2(col("o_totalprice")).as("total"))
+      .orderBy(col("total").desc, col("o_orderkey"))
+      .limit(k)
+
+  val topKSql: String =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+      |FROM orders
+      |ORDER BY total DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q16: set operators — INTERSECT / EXCEPT / UNION ALL (set semantics
+  // dedup via shuffle-on-key; distributed, no driver collection).
+  // --------------------------------------------------------------------
+  def setOps(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val auto = customer.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+    val building = customer.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val withOrders = orders.select(col("o_custkey").as("c_custkey"))
+    auto.intersect(withOrders).withColumn("tag", lit("auto_with_orders"))
+      .unionByName(building.except(withOrders).withColumn("tag", lit("building_no_orders")))
+      .select(col("tag"), col("c_custkey"))
+      .orderBy(col("tag"), col("c_custkey"))
+  }
+
+  val setOpsSql: String =
+    """SELECT * FROM (
+      |  SELECT 'auto_with_orders' AS tag, c_custkey FROM (
+      |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      |    INTERSECT SELECT o_custkey FROM orders)
+      |  UNION ALL
+      |  SELECT 'building_no_orders' AS tag, c_custkey FROM (
+      |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |    EXCEPT SELECT o_custkey FROM orders)
+      |) ORDER BY tag, c_custkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q17: scalar string functions (all codegen'd built-ins).
+  // --------------------------------------------------------------------
+  def scalarString(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"),
+      lower(col("p_name")).as("lname"),
+      upper(col("p_brand")).as("ubrand"),
+      substring(col("p_type"), 1, 3).as("type3"),
+      concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+      regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+      size(split(col("p_name"), " ")).cast("long").as("n_words"),
+      length(col("p_name")).cast("long").as("name_len"))
+      .orderBy(col("p_partkey"))
+
+  val scalarStringSql: String =
+    """SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand,
+      |  substring(p_type, 1, 3) AS type3,
+      |  p_brand || ':' || p_type AS brand_type,
+      |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+      |  len(string_split(p_name, ' ')) AS n_words,
+      |  length(p_name) AS name_len
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q18: scalar date functions + monthly aggregation.
+  // --------------------------------------------------------------------
+  def scalarDate(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("month", date_trunc("month", col("o_orderdate")).cast("date"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        r2(sum(col("o_totalprice"))).as("revenue"),
+        max(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))).cast("long").as("max_days_since"))
+      .orderBy(col("month"))
+
+  val scalarDateSql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue,
+      |  max(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS max_days_since
+      |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q19: JSON extraction on events.props.
+  // --------------------------------------------------------------------
+  def jsonExtract(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"), sum(col("k")).as("sum_k"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("event_type"))
+
+  val jsonExtractSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+      |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+      |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+      |  round(avg(value), 4) AS avg_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q20: array functions over the embedding column (higher-order
+  // aggregate/transform stay inside codegen; no UDF).
+  // --------------------------------------------------------------------
+  def arrayOps(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("dim"),
+      round(sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2_norm"),
+      round(array_max(col("embedding")).cast("double"), 4).as("max_val"),
+      round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"))
+      .orderBy(col("vec_id"))
+
+  val arrayOpsSql: String =
+    """SELECT vec_id, len(embedding) AS dim,
+      |  round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4) AS l2_norm,
+      |  round(list_max(embedding)::DOUBLE, 4) AS max_val,
+      |  round(embedding[1]::DOUBLE, 4) AS first_val
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q21: range join — equi key (user_id) + time-band predicate. The equi
+  // key makes this a hash join with a residual filter, NOT a nested-loop:
+  // essential at scale.
+  // --------------------------------------------------------------------
+  def rangeJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val follow = events.select(col("user_id").as("fu"), col("ts").as("fts"),
+      col("event_type").as("ftype"))
+    clicks.join(follow,
+      col("cu") === col("fu") && col("fts") > col("cts") &&
+        col("fts") <= col("cts") + expr("INTERVAL 5 MINUTES"))
+      .groupBy(col("ftype"))
+      .agg(count(lit(1)).as("n_followups"))
+      .orderBy(col("ftype"))
+  }
+
+  val rangeJoinSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events)
+      |SELECT f.event_type AS ftype, count(*) AS n_followups
+      |FROM e c JOIN e f ON c.user_id = f.user_id
+      |  AND f.ts > c.ts AND f.ts <= c.ts + INTERVAL 5 MINUTE
+      |WHERE c.event_type = 'click'
+      |GROUP BY 1 ORDER BY ftype""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q22: as-of join — for each purchase, the latest click at-or-before it
+  // by the same user. Implemented the scalable way: union both sides,
+  // single shuffle+sort per user, last-non-null carry-forward. No pairwise
+  // join blowup; O(events) state.
+  // --------------------------------------------------------------------
+  def asofJoin(events: DataFrame): DataFrame = {
+    val tagged = events.select(col("user_id"), col("ts"), col("event_type"), col("event_id"),
+      when(col("event_type") === "click", col("ts")).as("click_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("asof_click", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        unix_micros(col("asof_click")).as("asof_click_us"))
+      .orderBy(col("event_id"))
+  }
+
+  // Oracle: the O(n²) formulation — same answer, only viable at oracle SF.
+  // Note the '<= p.ts' includes a click at the same timestamp; Spark's
+  // rowsBetween(...,0) window sees the click first because ties are
+  // ordered by (ts, event_id) and click event_ids differ — a click at the
+  // exact same ts as the purchase with a LOWER event_id is included, one
+  // with a higher id is not; the oracle mirrors that with the id filter.
+  val asofJoinSql: String =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events)
+      |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+      |  (SELECT epoch_us(max(c.ts)) FROM e c
+      |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |     AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))) AS asof_click_us
+      |FROM e p WHERE p.event_type = 'purchase'
+      |ORDER BY p.event_id""".stripMargin
 }

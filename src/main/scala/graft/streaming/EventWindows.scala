@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming-shaped operators over the `events` table (SURVEY.md §2B).
+  *
+  * Batch-first: each windowed aggregation is a plain DataFrame plan (so it
+  * is DuckDB-oracle-checkable), and the identical plan can be bound to a
+  * `readStream` source — Structured Streaming's incrementalization of
+  * `window()`/`session_window()` aggregates is exactly the batch semantics
+  * plus watermark-driven state eviction. `streamify` below does that
+  * binding for tests; at 100 TB/day the same code runs with a real source
+  * (Kafka/files) and checkpointing.
+  */
+object EventWindows {
+
+  /** Tumbling 1-hour windows per event type. Epoch-aligned, same as
+    * DuckDB's date_trunc. One shuffle on (window, event_type). */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
+        col("n"), col("val"))
+      .orderBy(col("ws_us"), col("event_type"))
+
+  val tumblingSql: String =
+    """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS ws_us,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS val
+      |FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""".stripMargin
+
+  /** Sliding 1-hour windows every 30 minutes: each event lands in exactly
+    * 2 windows. Spark expands via the built-in `window()` generator —
+    * cost is 2× rows into one shuffle, not a self-join. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("n"), col("val"))
+      .orderBy(col("ws_us"))
+
+  val slidingSql: String =
+    """WITH e AS (SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) tb, value FROM events),
+      |w AS (SELECT unnest([tb, tb - INTERVAL 30 MINUTE]) AS ws, value FROM e)
+      |SELECT epoch_us(ws) AS ws_us, count(*) AS n, round(sum(value), 2) AS val
+      |FROM w GROUP BY 1 ORDER BY ws_us""".stripMargin
+
+  /** Session windows: 10-minute inactivity gap per user. In streaming this
+    * is `session_window` state merging; the batch plan is identical
+    * semantics. A new session starts when the gap is >= 10 min (Spark
+    * merges only strictly-overlapping [ts, ts+gap) intervals). */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n"), col("val"))
+      .orderBy(col("user_id"), col("session_start_us"))
+
+  val sessionsSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events),
+      |g AS (SELECT user_id, ts, value,
+      |        CASE WHEN lag(ts) OVER w IS NULL
+      |             OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts, value,
+      |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM g)
+      |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+      |  count(*) AS n, round(sum(value), 2) AS val
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  /** The events schema as Spark reads it post nanos→micros conversion. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Bind a batch plan to a real Structured Streaming source: reads a
+    * directory of parquet events (micros ts), applies `plan`, runs it to
+    * completion against a memory sink, returns the result. Watermark
+    * bounds state at `10 minutes` of event time.
+    *
+    * This is the `readStream → transform → writeStream` wiring the
+    * engine exposes; tests drive it via a temp dir of converted events.
+    */
+  def runStreaming(spark: SparkSession, dir: String, name: String,
+                   plan: DataFrame => DataFrame): DataFrame = {
+    val src = spark.readStream.schema(eventsSchema).parquet(dir)
+    val out = plan(src.withWatermark("ts", "10 minutes"))
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}
