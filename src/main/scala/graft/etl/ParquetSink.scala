@@ -1,0 +1,48 @@
+package graft.etl
+
+import java.io.File
+
+import org.apache.spark.sql.DataFrame
+
+/** Parquet sink with the reference's write-path semantics:
+  * append mode + per-file row cap (reference #5 `SparkUtils.scala:56-60`,
+  * #9 `App.scala:68`) and observer callbacks over the persisted objects
+  * (reference #13). Spark's native `maxRecordsPerFile` replaces the
+  * transformer's manual cap; the file listing after commit feeds the
+  * observer without collecting any DATA to the driver (the reference,
+  * too, collects only file paths — `App.scala:76`).
+  */
+object ParquetSink {
+
+  /** Write and report. Returns the number of rows written, measured from
+    * the committed files (NOT by re-executing the input lineage — the
+    * reference's write-then-count re-runs its nondeterministic generator,
+    * `App.scala:244`; counting the committed output avoids that bug). */
+  def write(df: DataFrame, path: String, maxRecordsPerFile: Int = 100000,
+            observer: JobObserver = NoopObserver, jobId: String = "job"): Long = {
+    observer.onTransportStart(jobId)
+    try {
+      df.write.mode("append")
+        .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+        .parquet(path)
+      val files = listParquet(path)
+      var bytes = 0L
+      files.foreach { f =>
+        bytes += f.length()
+        observer.onObjectPersisted(path, f.getName, f.length())
+      }
+      observer.onAllObjectsPersisted(files.length.toLong, bytes)
+      val written = df.sparkSession.read.parquet(path).count()
+      observer.onJobSucceeded(jobId)
+      written
+    } catch {
+      case e: Throwable => observer.onJobFailed(jobId, e); throw e
+    }
+  }
+
+  def listParquet(path: String): Seq[File] = {
+    val d = new File(path)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq.sortBy(_.getName)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.llm
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("MinHash+LSH finds exactly the exact-Jaccard pairs (recall check)") {
+    val docs = Tables.documents(spark, sf)
+    val lsh = Dedup.minhashLsh(docs).collect()
+    val exact = Dedup.ngramJaccard(docs).collect()
+    assert(lsh.map(_.toSeq).toSet === exact.map(_.toSeq).toSet)
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+  }
+
+  test("simhash: identical texts get identical fingerprints") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "a completely different sentence here"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh(1L) !== sh(3L))
+  }
+
+  test("exact dedup groups by text") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa"), (2L, "aa"), (3L, "bb")).toDF("doc_id", "text")
+    val out = Dedup.exact(docs).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("normalized dedup collapses case/punctuation/whitespace variants") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello,   World!"), (2L, "hello world"), (3L, "unrelated text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.normalized(docs)
+    assert(out.count() === 2)
+    assert(out.filter(col("keeper") === 1 && col("n_copies") === 2).count() === 1)
+  }
+}

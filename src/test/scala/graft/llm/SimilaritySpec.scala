@@ -1,0 +1,44 @@
+package graft.llm
+
+import graft.{SparkSpec, Tables}
+
+class SimilaritySpec extends SparkSpec {
+
+  test("IVF top-k with all cells probed equals brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.cosineTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfAll = Similarity.ivfTopK(emb, nCells = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfAll === brute)
+    // partial probing trades recall for scan fraction; the synthetic
+    // embeddings are NOT label-clustered, so 3/10 cells ≈ 3/10 recall.
+    val ivf3 = Similarity.ivfTopK(emb, nCells = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf3).size.toDouble / brute.size
+    assert(recall >= 0.15, s"IVF recall $recall implausibly low")
+  }
+
+  test("cosine top-k neighbors are symmetric in similarity value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val a = emb.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
+    val b = emb.filter(col("vec_id") === 1).select("embedding").head.getSeq[Float](0)
+    def cos(x: Seq[Float], y: Seq[Float]): Double = {
+      val d = x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      d / (math.sqrt(x.map(v => v.toDouble * v.toDouble).sum) *
+        math.sqrt(y.map(v => v.toDouble * v.toDouble).sum))
+    }
+    assert(math.abs(cos(a, b) - cos(b, a)) < 1e-12)
+  }
+
+  test("embedding near-dup pairs are within-label only") {
+    val emb = Tables.embeddings(spark, sf)
+    val pairs = Similarity.embeddingNearDup(emb, threshold = 0.3).collect()
+    val labels = emb.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    pairs.foreach { r =>
+      assert(labels(r.getLong(0)) === labels(r.getLong(1)))
+    }
+  }
+}

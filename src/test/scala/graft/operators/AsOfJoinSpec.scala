@@ -1,0 +1,45 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of join picks the latest click at-or-before each purchase") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: click, click, purchase → asof = second click
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:07:00"), 1L, "purchase", 9.0, "{}"),
+      // user 2: purchase before any click → asof = null
+      (4L, ts("2024-01-01 09:00:00"), 2L, "purchase", 5.0, "{}"),
+      (5L, ts("2024-01-01 09:30:00"), 2L, "click", 1.0, "{}"),
+      // user 2: second purchase after the click
+      (6L, ts("2024-01-01 09:45:00"), 2L, "purchase", 5.0, "{}"),
+      // user 3: click at the SAME timestamp as purchase, lower event_id →
+      // included (ties ordered by (ts, event_id))
+      (7L, ts("2024-01-01 08:00:00"), 3L, "click", 1.0, "{}"),
+      (8L, ts("2024-01-01 08:00:00"), 3L, "purchase", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val out = Relational.asofJoin(events).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(out(3L).contains(us("2024-01-01 10:05:00")))
+    assert(out(4L).isEmpty)
+    assert(out(6L).contains(us("2024-01-01 09:30:00")))
+    assert(out(8L).contains(us("2024-01-01 08:00:00")))
+  }
+
+  test("session/tumbling/topk sanity on fixtures") {
+    val orders = graft.Tables.orders(spark, sf)
+    assert(Relational.topK(orders, 5).count() === 5)
+    val ranked = Relational.windowRank(orders)
+    assert(ranked.filter(ranked("rn") > 3).isEmpty)
+  }
+}
