@@ -59,32 +59,43 @@ object Dedup {
       |  min(doc_id) AS keeper, count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin
 
+  /** One (doc, band) bucket row of the LSH index. */
+  final case class BandRow(doc_id: Long, band_id: Int, band_hash: Long)
+
+  /** MinHash band rows: the sketch inner loop (perms × shingles) runs as
+    * a JIT'd mapPartitions kernel — interpreted HOF lambdas cost ~9 µs per
+    * element (see graft.functions.Hashing) — while everything downstream
+    * (bucket join, verify) stays declarative. */
+  def minhashBands(documents: DataFrame, nPerm: Int, rowsPerBand: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val nBands = nPerm / rowsPerBand
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val seed = graft.functions.Hashing.seeds(nPerm)
+        it.flatMap { case (id, text) =>
+          val hs = graft.functions.Hashing.shingleHashes(text)
+          val sig = graft.functions.Hashing.minhashSignature(hs, seed)
+          (0 until nBands).iterator.map { b =>
+            BandRow(id, b, graft.functions.Hashing.bandHash(sig, b * rowsPerBand, rowsPerBand))
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** MinHash + LSH near-dup pairs with exact-Jaccard verification.
     *
-    * 64 permutations (xxhash64 with per-permutation salt), 16 bands × 4
-    * rows. For the planted near-dups (J >= 0.9) the miss probability is
-    * (1 - 0.9^4)^16 ≈ 1e-8; for background pairs (J < 0.2) the candidate
-    * probability is ~2.5% — so verification cost stays ~linear in true
-    * pairs, not quadratic in corpus size. Candidates are then verified
-    * with exact shingle Jaccard and filtered at `threshold`.
+    * 64 permutations, 16 bands × 4 rows. For the planted near-dups
+    * (J >= 0.9) the miss probability is (1 - 0.9^4)^16 ≈ 1e-8; for
+    * background pairs (J < 0.2) the candidate probability is ~2.5% — so
+    * verification cost stays ~linear in true pairs, not quadratic in
+    * corpus size. Candidates are then verified with exact shingle Jaccard
+    * and filtered at `threshold`.
     */
   def minhashLsh(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val nPerm = 64
-    val rowsPerBand = 4
     val toks = documents.select(col("doc_id"), shingles(col("text")).as("sh"))
-
-    val sig = toks.withColumn("sig",
-      transform(sequence(lit(0), lit(nPerm - 1)),
-        i => array_min(transform(col("sh"),
-          t => xxhash64(concat(t, lit("#"), i.cast("string")))))))
-
-    val bands = sig.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(nPerm / rowsPerBand - 1)),
-        b => struct(b.as("band_id"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
-            .as("band_hash"))))
-        .as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+    val bands = minhashBands(documents, nPerm = 64, rowsPerBand = 4)
 
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
@@ -96,6 +107,9 @@ object Dedup {
     val a = toks.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = toks.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     cand.join(a, "doc_a").join(b, "doc_b")
+      // size-ratio prune, implied by J >= t (since J <= min/max size)
+      .filter(size(col("sh_a")) >= lit(threshold) * size(col("sh_b")) &&
+        size(col("sh_b")) >= lit(threshold) * size(col("sh_a")))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
@@ -127,10 +141,16 @@ object Dedup {
     * kept exact here because the oracle is exact.) */
   def ngramJaccard(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
     val toks = documents.select(col("doc_id"), shingles(col("text")).as("sh"))
+    // join on the shingle's 64-bit hash: 8-byte shuffle key instead of a
+    // variable-length string
     val postings = toks.select(col("doc_id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("s"))
+      explode(col("sh")).as("s0"))
+      .select(col("doc_id"), col("sz"), xxhash64(col("s0")).as("s"))
     postings.as("a").join(postings.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          // size-ratio prune before aggregation (implied by J >= t)
+          col("a.sz") >= lit(threshold) * col("b.sz") &&
+          col("b.sz") >= lit(threshold) * col("a.sz"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sz").as("sza"), col("b.sz").as("szb"))
       .agg(count(lit(1)).cast("double").as("inter"))
@@ -143,19 +163,22 @@ object Dedup {
   // Same oracle as minhashLsh: both compute exact-Jaccard >= 0.8 pairs.
   val ngramJaccardSql: String = minhashLshSql
 
-  /** SimHash 64-bit fingerprints: per-bit majority vote over token hashes.
-    * No DuckDB oracle (xxhash64 has no DuckDB equivalent) — registered as
-    * a rows-only query; unit tests assert the near-dup grouping. */
+  /** SimHash 64-bit fingerprints: per-bit majority vote over distinct
+    * token hashes, as a JIT'd kernel (same rationale as minhashBands).
+    * No DuckDB oracle (no shared hash function) — registered as a
+    * rows-only query; unit tests assert the near-dup grouping. */
   def simhash(documents: DataFrame): DataFrame = {
-    val toks = array_distinct(words(col("text")))
-    val bits = transform(sequence(lit(0), lit(63)), k =>
-      when(aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(call_function("shiftright", xxhash64(t), k)
-          .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0L,
-        call_function("shiftleft", lit(1L), k)).otherwise(lit(0L)))
-    documents
-      .withColumn("simhash", aggregate(bits, lit(0L), (a, b) => a.bitwiseOR(b)))
-      .select(col("doc_id"), col("simhash"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val distinct = text.split(' ').distinct
+          val hs = distinct.map(graft.functions.Hashing.fnv1a64)
+          (id, graft.functions.Hashing.simhash64(hs))
+        }
+      }
+      .toDF("doc_id", "simhash")
       .orderBy(col("doc_id"))
   }
 }

@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -18,13 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product of two float-array columns, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Elementwise dot product of two float-array columns, in double —
+    * a codegen'd custom Expression (interpreted higher-order lambdas cost
+    * ~1 µs/element; see graft.functions.FloatDotProduct). Accumulation
+    * order matches the DuckDB oracle exactly. */
+  def dot(a: Column, b: Column): Column = VectorFunctions.floatDot(a, b)
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def l2norm(a: Column): Column = VectorFunctions.floatNorm(a)
 
   /** Brute-force cosine top-k: probes (vec_id < nProbes) against the full
     * corpus. Cosine is rounded to 4 decimals BEFORE ranking so ordering is

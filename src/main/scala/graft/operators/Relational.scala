@@ -243,7 +243,7 @@ object Relational {
   def approxDistinct(lineitem: DataFrame): DataFrame =
     lineitem
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_nd_part"),
+      .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx_nd_part"),
         countDistinct(col("l_partkey")).as("exact_nd_part"))
       .orderBy(col("l_returnflag"))
 
