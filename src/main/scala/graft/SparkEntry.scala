@@ -63,8 +63,13 @@ object SparkEntry {
     "q43_langid" -> ((s, d) => TextAnalysis.langId(documents(s, d))),
     "q44_quality_score" -> ((s, d) => TextAnalysis.qualityScore(documents(s, d))),
     "q45_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(documents(s, d))),
+    "q46_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokens(documents(s, d))),
+    "q47_rolling_hash" -> ((s, d) => TextAnalysis.rollingHash(documents(s, d))),
     "q50_binary_meta" -> ((s, d) => Multimodal.binaryMeta(documents(s, d))),
-    "q51_media_features" -> ((s, d) => Multimodal.mediaFeatures(documents(s, d)))
+    "q51_media_features" -> ((s, d) => Multimodal.mediaFeatures(documents(s, d))),
+    "q52_map_ops" -> ((s, d) => Relational.mapOps(part(s, d))),
+    "q53_grouping_sets" -> ((s, d) => Relational.groupingSets(lineitem(s, d))),
+    "q54_date_arith" -> ((s, d) => Relational.dateArith(orders(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -107,7 +112,12 @@ object SparkEntry {
     "q43_langid" -> TextAnalysis.langIdSql,
     "q44_quality_score" -> TextAnalysis.qualityScoreSql,
     "q45_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q46_bpe_tokens" -> TextAnalysis.bpeTokensSql,
+    "q47_rolling_hash" -> TextAnalysis.rollingHashSql,
     "q50_binary_meta" -> Multimodal.binaryMetaSql,
-    "q51_media_features" -> Multimodal.mediaFeaturesSql
+    "q51_media_features" -> Multimodal.mediaFeaturesSql,
+    "q52_map_ops" -> Relational.mapOpsSql,
+    "q53_grouping_sets" -> Relational.groupingSetsSql,
+    "q54_date_arith" -> Relational.dateArithSql
   )
 }

@@ -19,13 +19,17 @@ object ParquetSink {
     * reference's write-then-count re-runs its nondeterministic generator,
     * `App.scala:244`; counting the committed output avoids that bug). */
   def write(df: DataFrame, path: String, maxRecordsPerFile: Int = 100000,
-            observer: JobObserver = NoopObserver, jobId: String = "job"): Long = {
+            observer: JobObserver = NoopObserver, jobId: String = "job",
+            partitionBy: Seq[String] = Nil): Long = {
     observer.onTransportStart(jobId)
     try {
-      df.write.mode("append")
+      val w = df.write.mode("append")
         .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(path)
-      val files = listParquet(path)
+      val files =
+        if (partitionBy.nonEmpty) listParquetRecursive(new File(path))
+        else listParquet(path)
       var bytes = 0L
       files.foreach { f =>
         bytes += f.length()
@@ -38,6 +42,12 @@ object ParquetSink {
     } catch {
       case e: Throwable => observer.onJobFailed(jobId, e); throw e
     }
+  }
+
+  def listParquetRecursive(d: File): Seq[File] = {
+    val kids = Option(d.listFiles()).getOrElse(Array.empty)
+    kids.filter(_.isDirectory).toSeq.flatMap(listParquetRecursive) ++
+      kids.filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq.sortBy(_.getName)
   }
 
   def listParquet(path: String): Seq[File] = {

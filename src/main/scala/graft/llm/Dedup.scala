@@ -139,20 +139,45 @@ object Dedup {
     * still key-partitioned — the standard exact-verify counterpart to LSH.
     * (At extreme scale, stop-shingle removal / df-cutoff bounds hot keys;
     * kept exact here because the oracle is exact.) */
+  final case class Posting(doc_id: Long, sz: Int)
+
   def ngramJaccard(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
     val toks = documents.select(col("doc_id"), shingles(col("text")).as("sh"))
-    // join on the shingle's 64-bit hash: 8-byte shuffle key instead of a
-    // variable-length string
+    // postings on the shingle's 64-bit hash: 8-byte shuffle key instead
+    // of a variable-length string
     val postings = toks.select(col("doc_id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("s0"))
-      .select(col("doc_id"), col("sz"), xxhash64(col("s0")).as("s"))
-    postings.as("a").join(postings.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          // size-ratio prune before aggregation (implied by J >= t)
-          col("a.sz") >= lit(threshold) * col("b.sz") &&
-          col("b.sz") >= lit(threshold) * col("a.sz"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .select(xxhash64(col("s0")).as("s"), col("doc_id"), col("sz"))
+    // one shuffle to bucket per shingle, then a JIT'd pair-emit kernel
+    // with size-ratio pruning (implied by J >= t, since J <= min/max):
+    // cheaper than a postings self-join, which shuffles both sides and
+    // routes every emitted pair through join machinery.
+    val pairs = postings.groupBy(col("s"))
+      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
+      .select(col("ds")).as[Seq[Posting]]
+      .mapPartitions { it =>
+        it.flatMap { ds =>
+          val arr = ds.toArray
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
+          var i = 0
+          while (i < arr.length) {
+            var j = i + 1
+            while (j < arr.length) {
+              val (a, b) = if (arr(i).doc_id < arr(j).doc_id) (arr(i), arr(j))
+                           else (arr(j), arr(i))
+              if (a.sz >= threshold * b.sz && b.sz >= threshold * a.sz)
+                out += ((a.doc_id, b.doc_id, a.sz, b.sz))
+              j += 1
+            }
+            i += 1
+          }
+          out
+        }
+      }
+      .toDF("doc_a", "doc_b", "sza", "szb")
+    pairs.groupBy(col("doc_a"), col("doc_b"), col("sza"), col("szb"))
       .agg(count(lit(1)).cast("double").as("inter"))
       .withColumn("jaccard", round(col("inter") / (col("sza") + col("szb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)

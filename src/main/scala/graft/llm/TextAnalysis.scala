@@ -165,6 +165,46 @@ object TextAnalysis {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** BPE-ish tokenizer: regex token classes (letter runs, digit runs,
+    * single punctuation) instead of whitespace splitting — the shape a
+    * subword tokenizer's pre-tokenization pass has. */
+  def bpeTokens(documents: DataFrame): DataFrame = {
+    val toks = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    documents.select(col("doc_id"),
+        size(toks).cast("long").as("n_bpe_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_bpe_distinct"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bpeTokensSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+      |  len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS n_bpe_distinct
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Rolling (polynomial) document hash over the token stream —
+    * order-SENSITIVE, unlike the canonical fingerprint below. Pure
+    * modular arithmetic so the DuckDB oracle computes bit-identical
+    * values: h = fold(h*31 + tokval) mod 1e9+7, tokval from the token's
+    * first char + length. */
+  def rollingHash(documents: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val vals = transform(w, t => ascii(substring(t, 1, 1)) * 131 + length(t))
+    documents.select(col("doc_id"),
+        aggregate(vals, lit(0L),
+          (h, x) => (h * 31 + x) % 1000000007L).as("rhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val rollingHashSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(0::BIGINT,
+      |      list_transform(string_split(text, ' '),
+      |        t -> (ord(substring(t, 1, 1)) * 131 + length(t))::BIGINT)),
+      |    (h, x) -> (h * 31 + x) % 1000000007) AS rhash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Canonical document fingerprint: md5 of the sorted distinct token
     * set — groups bag-of-words duplicates regardless of word order. */
   def fingerprint(documents: DataFrame): DataFrame =

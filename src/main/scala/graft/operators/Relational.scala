@@ -498,6 +498,69 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  // --------------------------------------------------------------------
+  // q52: map-typed columns — construct, explode to entries.
+  // --------------------------------------------------------------------
+  def mapOps(part: DataFrame): DataFrame =
+    part.select(col("p_partkey"),
+        explode(map(lit("brand"), col("p_brand"), lit("type"), col("p_type"))))
+      .select(col("p_partkey"), col("key"), col("value"))
+      .orderBy(col("p_partkey"), col("key"))
+
+  // Oracle emits the same entry rows without needing DuckDB's MAP type.
+  val mapOpsSql: String =
+    """SELECT p_partkey, key, value FROM (
+      |  SELECT p_partkey, 'brand' AS key, p_brand AS value FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'type' AS key, p_type AS value FROM part
+      |) ORDER BY p_partkey, key""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q53: GROUPING SETS through the engine's SQL surface (temp view +
+  // spark.sql) — same Catalyst Expand-based plan as rollup/cube.
+  // --------------------------------------------------------------------
+  def groupingSets(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    lineitem.createOrReplaceTempView("li_gsets")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+        |FROM li_gsets
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        |ORDER BY rflag, lstatus""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+      |  coalesce(l_linestatus, 'ALL') AS lstatus,
+      |  count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+      |ORDER BY rflag, lstatus""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q54: date arithmetic — add_months (month-end clamped in both
+  // engines), day addition, quarter/week extraction.
+  // --------------------------------------------------------------------
+  def dateArith(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_orderkey"),
+      add_months(col("o_orderdate"), 3).as("plus3m"),
+      date_add(col("o_orderdate").cast("date"), 7).as("plus7d"),
+      quarter(col("o_orderdate")).cast("long").as("qtr"),
+      dayofweek(col("o_orderdate")).cast("long").as("dow"))
+      .orderBy(col("o_orderkey"))
+
+  // Spark dayofweek: 1 = Sunday; DuckDB dayofweek: 0 = Sunday.
+  val dateArithSql: String =
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+      |  CAST(o_orderdate + INTERVAL 7 DAY AS DATE) AS plus7d,
+      |  quarter(o_orderdate) AS qtr,
+      |  dayofweek(o_orderdate) + 1 AS dow
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // Oracle: the O(n²) formulation — same answer, only viable at oracle SF.
   // Note the '<= p.ts' includes a click at the same timestamp; Spark's
   // rowsBetween(...,0) window sees the click first because ties are
