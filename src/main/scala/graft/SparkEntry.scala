@@ -21,6 +21,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the reference's ONLY query: count() (reference App.scala:239)
+    "q00_count" -> ((s, d) => {
+      import org.apache.spark.sql.functions.count
+      lineitem(s, d).agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    }),
     "q01_pricing_summary" -> ((s, d) => Relational.pricingSummary(lineitem(s, d))),
     "q02_filter_predicates" -> ((s, d) => Relational.filterPredicates(orders(s, d))),
     "q03_star_join_broadcast" -> ((s, d) =>
@@ -75,6 +80,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q00_count" -> "SELECT count(*) AS n FROM lineitem",
     "q01_pricing_summary" -> Relational.pricingSummarySql,
     "q02_filter_predicates" -> Relational.filterPredicatesSql,
     "q03_star_join_broadcast" -> Relational.starJoinBroadcastSql,

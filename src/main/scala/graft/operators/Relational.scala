@@ -479,22 +479,21 @@ object Relational {
 
   // --------------------------------------------------------------------
   // q22: as-of join — for each purchase, the latest click at-or-before it
-  // by the same user. Implemented the scalable way: union both sides,
-  // single shuffle+sort per user, last-non-null carry-forward. No pairwise
-  // join blowup; O(events) state.
+  // by the same user, via the generic AsOf operator (union + ONE shuffle
+  // + last-carry-forward; standard `<=` tie semantics, no pairwise
+  // blowup — see operators.AsOf).
   // --------------------------------------------------------------------
   def asofJoin(events: DataFrame): DataFrame = {
-    val tagged = events.select(col("user_id"), col("ts"), col("event_type"), col("event_id"),
-      when(col("event_type") === "click", col("ts")).as("click_ts"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    tagged
-      .withColumn("asof_click", last(col("click_ts"), ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    AsOf.joinAsOf(purchases, clicks, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "click_ts",
+        rightValues = Seq("click_ts"))
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("purchase_us"),
-        unix_micros(col("asof_click")).as("asof_click_us"))
+        unix_micros(col("asof_click_ts")).as("asof_click_us"))
       .orderBy(col("event_id"))
   }
 
@@ -562,17 +561,13 @@ object Relational {
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   // Oracle: the O(n²) formulation — same answer, only viable at oracle SF.
-  // Note the '<= p.ts' includes a click at the same timestamp; Spark's
-  // rowsBetween(...,0) window sees the click first because ties are
-  // ordered by (ts, event_id) and click event_ids differ — a click at the
-  // exact same ts as the purchase with a LOWER event_id is included, one
-  // with a higher id is not; the oracle mirrors that with the id filter.
+  // `<=` matches the AsOf operator's right-sorts-first tie handling.
   val asofJoinSql: String =
     """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events)
       |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
       |  (SELECT epoch_us(max(c.ts)) FROM e c
       |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
-      |     AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))) AS asof_click_us
+      |     AND c.ts <= p.ts) AS asof_click_us
       |FROM e p WHERE p.event_type = 'purchase'
       |ORDER BY p.event_id""".stripMargin
 }

@@ -20,8 +20,8 @@ class AsOfJoinSpec extends SparkSpec {
       (5L, ts("2024-01-01 09:30:00"), 2L, "click", 1.0, "{}"),
       // user 2: second purchase after the click
       (6L, ts("2024-01-01 09:45:00"), 2L, "purchase", 5.0, "{}"),
-      // user 3: click at the SAME timestamp as purchase, lower event_id →
-      // included (ties ordered by (ts, event_id))
+      // user 3: click at the SAME timestamp as purchase → included
+      // (standard `<=` as-of; right side sorts before left at ties)
       (7L, ts("2024-01-01 08:00:00"), 3L, "click", 1.0, "{}"),
       (8L, ts("2024-01-01 08:00:00"), 3L, "purchase", 2.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
