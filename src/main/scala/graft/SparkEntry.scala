@@ -62,6 +62,7 @@ object SparkEntry {
     "q35_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embeddings(s, d))),
     "q36_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(embeddings(s, d))),
     "q37_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embeddings(s, d))),
+    "q38_lsh_topk" -> ((s, d) => Similarity.lshTopK(embeddings(s, d))),
     "q40_token_stats" -> ((s, d) => TextAnalysis.tokenStats(documents(s, d))),
     "q41_term_freq" -> ((s, d) => TextAnalysis.termFreq(documents(s, d))),
     "q42_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(documents(s, d))),
@@ -72,6 +73,8 @@ object SparkEntry {
     "q47_rolling_hash" -> ((s, d) => TextAnalysis.rollingHash(documents(s, d))),
     "q50_binary_meta" -> ((s, d) => Multimodal.binaryMeta(documents(s, d))),
     "q51_media_features" -> ((s, d) => Multimodal.mediaFeatures(documents(s, d))),
+    "q55_frame_sample" -> ((s, d) => Multimodal.frameSample(documents(s, d))),
+    "q56_resize_stub" -> ((s, d) => Multimodal.resizeStub(documents(s, d))),
     "q52_map_ops" -> ((s, d) => Relational.mapOps(part(s, d))),
     "q53_grouping_sets" -> ((s, d) => Relational.groupingSets(lineitem(s, d))),
     "q54_date_arith" -> ((s, d) => Relational.dateArith(orders(s, d)))
@@ -122,6 +125,8 @@ object SparkEntry {
     "q47_rolling_hash" -> TextAnalysis.rollingHashSql,
     "q50_binary_meta" -> Multimodal.binaryMetaSql,
     "q51_media_features" -> Multimodal.mediaFeaturesSql,
+    "q55_frame_sample" -> Multimodal.frameSampleSql,
+    "q56_resize_stub" -> Multimodal.resizeStubSql,
     "q52_map_ops" -> Relational.mapOpsSql,
     "q53_grouping_sets" -> Relational.groupingSetsSql,
     "q54_date_arith" -> Relational.dateArithSql

@@ -81,6 +81,72 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  final case class Frame(doc_id: Long, frame_idx: Long, frame_md5: String)
+
+  /** Frame sampling over a media payload: fixed-size frames, keep every
+    * `everyN`-th, emit a content hash per kept frame. The frame
+    * boundaries stand in for a container demuxer (no codecs here); the
+    * batch shape — flatMap payload → frame rows — is the real pipeline
+    * shape. */
+  def frameSample(documents: DataFrame, frameBytes: Int = 32,
+                  everyN: Int = 4): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    asMedia(documents)
+      .flatMap { m =>
+        val nFrames = (m.payload.length + frameBytes - 1) / frameBytes
+        (0 until nFrames).iterator.filter(_ % everyN == 0).map { i =>
+          val from = i * frameBytes
+          val until = math.min(from + frameBytes, m.payload.length)
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.util.Arrays.copyOfRange(m.payload, from, until))
+          Frame(m.doc_id, i.toLong, md.map("%02x".format(_)).mkString)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  // ASCII text ⇒ 1 byte per char, so DuckDB's substring-md5 equals the
+  // kernel's byte-range md5.
+  val frameSampleSql: String =
+    """WITH x AS (SELECT doc_id, text,
+      |    unnest(range((length(text) + 31) // 32)) AS idx FROM documents)
+      |SELECT doc_id, idx AS frame_idx,
+      |  md5(substring(text, (idx * 32 + 1)::INT, 32)) AS frame_md5
+      |FROM x WHERE idx % 4 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Resize stub: deterministic payload-to-payload transform with the
+    * real signature (bytes → bytes at a target size). A real
+    * implementation calls an image codec; the STUB truncates or
+    * cycle-pads — plumbing (schema, kernel batching) is what's tested. */
+  def resizeStub(documents: DataFrame, targetBytes: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    asMedia(documents)
+      .map { m =>
+        val out = new Array[Byte](targetBytes)
+        if (m.payload.nonEmpty) {
+          var i = 0
+          while (i < targetBytes) { out(i) = m.payload(i % m.payload.length); i += 1 }
+        }
+        (m.doc_id, m.media_type, out.length.toLong,
+          out.take(8).map("%02x".format(_)).mkString)
+      }
+      .toDF("doc_id", "media_type", "resized_len", "head_hex")
+      .orderBy(col("doc_id"))
+  }
+
+  // Every fixture text has >= 8 chars, so the cycled head is simply the
+  // first 8 bytes.
+  val resizeStubSql: String =
+    """SELECT doc_id,
+      |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
+      |  64::BIGINT AS resized_len,
+      |  lower(hex(encode(substring(text, 1, 8)))) AS head_hex
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // Oracle mirrors the deterministic fake decode (ASCII text ⇒ byte ==
   // codepoint, so ord() equals the byte value).
   val mediaFeaturesSql: String =

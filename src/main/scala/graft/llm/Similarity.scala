@@ -87,6 +87,71 @@ object Similarity {
       |    z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (a.nrm * b.nrm), 4) >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  final case class SrpBucket(vec_id: Long, table: Int, bucket: Int)
+
+  /** Sign-random-projection (SRP) bucket assignment: bit j of the bucket
+    * is the sign of v · r_j against a deterministic Rademacher (±1)
+    * hyperplane. JIT'd kernel (same rationale as the dedup sketches). */
+  def srpBuckets(embeddings: DataFrame, tables: Int, bits: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          (0 until tables).iterator.map { t =>
+            var bucket = 0
+            var j = 0
+            while (j < bits) {
+              var dot = 0.0
+              var d = 0
+              while (d < v.length) {
+                // deterministic ±1 plane component from (table, bit, dim)
+                val h = graft.functions.Hashing.mix64(
+                  (t.toLong << 40) ^ (j.toLong << 20) ^ d.toLong)
+                dot += (if ((h & 1L) == 1L) v(d) else -v(d))
+                d += 1
+              }
+              if (dot > 0) bucket |= (1 << j)
+              j += 1
+            }
+            SrpBucket(id, t, bucket)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** LSH-bucketed approximate top-k: probes only meet corpus vectors
+    * sharing an SRP bucket in at least one of `tables` hash tables —
+    * the scanned fraction shrinks with `bits`, recall grows with
+    * `tables`. bits = 0 degenerates to brute force (single bucket):
+    * the correctness anchor the tests use. */
+  def lshTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
+              tables: Int = 4, bits: Int = 8): DataFrame = {
+    val buckets = srpBuckets(embeddings, tables, bits)
+    val base = embeddings.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val probeB = buckets.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("table"), col("bucket"))
+    val candIds = broadcast(probeB).join(buckets,
+        Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+      .distinct()
+    val probes = base.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("nrm").as("pn"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    candIds.join(base, "vec_id").join(broadcast(probes), "probe_id")
+      .withColumn("cos", round(dot(col("pe"), col("embedding")) / (col("pn") * col("nrm")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   /** IVF-style approximate top-k: coarse-quantize the corpus into cells
     * (centroid = per-label mean vector), then search only the `nCells`
     * cells nearest each probe. Approximate by construction — no SQL

@@ -33,6 +33,22 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(cos(a, b) - cos(b, a)) < 1e-12)
   }
 
+  test("LSH top-k with bits=0 equals brute force; bits>0 scans a fraction") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.cosineTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh0 = Similarity.lshTopK(emb, bits = 0, tables = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh0 === brute) // single bucket ⇒ exhaustive
+    val lsh8 = Similarity.lshTopK(emb, bits = 8, tables = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh8).size.toDouble / brute.size
+    // synthetic vectors are near-orthogonal, so SRP recall is modest by
+    // construction; the invariant is it finds SOME true neighbors while
+    // scanning a fraction of the corpus
+    assert(recall > 0.0, s"LSH recall $recall")
+  }
+
   test("embedding near-dup pairs are within-label only") {
     val emb = Tables.embeddings(spark, sf)
     val pairs = Similarity.embeddingNearDup(emb, threshold = 0.3).collect()

@@ -21,6 +21,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("watermark drops late data across micro-batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-late").toString + "/events"
+    def mkEvents(rows: Seq[(Long, String, Long, String, Double, String)]) =
+      rows.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+    // batch 1: events at 10:00 and 11:00 → watermark advances to 10:50
+    mkEvents(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "click", 1.0, "{}"),
+      (2L, "2024-01-01 11:00:00", 1L, "click", 1.0, "{}")))
+      .write.parquet(dir)
+
+    val src = spark.readStream.schema(EventWindows.eventsSchema).parquet(dir)
+    val agg = src.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("ws"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: an event at 09:30, an hour behind the watermark → dropped;
+      // plus one at 11:30 keeping the query moving
+      mkEvents(Seq(
+        (3L, "2024-01-01 09:30:00", 1L, "click", 1.0, "{}"),
+        (4L, "2024-01-01 11:30:00", 1L, "click", 1.0, "{}")))
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // batch 3: push watermark far ahead so all closable windows emit
+      mkEvents(Seq((5L, "2024-01-01 15:00:00", 1L, "click", 1.0, "{}")))
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("late_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def us(s: String) = java.sql.Timestamp.valueOf(s).getTime * 1000L
+    // the 09:00 window was NEVER created (event 3 arrived after the
+    // watermark passed it) and the 10:00 window holds only event 1
+    assert(!out.contains(us("2024-01-01 09:00:00")), s"late event leaked: $out")
+    assert(out(us("2024-01-01 10:00:00")) === 1L)
+    assert(out(us("2024-01-01 11:00:00")) === 2L)
+  }
+
   test("streaming session window equals the batch plan") {
     val dir = Files.createTempDirectory("graft-stream").toString + "/events"
     val ev = Tables.events(spark, sf)
