@@ -77,7 +77,8 @@ object SparkEntry {
     "q56_resize_stub" -> ((s, d) => Multimodal.resizeStub(documents(s, d))),
     "q52_map_ops" -> ((s, d) => Relational.mapOps(part(s, d))),
     "q53_grouping_sets" -> ((s, d) => Relational.groupingSets(lineitem(s, d))),
-    "q54_date_arith" -> ((s, d) => Relational.dateArith(orders(s, d)))
+    "q54_date_arith" -> ((s, d) => Relational.dateArith(orders(s, d))),
+    "q57_scalar_math" -> ((s, d) => Relational.scalarMath(lineitem(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -129,6 +130,7 @@ object SparkEntry {
     "q56_resize_stub" -> Multimodal.resizeStubSql,
     "q52_map_ops" -> Relational.mapOpsSql,
     "q53_grouping_sets" -> Relational.groupingSetsSql,
-    "q54_date_arith" -> Relational.dateArithSql
+    "q54_date_arith" -> Relational.dateArithSql,
+    "q57_scalar_math" -> Relational.scalarMathSql
   )
 }

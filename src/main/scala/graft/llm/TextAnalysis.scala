@@ -31,6 +31,7 @@ object TextAnalysis {
       size(array_distinct(w)).cast("long").as("n_distinct"),
       round(aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast("double") /
         size(w), 4).as("avg_token_len"),
+      array_contains(w, "the").as("has_the"),
       col("n_chars"))
       .orderBy(col("doc_id"))
   }
@@ -40,6 +41,7 @@ object TextAnalysis {
       |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
       |  round(list_sum(list_transform(string_split(text, ' '), t -> length(t)))::DOUBLE
       |        / len(string_split(text, ' ')), 4) AS avg_token_len,
+      |  list_contains(string_split(text, ' '), 'the') AS has_the,
       |  n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 

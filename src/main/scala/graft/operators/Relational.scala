@@ -284,22 +284,29 @@ object Relational {
   def windowRunning(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, 0)
     orders
       .select(col("o_custkey"), col("o_orderkey"),
         col("o_orderdate").cast("date").as("odate"),
-        r2(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0))).as("running_total"),
+        r2(sum(col("o_totalprice")).over(wf)).as("running_total"),
         r2(lag(col("o_totalprice"), 1).over(w)).as("prev_total"),
-        r2(lead(col("o_totalprice"), 1).over(w)).as("next_total"))
+        r2(lead(col("o_totalprice"), 1).over(w)).as("next_total"),
+        r2(first(col("o_totalprice")).over(wf)).as("first_total"),
+        r2(last(col("o_totalprice")).over(wf)).as("last_total"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
   val windowRunningSql: String =
     """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
-      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
-      |  round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_total,
-      |  round(lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS next_total
+      |  round(sum(o_totalprice) OVER wf, 2) AS running_total,
+      |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_total,
+      |  round(lead(o_totalprice, 1) OVER w, 2) AS next_total,
+      |  round(first_value(o_totalprice) OVER wf, 2) AS first_total,
+      |  round(last_value(o_totalprice) OVER wf, 2) AS last_total
       |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
   // --------------------------------------------------------------------
@@ -559,6 +566,35 @@ object Relational {
       |  quarter(o_orderdate) AS qtr,
       |  dayofweek(o_orderdate) + 1 AS dow
       |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q57: scalar math — sqrt/pow/abs/ln/exp/floor/ceil, floor-quantized
+  // where transcendental (libm may differ in the last ulp across
+  // engines; floor of a quantized value is stable).
+  // --------------------------------------------------------------------
+  def scalarMath(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey"),
+        r2(sqrt(col("l_extendedprice"))).as("sqrt_price"),
+        r2(pow(col("l_discount") + 1.0, 2)).as("disc_sq"),
+        r2(abs(col("l_extendedprice") - col("l_quantity") * 1000)).as("absdiff"),
+        floor(log(col("l_extendedprice")) * 1000).cast("long").as("ln_price_md"),
+        floor(exp(col("l_discount")) * 1000).cast("long").as("exp_disc_md"),
+        ceil(col("l_extendedprice") / 100).cast("long").as("ceil_h"))
+      .orderBy(col("l_orderkey"))
+
+  val scalarMathSql: String =
+    """SELECT l_orderkey,
+      |  round(sqrt(l_extendedprice), 2) AS sqrt_price,
+      |  round(pow(l_discount + 1.0, 2), 2) AS disc_sq,
+      |  round(abs(l_extendedprice - l_quantity * 1000), 2) AS absdiff,
+      |  CAST(floor(ln(l_extendedprice) * 1000) AS BIGINT) AS ln_price_md,
+      |  CAST(floor(exp(l_discount) * 1000) AS BIGINT) AS exp_disc_md,
+      |  CAST(ceil(l_extendedprice / 100) AS BIGINT) AS ceil_h
+      |FROM lineitem WHERE l_linenumber = 1
+      |ORDER BY l_orderkey""".stripMargin
 
   // Oracle: the O(n²) formulation — same answer, only viable at oracle SF.
   // `<=` matches the AsOf operator's right-sorts-first tie handling.

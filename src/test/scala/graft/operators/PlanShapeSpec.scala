@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests: the properties PERF.md claims must stay
+  * true as code evolves — pushdown, pruning, broadcast dims, top-k
+  * plans, no cartesian products where an equi-key exists. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and column pruning reach the parquet scan") {
+    val p = plan(Relational.pricingSummary(Tables.lineitem(spark, sf)))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown:\n$p")
+    // pruned read schema: no l_orderkey/l_partkey in the scan
+    assert(!p.contains("l_partkey"), "column pruning failed: l_partkey read")
+  }
+
+  test("star join broadcasts every dimension") {
+    val p = plan(Relational.starJoinBroadcast(Tables.orders(spark, sf),
+      Tables.customer(spark, sf), Tables.nation(spark, sf), Tables.region(spark, sf)))
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 3, s"expected 3 broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dimension leg fell back to SMJ")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan(Relational.topK(Tables.orders(spark, sf)))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not pushed:\n$p")
+  }
+
+  test("per-group top-k gets WindowGroupLimit pushdown (rank-only window)") {
+    // q12 itself does NOT get the pushdown: its window spec includes
+    // ntile, which is not rank-like, and one non-eligible function in
+    // the spec disables the group-limit optimization. cosineTopK's
+    // row_number-only window does get it.
+    val p = plan(graft.llm.Similarity.cosineTopK(Tables.embeddings(spark, sf)))
+    assert(p.contains("WindowGroupLimit"), s"rank filter not pushed:\n$p")
+  }
+
+  test("range join with equi key never plans a cartesian/nested loop over both sides") {
+    val p = plan(Relational.rangeJoin(Tables.events(spark, sf)))
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // equality on user_id must be the join key (hash or sort-merge)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no keyed join:\n$p")
+  }
+
+  test("as-of join is a single-shuffle window plan, not a join") {
+    val p = plan(Relational.asofJoin(Tables.events(spark, sf)))
+    assert(!p.contains("Join"), s"as-of should not join:\n$p")
+    assert(p.contains("Window"), s"expected window plan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"more than one hash exchange:\n$p")
+  }
+
+  test("codegen dot product stays inside WholeStageCodegen") {
+    val df = Tables.embeddings(spark, sf)
+      .select(graft.functions.VectorFunctions.floatDot(col("embedding"), col("embedding")).as("d"))
+    // the "*(n)" prefix marks a WholeStageCodegen stage in plan strings
+    val p = plan(df)
+    assert(p.contains("*(1) Project [vector_dot"), s"no codegen span:\n$p")
+    assert(df.agg(min("d")).head.getDouble(0) > 0.0)
+  }
+
+  test("string<->bytes codec round-trips (reference SparkUtils.scala:49-54)") {
+    import graft.functions.Codec
+    val s = "graft: ünïcode too"
+    assert(Codec.bytesToString(Codec.stringToBytes(s)) === s)
+    import spark.implicits._
+    val df = Seq(s).toDF("t")
+      .select(Codec.bytesToStringCol(Codec.stringToBytesCol(col("t"))).as("rt"))
+    assert(df.head.getString(0) === s)
+  }
+}
