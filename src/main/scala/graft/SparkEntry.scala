@@ -78,7 +78,8 @@ object SparkEntry {
     "q52_map_ops" -> ((s, d) => Relational.mapOps(part(s, d))),
     "q53_grouping_sets" -> ((s, d) => Relational.groupingSets(lineitem(s, d))),
     "q54_date_arith" -> ((s, d) => Relational.dateArith(orders(s, d))),
-    "q57_scalar_math" -> ((s, d) => Relational.scalarMath(lineitem(s, d)))
+    "q57_scalar_math" -> ((s, d) => Relational.scalarMath(lineitem(s, d))),
+    "q58_tpch_q5" -> ((s, d) => Relational.tpchQ5(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -131,6 +132,7 @@ object SparkEntry {
     "q52_map_ops" -> Relational.mapOpsSql,
     "q53_grouping_sets" -> Relational.groupingSetsSql,
     "q54_date_arith" -> Relational.dateArithSql,
-    "q57_scalar_math" -> Relational.scalarMathSql
+    "q57_scalar_math" -> Relational.scalarMathSql,
+    "q58_tpch_q5" -> Relational.tpchQ5Sql
   )
 }

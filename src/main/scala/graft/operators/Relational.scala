@@ -596,6 +596,37 @@ object Relational {
       |FROM lineitem WHERE l_linenumber = 1
       |ORDER BY l_orderkey""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q58: TPC-H Q5-shaped 6-table join through the SQL surface — local
+  // supplier revenue per nation. Exercises the parser/analyzer path and
+  // Catalyst's join reordering + dim broadcasting on a real multi-join.
+  // --------------------------------------------------------------------
+  private val tpchQ5Body: String =
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM %s
+      |WHERE l_orderkey = o_orderkey
+      |  AND o_custkey = c_custkey
+      |  AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  def tpchQ5(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(t => graft.Tables.load(spark, dir, t).createOrReplaceTempView(s"${t}_q5"))
+    spark.sql(tpchQ5Body.format(
+      "customer_q5, orders_q5, lineitem_q5, supplier_q5, nation_q5, region_q5"))
+  }
+
+  val tpchQ5Sql: String =
+    tpchQ5Body.format("customer, orders, lineitem, supplier, nation, region")
+
   // Oracle: the O(n²) formulation — same answer, only viable at oracle SF.
   // `<=` matches the AsOf operator's right-sorts-first tie handling.
   val asofJoinSql: String =
