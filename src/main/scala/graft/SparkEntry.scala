@@ -79,7 +79,9 @@ object SparkEntry {
     "q53_grouping_sets" -> ((s, d) => Relational.groupingSets(lineitem(s, d))),
     "q54_date_arith" -> ((s, d) => Relational.dateArith(orders(s, d))),
     "q57_scalar_math" -> ((s, d) => Relational.scalarMath(lineitem(s, d))),
-    "q58_tpch_q5" -> ((s, d) => Relational.tpchQ5(s, d))
+    "q58_tpch_q5" -> ((s, d) => Relational.tpchQ5(s, d)),
+    "q59_summary_stats" -> ((s, d) => Relational.summaryStats(lineitem(s, d))),
+    "q60_pivot" -> ((s, d) => Relational.pivotFlags(lineitem(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -133,6 +135,8 @@ object SparkEntry {
     "q53_grouping_sets" -> Relational.groupingSetsSql,
     "q54_date_arith" -> Relational.dateArithSql,
     "q57_scalar_math" -> Relational.scalarMathSql,
-    "q58_tpch_q5" -> Relational.tpchQ5Sql
+    "q58_tpch_q5" -> Relational.tpchQ5Sql,
+    "q59_summary_stats" -> Relational.summaryStatsSql,
+    "q60_pivot" -> Relational.pivotFlagsSql
   )
 }

@@ -22,19 +22,64 @@ object TextAnalysis {
     "es" -> Seq("data", "row"), "fr" -> Seq("query", "value"),
     "zh" -> Seq("window", "join"))
 
-  /** Per-document token statistics. */
-  def tokenStats(documents: DataFrame): DataFrame = {
-    val w = words(col("text"))
-    documents.select(
-      col("doc_id"),
-      size(w).cast("long").as("n_tokens"),
-      size(array_distinct(w)).cast("long").as("n_distinct"),
-      round(aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-        size(w), 4).as("avg_token_len"),
-      array_contains(w, "the").as("has_the"),
-      col("n_chars"))
-      .orderBy(col("doc_id"))
+  /** Shared per-document token statistics, computed once in a JIT'd
+    * kernel (interpreted higher-order lambdas cost ~1 ms/doc here —
+    * split × aggregate × filter per document; the kernel is ~µs/doc).
+    * Downstream queries (token stats, lang-ID, quality) select from
+    * this. Marker counts are per-language, in sorted-lang order. */
+  final case class DocStats(doc_id: Long, n_tokens: Long, n_distinct: Long,
+                            sum_len: Long, has_the: Boolean, n_stop: Long,
+                            s_de: Long, s_en: Long, s_es: Long, s_fr: Long,
+                            s_zh: Long)
+
+  def docStats(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val markerSets: Array[Set[String]] =
+      markers.toSeq.sortBy(_._1).map(_._2.toSet).toArray
+    val stopSet: Set[String] = markers.values.flatten.toSet
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val w = text.split(' ')
+          var sumLen = 0L
+          var nStop = 0L
+          var hasThe = false
+          val scores = new Array[Long](markerSets.length)
+          val seen = new java.util.HashSet[String](w.length * 2)
+          var i = 0
+          while (i < w.length) {
+            val t = w(i)
+            sumLen += t.length
+            if (t == "the") hasThe = true
+            if (stopSet.contains(t)) nStop += 1
+            var m = 0
+            while (m < markerSets.length) {
+              if (markerSets(m).contains(t)) scores(m) += 1
+              m += 1
+            }
+            seen.add(t)
+            i += 1
+          }
+          DocStats(id, w.length.toLong, seen.size.toLong, sumLen, hasThe,
+            nStop, scores(0), scores(1), scores(2), scores(3), scores(4))
+        }
+      }
+      .toDF()
   }
+
+  /** Per-document token statistics. */
+  def tokenStats(documents: DataFrame): DataFrame =
+    docStats(documents)
+      .join(documents.select(col("doc_id"), col("n_chars")), "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_distinct"),
+        round(col("sum_len").cast("double") / col("n_tokens"), 4).as("avg_token_len"),
+        col("has_the"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
 
   val tokenStatsSql: String =
     """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
@@ -92,16 +137,12 @@ object TextAnalysis {
       |        ORDER BY tfidf DESC, term) rnk FROM scored)
       |SELECT doc_id, term, tfidf FROM r WHERE rnk = 1 ORDER BY doc_id""".stripMargin
 
-  /** Heuristic language ID: per-language marker-token counts, argmax with
-    * ties broken by language code. */
+  /** Heuristic language ID: per-language marker-token counts (from the
+    * docStats kernel), argmax with ties broken by language code. */
   def langId(documents: DataFrame): DataFrame = {
-    val w = words(col("text"))
-    def score(ms: Seq[String]): Column =
-      size(filter(w, t => ms.map(m => t === m).reduce(_ || _))).cast("long")
-    val scored = documents.select(
-      (col("doc_id") +: col("lang").as("actual_lang") +:
-        markers.toSeq.sortBy(_._1).map { case (l, ms) => score(ms).as(s"s_$l") }): _*)
     val langs = markers.keys.toSeq.sorted
+    val scored = docStats(documents)
+      .join(documents.select(col("doc_id"), col("lang").as("actual_lang")), "doc_id")
     val m = greatest(langs.map(l => col(s"s_$l")): _*)
     // first lang in asc order wins ties — mirrors the oracle's CASE order
     scored.withColumn("pred_lang",
@@ -128,22 +169,23 @@ object TextAnalysis {
   }
 
   /** Quality score: distinct ratio, stopword ratio, mean token length →
-    * weighted score in [0,1], keep-flag at 0.5. */
+    * weighted score in [0,1], keep-flag at 0.5. Ratios come from the
+    * docStats kernel; the arithmetic below stays identical to the
+    * oracle's (same operation order ⇒ bit-identical doubles). */
   def qualityScore(documents: DataFrame): DataFrame = {
-    val w = words(col("text"))
-    val stop = markers.values.flatten.toSeq.sorted
-    val nTok = size(w).cast("double")
-    val distinctRatio = size(array_distinct(w)) / nTok
-    val stopRatio = size(filter(w, t => stop.map(m => t === m).reduce(_ || _))) / nTok
-    val meanLen = aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok
+    val s = docStats(documents)
+    val nTok = col("n_tokens").cast("double")
+    val distinctRatio = col("n_distinct") / nTok
+    val stopRatio = col("n_stop") / nTok
+    val meanLen = col("sum_len").cast("double") / nTok
     // floor-quantize to basis points: floor() of a bit-identical double is
     // engine-independent, unlike decimal round at .xxxx5 boundaries
     // (Spark rounds the shortest decimal repr HALF_UP; DuckDB rounds the
     // binary value).
     val score = floor((lit(0.3) * distinctRatio + lit(0.4) * (lit(1.0) - stopRatio) +
       lit(0.3) * least(meanLen / 10.0, lit(1.0))) * 10000).cast("long")
-    documents.select(col("doc_id"),
-        size(w).cast("long").as("n_tokens"),
+    s.select(col("doc_id"),
+        col("n_tokens"),
         round(distinctRatio, 4).as("distinct_ratio"),
         round(stopRatio, 4).as("stop_ratio"),
         round(meanLen, 4).as("mean_token_len"),

@@ -627,6 +627,63 @@ object Relational {
   val tpchQ5Sql: String =
     tpchQ5Body.format("customer, orders, lineitem, supplier, nation, region")
 
+  // --------------------------------------------------------------------
+  // q59: summary statistics (describe-style) — count/mean/stddev/min/max
+  // per numeric column. stddev is sample stddev in both engines; means
+  // and stddevs rounded (parallel summation order differs).
+  // --------------------------------------------------------------------
+  def summaryStats(lineitem: DataFrame): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val stats = cols.map { c =>
+      struct(lit(c).as("colname"), count(col(c)).as("n"),
+        round(avg(col(c)), 4).as("mean"), round(stddev(col(c)), 4).as("sd"),
+        r2(min(col(c))).as("mn"), r2(max(col(c))).as("mx")).as(s"_$c")
+    }
+    lineitem.agg(stats.head, stats.tail: _*)
+      .select(explode(array(cols.map(c => col(s"_$c")): _*)).as("s"))
+      .select(col("s.colname"), col("s.n"), col("s.mean"), col("s.sd"),
+        col("s.mn"), col("s.mx"))
+      .orderBy(col("colname"))
+  }
+
+  val summaryStatsSql: String =
+    """SELECT colname, n, mean, sd, mn, mx FROM (
+      |  SELECT 'l_quantity' AS colname, count(l_quantity) AS n,
+      |    round(avg(l_quantity), 4) AS mean, round(stddev_samp(l_quantity), 4) AS sd,
+      |    round(min(l_quantity), 2) AS mn, round(max(l_quantity), 2) AS mx FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_extendedprice', count(l_extendedprice),
+      |    round(avg(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4),
+      |    round(min(l_extendedprice), 2), round(max(l_extendedprice), 2) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_discount', count(l_discount),
+      |    round(avg(l_discount), 4), round(stddev_samp(l_discount), 4),
+      |    round(min(l_discount), 2), round(max(l_discount), 2) FROM lineitem
+      |) ORDER BY colname""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q60: pivot — wide conditional aggregation (missing cells coalesced
+  // to 0 so Spark's null-for-absent matches the oracle's filtered
+  // counts).
+  // --------------------------------------------------------------------
+  def pivotFlags(lineitem: DataFrame): DataFrame = {
+    val statuses = Seq("F", "O", "P")
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", statuses)
+      .count()
+      .select(col("l_returnflag") +:
+        statuses.map(s => coalesce(col(s), lit(0L)).as(s"n_$s")): _*)
+      .orderBy(col("l_returnflag"))
+  }
+
+  val pivotFlagsSql: String =
+    """SELECT l_returnflag,
+      |  count(*) FILTER (l_linestatus = 'F') AS n_F,
+      |  count(*) FILTER (l_linestatus = 'O') AS n_O,
+      |  count(*) FILTER (l_linestatus = 'P') AS n_P
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // Oracle: the O(n²) formulation — same answer, only viable at oracle SF.
   // `<=` matches the AsOf operator's right-sorts-first tie handling.
   val asofJoinSql: String =
