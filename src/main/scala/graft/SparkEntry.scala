@@ -81,7 +81,8 @@ object SparkEntry {
     "q57_scalar_math" -> ((s, d) => Relational.scalarMath(lineitem(s, d))),
     "q58_tpch_q5" -> ((s, d) => Relational.tpchQ5(s, d)),
     "q59_summary_stats" -> ((s, d) => Relational.summaryStats(lineitem(s, d))),
-    "q60_pivot" -> ((s, d) => Relational.pivotFlags(lineitem(s, d)))
+    "q60_pivot" -> ((s, d) => Relational.pivotFlags(lineitem(s, d))),
+    "q61_topk_agg" -> ((s, d) => Relational.topKPerGroupAgg(orders(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -137,6 +138,7 @@ object SparkEntry {
     "q57_scalar_math" -> Relational.scalarMathSql,
     "q58_tpch_q5" -> Relational.tpchQ5Sql,
     "q59_summary_stats" -> Relational.summaryStatsSql,
-    "q60_pivot" -> Relational.pivotFlagsSql
+    "q60_pivot" -> Relational.pivotFlagsSql,
+    "q61_topk_agg" -> Relational.topKPerGroupAggSql
   )
 }

@@ -684,6 +684,33 @@ object Relational {
       |  count(*) FILTER (l_linestatus = 'P') AS n_P
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q61: top-k per group via the custom TopKAggregator (partial+final
+  // aggregate, O(k) state/group — contrast with q12's window sort).
+  // --------------------------------------------------------------------
+  def topKPerGroupAgg(orders: DataFrame, k: Int = 3): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    orders
+      .groupBy(col("o_custkey"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rn"),
+        col("col._2").as("o_orderkey"), r2(col("col._1")).as("total"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  // Oracle: identical to the window formulation with the same tie-break.
+  val topKPerGroupAggSql: String =
+    """SELECT o_custkey, rn, o_orderkey, total FROM (
+      |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders
+      |) WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
   // Oracle: the O(n²) formulation — same answer, only viable at oracle SF.
   // `<=` matches the AsOf operator's right-sorts-first tie handling.
   val asofJoinSql: String =

@@ -36,6 +36,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(8L).contains(us("2024-01-01 08:00:00")))
   }
 
+  test("TopKAggregator equals the window top-k formulation") {
+    import org.apache.spark.sql.functions.col
+    val orders = graft.Tables.orders(spark, sf)
+    val agg = Relational.topKPerGroupAgg(orders)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey")).collect()
+      .map(_.toSeq).toSet
+    val win = Relational.windowRank(orders)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey")).collect()
+      .map(_.toSeq).toSet
+    assert(agg === win)
+  }
+
   test("session/tumbling/topk sanity on fixtures") {
     val orders = graft.Tables.orders(spark, sf)
     assert(Relational.topK(orders, 5).count() === 5)
