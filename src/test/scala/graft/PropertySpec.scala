@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.Hashing
+import org.apache.spark.sql.functions.col
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 /** Property-based checks (SURVEY.md §5.3) via scalacheck run inside
@@ -55,6 +56,46 @@ class PropertySpec extends SparkSpec {
       val h1 = a.distinct.map(Hashing.fnv1a64).toArray
       val h2 = scala.util.Random.shuffle(a.distinct).map(Hashing.fnv1a64).toArray
       Hashing.simhash64(h1) == Hashing.simhash64(h2)
+    })
+  }
+
+  test("dedup is idempotent: deduping the keepers changes nothing") {
+    import spark.implicits._
+    val gen = Gen.listOfN(60, Gen.oneOf("aa", "bb", "cc", "dd", "ee f", "gg hh"))
+    check(Prop.forAllNoShrink(gen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = llm.Dedup.exact(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap // keeper -> n
+      val keepers = docs.filter(col("doc_id")
+        .isin(once.keys.toSeq.map(Long.box): _*))
+      val twice = llm.Dedup.exact(keepers).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      // second pass keeps every keeper exactly once
+      twice.keySet == once.keySet && twice.values.forall(_ == 1L)
+    }, n = 5)
+  }
+
+  test("TopKAggregator matches sort-take on arbitrary inputs") {
+    val agg = new functions.TopKAggregator(3)
+    val gen = Gen.listOf(Gen.zip(Gen.choose(0.0, 100.0), Gen.choose(0L, 50L)))
+    check(Prop.forAllNoShrink(gen) { xs =>
+      val viaAgg = xs.foldLeft(agg.zero)(agg.reduce)
+      val expected = xs.sortWith((a, b) =>
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)).take(3)
+      agg.finish(viaAgg) == expected
+    })
+  }
+
+  test("TopKAggregator merge is order-insensitive") {
+    val agg = new functions.TopKAggregator(3)
+    val gen = Gen.zip(
+      Gen.listOf(Gen.zip(Gen.choose(0.0, 10.0), Gen.choose(0L, 20L))),
+      Gen.listOf(Gen.zip(Gen.choose(0.0, 10.0), Gen.choose(0L, 20L))))
+    check(Prop.forAllNoShrink(gen) { case (a, b) =>
+      val ba = a.foldLeft(agg.zero)(agg.reduce)
+      val bb = b.foldLeft(agg.zero)(agg.reduce)
+      agg.finish(agg.merge(ba, bb)) == agg.finish(agg.merge(bb, ba))
     })
   }
 
