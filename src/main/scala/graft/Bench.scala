@@ -8,11 +8,20 @@ import org.apache.spark.sql.SparkSession
   * projection-only plans down to a row count, benchmarking nothing.
   * A warmup query first pays the one-time codegen/session cost so
   * per-query numbers measure the plans, not JVM warmup.
+  *
+  * Noise handling (VERDICT r1 #5): the suite runs `SPARK_GRAFT_BENCH_ITERS`
+  * times (default 3) and reports the per-query MEDIAN — host contention
+  * swings single runs by ±2× (PERF.md). A failed query is excluded from
+  * `total` and listed under `failures` instead of folding a sentinel into
+  * the headline number. The JSON line goes to stdout AND to BENCH.json in
+  * the cwd so the driver can parse it even when a build tool prefixes
+  * stdout with log decorations.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,21 +30,46 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def force(name: String): Double = {
+    /** One timed run; Left(error) on failure. */
+    def once(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     }
 
-    force("q01_pricing_summary") // warmup: session + codegen paths
+    once("q01_pricing_summary") // warmup: session + codegen paths
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> force(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // iteration-major: whole suite per pass, so a contention burst lands on
+    // different queries in different passes instead of all samples of one.
+    val samples: Seq[(String, Either[String, Double])] =
+      (1 to iters).flatMap(_ => names.map(n => n -> once(n)))
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+
+    val byName = samples.groupBy(_._1)
+    val medians = names.flatMap { n =>
+      val ok = byName(n).collect { case (_, Right(t)) => t }
+      if (ok.nonEmpty) Some(n -> median(ok)) else None
+    }
+    val failures = names.filter(n => byName(n).forall(_._2.isLeft))
+
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = medians.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
+      s""""queries":$qs,"failures":$fs,"sf":"$sfDir"}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
     spark.stop()
   }
 }

@@ -53,7 +53,14 @@ object SparkEntry {
     "q23_tumbling_window" -> ((s, d) => EventWindows.tumbling(events(s, d))),
     "q24_sliding_window" -> ((s, d) => EventWindows.sliding(events(s, d))),
     "q25_session_window" -> ((s, d) => EventWindows.sessions(events(s, d))),
-    "q26_generator" -> ((s, _) => Generator.generate(s, 10000, 8).orderBy("id")),
+    // binary course is projected as hex so the driver's pandas comparator
+    // can sort it (bytearray is unhashable there) — see Generator.oracleSql.
+    "q26_generator" -> ((s, _) => {
+      import org.apache.spark.sql.functions.{col, hex}
+      Generator.generate(s, 10000, 8)
+        .select(col("id"), hex(col("course")).as("course_hex"), col("marks"))
+        .orderBy("id")
+    }),
     "q30_dedup_exact" -> ((s, d) => Dedup.exact(documents(s, d))),
     "q31_dedup_normalized" -> ((s, d) => Dedup.normalized(documents(s, d))),
     "q32_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(documents(s, d))),

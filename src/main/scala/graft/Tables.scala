@@ -44,4 +44,20 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Ensure at least `defaultParallelism` partitions ahead of a per-row-
+    * expensive stage (sketch kernels, regex/JSON scans, media decode).
+    *
+    * Parquet scan parallelism is bounded by row groups: a single-row-group
+    * file (exactly what the local test fixtures are) scans as ONE task no
+    * matter how many cores exist, serializing everything downstream. At
+    * 100 TB a table has thousands of row-group splits and this is a no-op
+    * — the guard keeps the extra shuffle out of the at-scale path and only
+    * pays it (on a small input, by definition) when the scan would
+    * otherwise under-parallelize the cluster.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

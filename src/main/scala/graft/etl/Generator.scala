@@ -28,8 +28,11 @@ object Generator {
         unhex(md5(col("id").cast("string").cast("binary"))).as("course"),
         col("id").as("marks"))
 
-  /** Oracle over DuckDB's range() — same rows, same order. */
+  /** Oracle over DuckDB's range() — same rows, same order. The binary
+    * `course` column is compared as uppercase hex: the driver's pandas
+    * comparator cannot sort raw binary (bytearray is unhashable), so the
+    * registered query projects `hex(course)` and the oracle mirrors it. */
   def oracleSql(records: Long): String =
-    s"""SELECT range AS id, unhex(md5(range::VARCHAR)) AS course, range AS marks
+    s"""SELECT range AS id, upper(md5(range::VARCHAR)) AS course_hex, range AS marks
        |FROM range($records) ORDER BY id""".stripMargin
 }

@@ -19,11 +19,17 @@ object Dedup {
 
   private def words(text: Column): Column = split(text, " ")
 
-  /** Distinct 2-gram (word bigram) shingles of a document. */
+  /** Distinct 2-gram (word bigram) shingles of a document. Single-token
+    * (or empty) documents fall back to the whole text as their one
+    * shingle — mirroring `Hashing.shingleHashes` — and the sequence bound
+    * is clamped so the un-taken branch can't produce a descending range /
+    * out-of-range index under ANSI mode. */
   def shingles(text: Column): Column = {
     val w = words(text)
-    array_distinct(transform(sequence(lit(1), size(w) - 1),
-      j => concat(element_at(w, j), lit(" "), element_at(w, j + 1))))
+    val n = size(w)
+    val grams = array_distinct(transform(sequence(lit(1), greatest(n - 1, lit(1))),
+      j => concat(element_at(w, least(j, n)), lit(" "), element_at(w, least(j + 1, n)))))
+    when(n < 2, array(text)).otherwise(grams)
   }
 
   /** Exact duplicate groups by full text: keeper = min doc_id. */
@@ -70,7 +76,7 @@ object Dedup {
     val spark = documents.sparkSession
     import spark.implicits._
     val nBands = nPerm / rowsPerBand
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.Tables.spread(documents.select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions { it =>
         val seed = graft.functions.Hashing.seeds(nPerm)
         it.flatMap { case (id, text) =>
@@ -94,7 +100,7 @@ object Dedup {
     * and filtered at `threshold`.
     */
   def minhashLsh(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val toks = documents.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val toksH = shingleHashSets(documents)
     val bands = minhashBands(documents, nPerm = 64, rowsPerBand = 4)
 
     val cand = bands.as("x").join(bands.as("y"),
@@ -104,18 +110,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val a = toks.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = toks.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(a, "doc_a").join(b, "doc_b")
-      // size-ratio prune, implied by J >= t (since J <= min/max size)
-      .filter(size(col("sh_a")) >= lit(threshold) * size(col("sh_b")) &&
-        size(col("sh_b")) >= lit(threshold) * size(col("sh_a")))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard", round(col("inter") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    mergeVerify(cand, toksH, threshold)
   }
 
   /** Oracle: exhaustive exact-Jaccard pairs — only viable at oracle SF;
@@ -157,7 +152,7 @@ object Dedup {
   private def shingleHashSets(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.Tables.spread(documents.select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val hs = graft.functions.Hashing.shingleHashes(text)
         java.util.Arrays.sort(hs)
@@ -166,31 +161,15 @@ object Dedup {
       .toDF("doc_id", "hs")
   }
 
-  def ngramJaccard(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val spark = documents.sparkSession
+  /** Exact-Jaccard verification of candidate pairs, shared by the LSH and
+    * AllPairs paths: join each side's sorted shingle-hash array, then a
+    * two-pointer merge per pair — ~100 ns/pair vs ~20 µs/pair for
+    * `array_intersect` over string arrays (which builds per-row hash
+    * sets). Output rounds half-up at 4 dp to match the oracle's round(). */
+  private def mergeVerify(cand: DataFrame, toksH: DataFrame,
+                          threshold: Double): DataFrame = {
+    val spark = cand.sparkSession
     import spark.implicits._
-    val toksH = shingleHashSets(documents)
-    val postings = toksH.select(col("doc_id"), size(col("hs")).as("sz"),
-      explode(col("hs")).as("s"))
-    val dfreq = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val prefix = postings.join(dfreq, "s")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("s"), col("doc_id"), col("sz"))
-
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          // size-ratio prune (implied by J >= t, since J <= min/max)
-          col("a.sz") >= lit(threshold) * col("b.sz") &&
-          col("b.sz") >= lit(threshold) * col("a.sz"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-
-    // exact verify: two-pointer merge over the sorted hash arrays —
-    // ~100 ns/pair vs ~20 µs/pair for array_intersect over string
-    // arrays (it builds per-row hash sets).
     val a = toksH.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
     val b = toksH.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     cand.join(a, "doc_a").join(b, "doc_b")
@@ -211,6 +190,29 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  def ngramJaccard(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val toksH = shingleHashSets(documents)
+    val postings = toksH.select(col("doc_id"), size(col("hs")).as("sz"),
+      explode(col("hs")).as("s"))
+    val dfreq = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = postings.join(dfreq, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("s"), col("doc_id"), col("sz"))
+
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          // size-ratio prune (implied by J >= t, since J <= min/max)
+          col("a.sz") >= lit(threshold) * col("b.sz") &&
+          col("b.sz") >= lit(threshold) * col("a.sz"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    mergeVerify(cand, toksH, threshold)
+  }
+
   // Same oracle as minhashLsh: both compute exact-Jaccard >= 0.8 pairs.
   val ngramJaccardSql: String = minhashLshSql
 
@@ -221,7 +223,7 @@ object Dedup {
   def simhash(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.Tables.spread(documents.select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val distinct = text.split(' ').distinct

@@ -47,10 +47,10 @@ object Multimodal {
   def asMedia(documents: DataFrame): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"),
+    graft.Tables.spread(documents.select(col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-        encode(col("text"), "UTF-8").as("payload"))
+        encode(col("text"), "UTF-8").as("payload")))
       .as[MediaRow]
   }
 
@@ -149,12 +149,15 @@ object Multimodal {
 
   // Oracle mirrors the deterministic fake decode (ASCII text ⇒ byte ==
   // codepoint, so ord() equals the byte value).
+  // head_sum is cast to BIGINT: DuckDB's list_sum surfaces as float64 in
+  // the driver's pandas compare, while Spark emits int64 — same values,
+  // mismatched hash without the cast.
   val mediaFeaturesSql: String =
     """WITH m AS (SELECT doc_id,
       |    ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
       |    octet_length(encode(text)) AS byte_len,
-      |    list_sum(list_transform(range(least(16, length(text))),
-      |      i -> ord(substring(text, (i + 1)::INT, 1)))) AS head_sum
+      |    CAST(list_sum(list_transform(range(least(16, length(text))),
+      |      i -> ord(substring(text, (i + 1)::INT, 1)))) AS BIGINT) AS head_sum
       |  FROM documents)
       |SELECT doc_id, media_type, byte_len, head_sum,
       |  byte_len % 640 AS fake_width, head_sum % 480 AS fake_height

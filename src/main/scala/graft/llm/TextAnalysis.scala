@@ -38,7 +38,7 @@ object TextAnalysis {
     val markerSets: Array[Set[String]] =
       markers.toSeq.sortBy(_._1).map(_._2.toSet).toArray
     val stopSet: Set[String] = markers.values.flatten.toSet
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.Tables.spread(documents.select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val w = text.split(' ')
@@ -211,12 +211,28 @@ object TextAnalysis {
 
   /** BPE-ish tokenizer: regex token classes (letter runs, digit runs,
     * single punctuation) instead of whitespace splitting — the shape a
-    * subword tokenizer's pre-tokenization pass has. */
+    * subword tokenizer's pre-tokenization pass has.
+    *
+    * Runs as a JIT'd kernel: the declarative form evaluated
+    * `regexp_extract_all` once per referencing expression (two full regex
+    * passes per document — 13 s at sf0.1); the kernel makes ONE matcher
+    * pass and counts total + distinct in the same loop. Same
+    * `java.util.regex` semantics Spark's regexp functions use. */
   def bpeTokens(documents: DataFrame): DataFrame = {
-    val toks = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
-    documents.select(col("doc_id"),
-        size(toks).cast("long").as("n_bpe_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_bpe_distinct"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    graft.Tables.spread(documents.select(col("doc_id"), col("text"))).as[(Long, String)]
+      .mapPartitions { it =>
+        val p = java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+        it.map { case (id, text) =>
+          val m = p.matcher(text)
+          var n = 0L
+          val seen = new java.util.HashSet[String]()
+          while (m.find()) { n += 1; seen.add(m.group()) }
+          (id, n, seen.size.toLong)
+        }
+      }
+      .toDF("doc_id", "n_bpe_tokens", "n_bpe_distinct")
       .orderBy(col("doc_id"))
   }
 
@@ -230,13 +246,28 @@ object TextAnalysis {
     * order-SENSITIVE, unlike the canonical fingerprint below. Pure
     * modular arithmetic so the DuckDB oracle computes bit-identical
     * values: h = fold(h*31 + tokval) mod 1e9+7, tokval from the token's
-    * first char + length. */
+    * first char + length.
+    *
+    * Runs as a JIT'd kernel (the interpreted `aggregate` HOF fold cost
+    * ~16 s at sf0.1); integer arithmetic is exact, so the kernel is
+    * bit-identical to the declarative form it replaces: split keeps
+    * trailing empties (Spark split limit -1), first-char value is the
+    * leading code point (Spark `ascii`, 0 for empty), length counts code
+    * points (Spark `length` on UTF8String). */
   def rollingHash(documents: DataFrame): DataFrame = {
-    val w = words(col("text"))
-    val vals = transform(w, t => ascii(substring(t, 1, 1)) * 131 + length(t))
-    documents.select(col("doc_id"),
-        aggregate(vals, lit(0L),
-          (h, x) => (h * 31 + x) % 1000000007L).as("rhash"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    graft.Tables.spread(documents.select(col("doc_id"), col("text"))).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        var h = 0L
+        text.split(" ", -1).foreach { t =>
+          val first = if (t.isEmpty) 0L else t.codePointAt(0).toLong
+          val x = first * 131 + t.codePointCount(0, t.length)
+          h = (h * 31 + x) % 1000000007L
+        }
+        (id, h)
+      })
+      .toDF("doc_id", "rhash")
       .orderBy(col("doc_id"))
   }
 

@@ -420,13 +420,18 @@ object Relational {
   // --------------------------------------------------------------------
   // q19: JSON extraction on events.props.
   // --------------------------------------------------------------------
+  // avg_value is floor-quantized to basis points (the q44 pattern): a
+  // decimal round() sits on a half-way boundary when avg lands on .xxxx5,
+  // where Spark's parallel summation order can flip the 4th decimal vs
+  // DuckDB's sequential sum. floor-quantization only flips when the avg
+  // is within summation-noise of an exact 1e-4 multiple — vastly rarer.
   def jsonExtract(events: DataFrame): DataFrame =
-    events
+    graft.Tables.spread(events)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
         max(col("k")).as("max_k"), sum(col("k")).as("sum_k"),
-        round(avg(col("value")), 4).as("avg_value"))
+        floor(avg(col("value")) * 10000).cast("long").as("avg_value_bp"))
       .orderBy(col("event_type"))
 
   val jsonExtractSql: String =
@@ -434,7 +439,7 @@ object Relational {
       |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
       |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
       |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
-      |  round(avg(value), 4) AS avg_value
+      |  CAST(floor(avg(value) * 10000) AS BIGINT) AS avg_value_bp
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // --------------------------------------------------------------------
