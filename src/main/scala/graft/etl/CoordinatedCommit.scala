@@ -38,6 +38,23 @@ object CoordinatedCommit {
   def write(df: DataFrame, destinations: Seq[Destination], jobId: String,
             observer: JobObserver = NoopObserver,
             failStage: Option[String] = None): Seq[String] = {
+    // Framework handshake before any I/O (reference `initialize` +
+    // `setCredentialChangeListener`): the transport owns the rotation
+    // sink; an observer backed by a real credential vendor calls it when
+    // tokens rotate mid-job. The local transport records the rotation —
+    // an object-store transport would swap its client credentials.
+    val rotated = scala.collection.concurrent.TrieMap.empty[String, StorageCredentials]
+    observer.initialize(jobId,
+      (clusterId: String, creds: StorageCredentials) => rotated(clusterId) = creds)
+    // Storage configuration (reference `getStorageConfiguration`): when
+    // the observer supplies one, persisted objects are reported under its
+    // bucket + key prefix rather than the raw destination path.
+    val cfg = observer.storageConfiguration
+    def bucketOf(d: Destination): String =
+      cfg.flatMap(_.readAccessByCluster.get(d.clusterId)).map(_.bucket)
+        .getOrElse(d.root)
+    def keyOf(name: String): String =
+      cfg.map(c => s"${c.keyPrefix}/$name").getOrElse(name)
     observer.onTransportStart(jobId)
     try {
       // ---- phase 1: stage everywhere, nothing visible ----
@@ -51,7 +68,7 @@ object CoordinatedCommit {
           df.write.mode("overwrite").parquet(dir)
           ParquetSink.listParquet(dir).foreach { f =>
             totalObjects += 1; totalBytes += f.length()
-            observer.onObjectPersisted(d.root, f.getName, f.length())
+            observer.onObjectPersisted(bucketOf(d), keyOf(f.getName), f.length())
           }
           observer.onStageSucceeded(d.clusterId)
         } catch {

@@ -20,9 +20,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Accumulation order is i = 0..n-1 in double, identical to the
   * interpreted fold and to the DuckDB oracle's list_sum — bit-identical
   * results.
+  *
+  * Null semantics mirror the interpreted idiom exactly: zip_with
+  * null-pads unequal-length inputs and a null element nulls its product,
+  * so the fold returns NULL in both cases — this kernel returns NULL on
+  * length mismatch or any null element for the same inputs.
   */
 case class VectorDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // NULL can arise from non-null inputs (length mismatch / null element).
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(FloatType, _) => Some(FloatType)
@@ -49,10 +57,15 @@ case class VectorDotProduct(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (lt, rt) = (elemType(left).get, elemType(right).get)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += get(x, lt, i) * get(y, rt, i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += get(x, lt, i) * get(y, rt, i)
+      i += 1
+    }
     s
   }
 
@@ -67,12 +80,17 @@ case class VectorDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${genGet(a, elemType(left).get, i)} * ${genGet(b, elemType(right).get, i)};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += ${genGet(a, elemType(left).get, i)} * ${genGet(b, elemType(right).get, i)};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -36,13 +36,20 @@ object AsOf {
       keyCols :+ col(leftTime).as("_t") :+ lit(1).as("_side") :+
         struct(leftCols.map(col): _*).as("_lrow") :+
         lit(null).cast(rrowType).as("_rrow"): _*)
-    val r = right.select(
+    // Right rows with a NULL time can never satisfy `rightTime <= t` —
+    // and unfiltered they'd sort first (nulls-first asc) with a non-null
+    // _rrow that ignoreNulls would happily return.
+    val r = right.filter(col(rightTime).isNotNull).select(
       keyCols :+ col(rightTime).as("_t") :+ lit(0).as("_side") :+
         lit(null).cast(lrowType).as("_lrow") :+
         struct(rightValues.map(col): _*).as("_rrow"): _*)
 
+    // _rrow as the final orderBy term: when several right rows share
+    // (key, time), the carried-forward match is deterministically the
+    // greatest by rightValues (struct ordering is lexicographic by field)
+    // instead of whichever the sort happened to place last.
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(col("_t"), col("_side"), col("_rrow"))
       .rowsBetween(Window.unboundedPreceding, 0)
 
     l.unionByName(r)

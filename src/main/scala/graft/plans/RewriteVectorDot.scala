@@ -18,7 +18,11 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   *
   * The only custom Rule in the engine, and deliberately an OPTIMIZER
   * rule: it changes cost, never semantics (SURVEY.md §4's "no custom
-  * Catalyst needed" verdict stands for correctness).
+  * Catalyst needed" verdict stands for correctness). Semantics-preserving
+  * in the edge cases too: the kernel mirrors the fold's NULL behavior
+  * (length mismatch / null element → NULL), and the rewrite requires the
+  * pair product to be a DOUBLE multiply — a raw float×float lambda (whose
+  * products round to float before the double sum) is left interpreted.
   *
   * Activate per session via `spark.experimental.extraOptimizations` or
   * at build time with `.withExtensions(new GraftExtensions)`.
@@ -35,10 +39,13 @@ object RewriteVectorDot extends Rule[LogicalPlan] {
     case other => other
   }
 
-  /** x * y over exactly the two zip_with lambda variables (any casts). */
+  /** x * y over exactly the two zip_with lambda variables (any casts),
+    * multiplying in DOUBLE — the kernel accumulates double products, so a
+    * float-typed multiply (which rounds each product to float first)
+    * must not match. */
   private def isPairProduct(mul: Expression, vars: Seq[NamedLambdaVariable]): Boolean =
     mul match {
-      case Multiply(l, r, _) =>
+      case Multiply(l, r, _) if mul.dataType == DoubleType =>
         val ops = Set(strip(l), strip(r))
         vars.size == 2 && ops == vars.toSet.asInstanceOf[Set[Expression]]
       case _ => false

@@ -45,10 +45,17 @@ class PipelineSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
-  test("append mode accumulates like the reference sink") {
+  test("append mode accumulates; each write reports only its own delta") {
     val dst = tmp() + "/acc"
-    ParquetSink.write(Generator.generate(spark, 100, 1), dst)
-    val n2 = ParquetSink.write(Generator.generate(spark, 100, 1), dst)
-    assert(n2 === 200) // second write reports committed total
+    val obs = new CollectingObserver
+    val n1 = ParquetSink.write(Generator.generate(spark, 100, 1), dst)
+    val n2 = ParquetSink.write(Generator.generate(spark, 150, 1), dst,
+      observer = obs, jobId = "j2")
+    assert(n1 === 100)
+    assert(n2 === 150) // THIS job's rows, not the committed total
+    assert(spark.read.parquet(dst).count() === 250) // destination accumulates
+    // observer saw only the second write's files
+    val persisted = obs.events.count(_.startsWith("objectPersisted"))
+    assert(persisted === 1, s"expected 1 new file reported, got $persisted")
   }
 }

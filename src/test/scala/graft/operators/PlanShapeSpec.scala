@@ -56,6 +56,15 @@ class PlanShapeSpec extends SparkSpec {
       s"more than one hash exchange:\n$p")
   }
 
+  test("TPC-H Q5 SQL path broadcasts every dimension join") {
+    val p = plan(Relational.tpchQ5(spark, sf))
+    // customer, supplier, nation, region are all dimension legs — each
+    // must come in as a broadcast, not a shuffle (VERDICT r1 #7)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      s"expected >=4 broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q5:\n$p")
+  }
+
   test("codegen dot product stays inside WholeStageCodegen") {
     val df = Tables.embeddings(spark, sf)
       .select(graft.functions.VectorFunctions.floatDot(col("embedding"), col("embedding")).as("d"))

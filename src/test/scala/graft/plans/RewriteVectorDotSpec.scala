@@ -29,6 +29,40 @@ class RewriteVectorDotSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = before
   }
 
+  test("vector_dot mirrors the interpreted fold's NULL semantics") {
+    import graft.functions.VectorFunctions.floatDot
+    def interp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val ok = (array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0)))
+    val mismatch = (array(lit(1.0), lit(2.0)), array(lit(3.0)))
+    val nullElem = (array(lit(1.0), lit(null).cast("double")), array(lit(3.0), lit(4.0)))
+    val r = spark.range(1).select(
+      floatDot(ok._1, ok._2).as("k0"), interp(ok._1, ok._2).as("i0"),
+      floatDot(mismatch._1, mismatch._2).as("k1"), interp(mismatch._1, mismatch._2).as("i1"),
+      floatDot(nullElem._1, nullElem._2).as("k2"), interp(nullElem._1, nullElem._2).as("i2"))
+      .head
+    assert(r.getDouble(0) === 11.0 && r.getDouble(1) === 11.0)
+    // zip_with null-pads length mismatches and nulls poison the fold —
+    // the kernel must agree (ADVICE r1)
+    assert(r.isNullAt(2) && r.isNullAt(3))
+    assert(r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("rule does NOT fire on a raw float multiply (float-rounded products)") {
+    val emb = Tables.embeddings(spark, sf)
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ RewriteVectorDot
+    try {
+      // no casts: x*y multiplies in FLOAT, rounding each product before
+      // the double sum — the double-accumulating kernel would deviate
+      val e = col("embedding")
+      val df = emb.select(aggregate(zip_with(e, e, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("vector_dot"), s"rule misfired on float multiply:\n$p")
+    } finally spark.experimental.extraOptimizations = before
+  }
+
   test("rule leaves non-dot folds alone") {
     val emb = Tables.embeddings(spark, sf)
     val before = spark.experimental.extraOptimizations
