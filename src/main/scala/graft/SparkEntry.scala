@@ -126,6 +126,7 @@ object SparkEntry {
     "q31_dedup_normalized" -> Dedup.normalizedSql,
     "q32_minhash_lsh" -> Dedup.minhashLshSql,
     "q33_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "q34_simhash" -> Dedup.simhashSql,
     "q35_cosine_topk" -> Similarity.cosineTopKSql,
     "q36_embedding_neardup" -> Similarity.embeddingNearDupSql,
     "q40_token_stats" -> TextAnalysis.tokenStatsSql,

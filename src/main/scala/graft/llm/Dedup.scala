@@ -218,8 +218,8 @@ object Dedup {
 
   /** SimHash 64-bit fingerprints: per-bit majority vote over distinct
     * token hashes, as a JIT'd kernel (same rationale as minhashBands).
-    * No DuckDB oracle (no shared hash function) — registered as a
-    * rows-only query; unit tests assert the near-dup grouping. */
+    * Oracle-checked: FNV-1a is plain mod-2^64 arithmetic, so the DuckDB
+    * oracle replicates it exactly in HUGEINT (see [[simhashSql]]). */
   def simhash(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -234,4 +234,46 @@ object Dedup {
       .toDF("doc_id", "simhash")
       .orderBy(col("doc_id"))
   }
+
+  /** Bit-exact DuckDB replica of the simhash kernel, in 128-bit integer
+    * arithmetic (the q47 rolling-hash pattern, one level up):
+    *  - FNV-1a 64: fold over each distinct token's bytes in HUGEINT with
+    *    an explicit mod 2^64; the XOR-with-byte only touches the low 8
+    *    bits, so it is expressed as  h - h%256 + xor(h%256, b)  and the
+    *    rest stays pure modular arithmetic;
+    *  - per-bit majority vote via (h >> k) % 2 against range(64);
+    *  - the unsigned sum of winning bits converts to the kernel's signed
+    *    Long by subtracting 2^64 above Long.MaxValue.
+    * Corpus tokens are ASCII (fixture contract, see Multimodal oracles),
+    * so ord(char) == UTF-8 byte. */
+  val simhashSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      |  FROM documents
+      |),
+      |hashes AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        list_transform(range(length(t)), i -> ord(substring(t, (i+1)::INT, 1)))),
+      |      (h, b) -> ((h - h % 256 + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)
+      |                 * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+      |    ) AS h
+      |  FROM toks
+      |),
+      |pows AS (SELECT range AS k, (1::HUGEINT << range::INT) AS p FROM range(64)),
+      |votes AS (
+      |  SELECT hashes.doc_id, pows.k, pows.p,
+      |    sum(CASE WHEN (hashes.h // pows.p) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM hashes CROSS JOIN pows
+      |  GROUP BY hashes.doc_id, pows.k, pows.p
+      |),
+      |fp AS (
+      |  SELECT doc_id, sum(CASE WHEN vote > 0 THEN p ELSE 0::HUGEINT END) AS u
+      |  FROM votes GROUP BY doc_id
+      |)
+      |SELECT doc_id,
+      |  (CASE WHEN u >= 9223372036854775808::HUGEINT
+      |        THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT AS simhash
+      |FROM fp ORDER BY doc_id""".stripMargin
 }
