@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.Generator
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.Relational
 import graft.streaming.EventWindows
 
@@ -90,7 +90,13 @@ object SparkEntry {
     "q59_summary_stats" -> ((s, d) => Relational.summaryStats(lineitem(s, d))),
     "q60_pivot" -> ((s, d) => Relational.pivotFlags(lineitem(s, d))),
     "q61_topk_agg" -> ((s, d) => Relational.topKPerGroupAgg(orders(s, d))),
-    "q62_percentiles" -> ((s, d) => Relational.percentiles(orders(s, d)))
+    "q62_percentiles" -> ((s, d) => Relational.percentiles(orders(s, d))),
+    "q63_hash_split" -> ((s, d) => Corpus.hashSplit(documents(s, d))),
+    "q64_stratified_sample" -> ((s, d) => Corpus.stratifiedSample(documents(s, d))),
+    "q65_pii_redact" -> ((s, d) => Corpus.piiRedact(documents(s, d))),
+    "q66_contamination" -> ((s, d) => Corpus.contamination(documents(s, d))),
+    "q67_ngram_counts" -> ((s, d) => Corpus.ngramCounts(documents(s, d))),
+    "q68_neardup_components" -> ((s, d) => Corpus.nearDupComponents(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -149,6 +155,12 @@ object SparkEntry {
     "q59_summary_stats" -> Relational.summaryStatsSql,
     "q60_pivot" -> Relational.pivotFlagsSql,
     "q61_topk_agg" -> Relational.topKPerGroupAggSql,
-    "q62_percentiles" -> Relational.percentilesSql
+    "q62_percentiles" -> Relational.percentilesSql,
+    "q63_hash_split" -> Corpus.hashSplitSql,
+    "q64_stratified_sample" -> Corpus.stratifiedSampleSql,
+    "q65_pii_redact" -> Corpus.piiRedactSql,
+    "q66_contamination" -> Corpus.contaminationSql,
+    "q67_ngram_counts" -> Corpus.ngramCountsSql,
+    "q68_neardup_components" -> Corpus.nearDupComponentsSql
   )
 }

@@ -1,0 +1,212 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Corpus-management operators a production training-data pipeline runs
+  * between dedup and training (SURVEY.md §2B "LLM" surface, round-2
+  * extensions): deterministic splits, stratified sampling, PII
+  * redaction, benchmark-contamination checks, n-gram statistics, and
+  * near-duplicate clustering.
+  *
+  * Everything is declarative + oracle-checked; the 100 TB shapes:
+  *  - split/sample: stateless per-row hash arithmetic — no shuffle at
+  *    all until the final aggregate;
+  *  - contamination: the benchmark shingle set is small (eval suites) —
+  *    the membership join broadcasts at scale;
+  *  - components: iterative min-label propagation, O(E) per round,
+  *    O(log diameter) rounds — the standard Spark connected-components
+  *    shape (large-star/small-star is the constant-factor refinement).
+  */
+object Corpus {
+
+  /** Deterministic md5-bucket in [0, 100): the first 8 hex digits of
+    * md5(doc_id) as an integer, mod 100. Stable across engines, runs,
+    * and cluster layouts — the property a train/val/test split must
+    * have (resharding the corpus must not move documents between
+    * splits). */
+  private def bucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  /** Train/val/test split by deterministic hash bucket: 80/10/10. */
+  def hashSplit(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("split",
+        when(bucket(col("doc_id")) < 80, "train")
+          .when(bucket(col("doc_id")) < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"))
+
+  val hashSplitSql: String =
+    """WITH b AS (SELECT doc_id, n_chars,
+      |    CAST(concat('0x', substring(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) % 100 AS bucket
+      |  FROM documents)
+      |SELECT CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM b GROUP BY 1 ORDER BY split""".stripMargin
+
+  /** Stratified sample: the same deterministic bucket, thresholded
+    * per stratum — every language keeps ~`pct`% of its documents, and
+    * membership is reproducible (a re-run samples the same docs). */
+  def stratifiedSample(documents: DataFrame, pct: Int = 20): DataFrame =
+    documents
+      .filter(bucket(col("doc_id")) < pct)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE CAST(concat('0x', substring(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) % 100 < 20
+      |ORDER BY doc_id""".stripMargin
+
+  /** PII-style redaction: digit runs → `<NUM>` (the shape of scrubbing
+    * phone numbers / ids before training). Emits the redaction count
+    * and a content hash of the redacted text — the full text never
+    * needs to leave the executor. */
+  def piiRedact(documents: DataFrame): DataFrame = {
+    val redacted = regexp_replace(col("text"), "[0-9]+", "<NUM>")
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+        .cast("long").as("n_nums"),
+      md5(redacted.cast("binary")).as("red_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiRedactSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[0-9]+')) AS n_nums,
+      |  md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS red_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Benchmark-contamination check: documents sharing any word-bigram
+    * shingle with the benchmark set (here: doc_id % 97 == 0 stands in
+    * for an eval suite). Shingles travel as 64-bit hashes; at 100 TB the
+    * benchmark shingle set is tiny (eval suites are thousands of docs)
+    * and the membership join is a broadcast — corpus docs never
+    * shuffle. Emits per-document shared-shingle counts. */
+  def contamination(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sh = graft.Tables.spread(documents.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        graft.functions.Hashing.shingleHashes(text).iterator.map(h => (id, h))
+      })
+      .toDF("doc_id", "s")
+    val bench = sh.filter(col("doc_id") % 97 === 0).select(col("s")).distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
+      .orderBy(col("doc_id"))
+  }
+
+  val contaminationSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 1),
+      |        j -> w[j+1] || ' ' || w[j+2]))) AS sh
+      |      FROM t),
+      |b AS (SELECT DISTINCT sh FROM s WHERE doc_id % 97 = 0)
+      |SELECT doc_id, count(*) AS n_shared
+      |FROM s JOIN b USING (sh)
+      |WHERE doc_id % 97 <> 0
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Global ordered-bigram counts, top 20 — the language-model n-gram
+    * statistic (order-sensitive, duplicates counted, unlike the
+    * dedup shingle SET). explode → partial agg → one small shuffle →
+    * TakeOrderedAndProject. */
+  def ngramCounts(documents: DataFrame, k: Int = 20): DataFrame = {
+    val w = split(col("text"), " ")
+    val grams = when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), greatest(size(w) - 1, lit(1))),
+        j => concat_ws(" ", element_at(w, least(j, size(w))),
+          element_at(w, least(j + 1, size(w))))))
+    graft.Tables.spread(documents.select(col("text")))
+      .select(explode(grams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(k)
+  }
+
+  val ngramCountsSql: String =
+    """SELECT bigram, count(*) AS cnt FROM (
+      |  SELECT unnest(list_transform(range(len(w) - 1),
+      |    j -> w[j+1] || ' ' || w[j+2])) AS bigram
+      |  FROM (SELECT string_split(text, ' ') w FROM documents))
+      |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
+
+  /** Near-duplicate clusters: LSH pairs → undirected graph → connected
+    * components by iterative min-label propagation → cluster sizes
+    * keyed by the component's minimum doc_id (the "keeper" a dedup
+    * pipeline retains).
+    *
+    * Each round is one join + one aggregate (fully distributed, O(E));
+    * labels only decrease, so the loop converges in O(log diameter)
+    * rounds — near-dup clusters are shallow, so typically 2-4. The
+    * driver only compares counts between rounds; no graph data ever
+    * reaches it. */
+  def nearDupComponents(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val pairs = Dedup.minhashLsh(documents, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(F.min(col("label")).as("nmin"))
+      val next = labels.as("l")
+        .join(neighborMin.as("m"), col("l.id") === col("m.src"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("m.nmin"), col("l.label"))).as("label"))
+        .persist()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    val out = labels
+      .groupBy(col("label").as("keeper"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("keeper"))
+    edges.unpersist()
+    out
+  }
+
+  /** Oracle: transitive closure via a recursive CTE over the exhaustive
+    * exact-Jaccard pairs (same pair oracle as q32/q33). */
+  val nearDupComponentsSql: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |s AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(len(w) - 1),
+      |          j -> w[j+1] || ' ' || w[j+2])) sh
+      |      FROM t),
+      |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+      |        round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+      |      FROM s a JOIN s b ON a.doc_id < b.doc_id),
+      |pairs AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.8),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |lab AS (SELECT src AS id, least(src, min(dst)) AS label
+      |        FROM reach GROUP BY src)
+      |SELECT label AS keeper, count(*) AS n_docs
+      |FROM lab GROUP BY label ORDER BY keeper""".stripMargin
+}

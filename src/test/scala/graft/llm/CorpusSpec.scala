@@ -1,0 +1,102 @@
+package graft.llm
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("hash split partitions the corpus deterministically") {
+    val total = docs.count()
+    val split = Corpus.hashSplit(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(split.values.sum === total, "splits must partition the corpus")
+    assert(split.keySet.subsetOf(Set("train", "val", "test")))
+    assert(split("train") > split.getOrElse("val", 0L),
+      "80% bucket must dominate")
+    // determinism: a second evaluation assigns identically
+    val again = Corpus.hashSplit(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === split)
+  }
+
+  test("stratified sample is a deterministic subset") {
+    val s1 = Corpus.stratifiedSample(docs).collect().map(_.getLong(0)).toSeq
+    val s2 = Corpus.stratifiedSample(docs).collect().map(_.getLong(0)).toSeq
+    assert(s1 === s2, "sample membership must be reproducible")
+    assert(s1.nonEmpty && s1.length < docs.count())
+    // sampled rows come from the corpus
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1.forall(ids))
+  }
+
+  test("pii redaction removes every digit run") {
+    import spark.implicits._
+    val d = Seq((1L, "call 555 0123 now"), (2L, "no digits here"))
+      .toDF("doc_id", "text")
+    val r = Corpus.piiRedact(d).collect()
+    assert(r(0).getLong(1) === 2) // two digit runs
+    assert(r(1).getLong(1) === 0)
+    // the hash equals md5 of the manually redacted text
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest("call <NUM> <NUM> now".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r(0).getString(2) === exp)
+  }
+
+  test("near-dup components recover planted clusters") {
+    import spark.implicits._
+    // two exact-duplicate clusters + two singletons; bigram shingles
+    // make the duplicates jaccard-1.0 pairs for the LSH stage
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight nine"
+    val d = Seq(
+      (10L, t1), (11L, t1), (12L, t1),
+      (20L, t2), (21L, t2),
+      (30L, "lonely document with no duplicate partner at all"),
+      (40L, "another unique text that matches nothing else here"))
+      .toDF("doc_id", "text")
+    val comps = Corpus.nearDupComponents(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // singletons have no pairs and do not appear; clusters keyed by min id
+    assert(comps === Map(10L -> 3L, 20L -> 2L))
+  }
+
+  test("components link transitively through a chain of pairs") {
+    import spark.implicits._
+    // a-b similar, b-c similar, a-c less so: one component of 3 via b
+    // (token names share no prefixes, so replace() touches exactly one)
+    val base = ('a' to 'l').map(ch => s"w$ch$ch").mkString(" ")
+    val a = base
+    val b = base.replace("wll", "zxz") // 10/12 shared bigrams with a
+    val c = base.replace("wll", "zxz").replace("waa", "qyq")
+    val d = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val comps = Corpus.nearDupComponents(d, threshold = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 3L))
+  }
+
+  test("contamination flags only docs sharing shingles with the benchmark") {
+    import spark.implicits._
+    // benchmark doc (id % 97 == 0): "secret eval question here"
+    val d = Seq(
+      (0L, "secret eval question here"),
+      (1L, "this doc leaks the secret eval question verbatim"),
+      (2L, "completely unrelated words nothing shared at all"))
+      .toDF("doc_id", "text")
+    val hits = Corpus.contamination(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet === Set(1L))
+    assert(hits(1L) === 2L) // "secret eval", "eval question"
+  }
+
+  test("ngram counts are order-sensitive and include duplicates") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val counts = Corpus.ngramCounts(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "a b" twice in doc1; "b a" once in doc1 (positions 2-3) + once in doc2
+    assert(counts === Map("a b" -> 2L, "b a" -> 2L))
+  }
+}
