@@ -152,6 +152,63 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** Bit-exact DuckDB oracle for [[lshTopK]] at the registered defaults
+    * (4 tables × 8 bits, 10 probes, k=5). The SRP assignment is pure
+    * deterministic math, so the oracle replicates it end to end:
+    *  - mix64 (SplitMix64 finalizer) in HUGEINT — 64-bit wrapping
+    *    multiplies via a 32-bit hi/lo split (full products would
+    *    overflow signed int128), XOR/shift natively on HUGEINT;
+    *  - hyperplane signs collected into per-(table,bit) ordered lists so
+    *    the sign·component dot folds in dimension order (bit-identical
+    *    to the kernel's sequential double accumulation);
+    *  - buckets as Σ 2^j over positive dots, candidate join on
+    *    (table, bucket), then the same rounded-cosine ranking as q35. */
+  val lshTopKSql: String =
+    """WITH params AS (
+      |  SELECT t.range AS t, j.range AS j, d.range AS d,
+      |    (t.range * 1099511627776 + j.range * 1048576 + d.range)::HUGEINT AS z0
+      |  FROM range(4) t, range(8) j, range(64) d
+      |),
+      |m1 AS (SELECT t, j, d, (z0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z1 FROM params),
+      |x1 AS (SELECT t, j, d, xor(z1, z1 // 1073741824) AS y1 FROM m1),
+      |m2 AS (SELECT t, j, d, (((y1 // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296::HUGEINT * 4294967296::HUGEINT
+      |                 + (y1 % 4294967296) * 13787848793156543929::HUGEINT) % 18446744073709551616::HUGEINT AS z2 FROM x1),
+      |x2 AS (SELECT t, j, d, xor(z2, z2 // 134217728) AS y2 FROM m2),
+      |m3 AS (SELECT t, j, d, (((y2 // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296::HUGEINT * 4294967296::HUGEINT
+      |                 + (y2 % 4294967296) * 10723151780598845931::HUGEINT) % 18446744073709551616::HUGEINT AS z3 FROM x2),
+      |signs AS (SELECT t, j, d,
+      |  CASE WHEN xor(z3, z3 // 2147483648) % 2 = 1 THEN 1.0 ELSE -1.0 END AS s FROM m3),
+      |sign_lists AS (SELECT t, j, list(s ORDER BY d) AS sl FROM signs GROUP BY t, j),
+      |dots AS (
+      |  SELECT e.vec_id, sl.t, sl.j,
+      |    list_sum(list_transform(range(64), d -> sl.sl[d+1] * e.embedding[d+1]::DOUBLE)) AS dt
+      |  FROM embeddings e CROSS JOIN sign_lists sl
+      |),
+      |buckets AS (
+      |  SELECT vec_id, t,
+      |    COALESCE(sum(CASE WHEN dt > 0 THEN (1 << j::INT) ELSE 0 END), 0) AS b
+      |  FROM dots GROUP BY vec_id, t
+      |),
+      |cand AS (
+      |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS vec_id
+      |  FROM buckets p JOIN buckets c ON p.t = c.t AND p.b = c.b
+      |  WHERE p.vec_id < 10 AND c.vec_id != p.vec_id
+      |),
+      |v AS (SELECT vec_id, embedding,
+      |        sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
+      |      FROM embeddings),
+      |pairs AS (
+      |  SELECT cand.probe_id, cand.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(list_zip(p.embedding, n.embedding),
+      |      z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (p.nrm * n.nrm), 4) AS cos
+      |  FROM cand JOIN v p ON p.vec_id = cand.probe_id
+      |            JOIN v n ON n.vec_id = cand.vec_id
+      |),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |        ORDER BY cos DESC, neighbor_id) rnk FROM pairs)
+      |SELECT probe_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+      |ORDER BY probe_id, rnk""".stripMargin
+
   /** IVF-style approximate top-k: coarse-quantize the corpus into cells
     * (centroid = per-label mean vector), then search only the `nCells`
     * cells nearest each probe. Approximate by construction — no SQL

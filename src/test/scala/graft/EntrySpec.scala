@@ -13,9 +13,10 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     val rowsOnly = q -- o
-    // only the approximate-by-construction queries may lack an oracle
-    assert(rowsOnly === Set("q11_approx_distinct",
-      "q37_ivf_topk", "q38_lsh_topk"),
+    // only queries whose results depend on engine-internal state may
+    // lack an oracle: q11 (HLL sketch internals), q37 (cell ranking
+    // rides on order-dependent float centroid means)
+    assert(rowsOnly === Set("q11_approx_distinct", "q37_ivf_topk"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
