@@ -50,6 +50,29 @@ object StatefulOps {
     spark.table(name)
   }
 
+  /** Stream-stream interval join: click events joined with follow-up
+    * events of the same user within (click_ts, click_ts + 5 min] — the
+    * streaming counterpart of the batch range join (q21 shape).
+    *
+    * Both sides carry a watermark, and the join condition bounds each
+    * side's event time relative to the other, so Structured Streaming can
+    * evict join state once the watermark passes the interval: state is
+    * O(events inside the watermark horizon), never O(stream). Emits the
+    * matched row pairs (append mode — the only mode stream-stream joins
+    * support). */
+  def streamIntervalJoin(clicks: DataFrame, followups: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+      .withWatermark("cts", "10 minutes")
+    val f = followups
+      .select(col("user_id").as("fu"), col("ts").as("fts"),
+        col("event_type").as("ftype"))
+      .withWatermark("fts", "10 minutes")
+    c.join(f,
+      col("cu") === col("fu") && col("fts") > col("cts") &&
+        col("fts") <= col("cts") + expr("INTERVAL 5 MINUTES"))
+  }
+
   /** Append-mode driver (for dedup, which forbids complete/update). */
   def runAppendStreaming(spark: SparkSession, dir: String, name: String,
                          plan: DataFrame => DataFrame): DataFrame = {

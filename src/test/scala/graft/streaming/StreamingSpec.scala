@@ -75,4 +75,31 @@ class StreamingSpec extends SparkSpec {
     val batch = EventWindows.sessions(ev)
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
+
+  test("stream-stream interval join emits exactly the batch join's pairs") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-ssj").toString + "/events"
+    val ev = Tables.events(spark, sf)
+    ev.write.parquet(dir)
+
+    val c = spark.readStream.schema(EventWindows.eventsSchema).parquet(dir)
+    val f = spark.readStream.schema(EventWindows.eventsSchema).parquet(dir)
+    val q = StatefulOps.streamIntervalJoin(c, f)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssj_out")
+
+    // batch equivalent of the same join (q21's shape, pre-aggregation)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val follow = ev.select(col("user_id").as("fu"), col("ts").as("fts"),
+      col("event_type").as("ftype"))
+    val batch = clicks.join(follow,
+      col("cu") === col("fu") && col("fts") > col("cts") &&
+        col("fts") <= col("cts") + expr("INTERVAL 5 MINUTES"))
+
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
 }
