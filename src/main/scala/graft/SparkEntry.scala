@@ -135,6 +135,7 @@ object SparkEntry {
     "q34_simhash" -> Dedup.simhashSql,
     "q35_cosine_topk" -> Similarity.cosineTopKSql,
     "q36_embedding_neardup" -> Similarity.embeddingNearDupSql,
+    "q37_ivf_topk" -> Similarity.ivfTopKSql,
     "q38_lsh_topk" -> Similarity.lshTopKSql,
     "q40_token_stats" -> TextAnalysis.tokenStatsSql,
     "q41_term_freq" -> TextAnalysis.termFreqSql,

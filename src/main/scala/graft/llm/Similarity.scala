@@ -211,20 +211,27 @@ object Similarity {
 
   /** IVF-style approximate top-k: coarse-quantize the corpus into cells
     * (centroid = per-label mean vector), then search only the `nCells`
-    * cells nearest each probe. Approximate by construction — no SQL
-    * oracle; unit tests check recall against cosineTopK. */
+    * cells nearest each probe. Approximate relative to brute force (the
+    * SimilaritySpec anchor), but DETERMINISTIC — centroid means fold the
+    * member vectors in vec_id order, so the result is bit-identical
+    * across engines/partitionings and fully oracle-checkable (an
+    * unordered `avg` would let parallel summation order flip a
+    * cell-ranking tie). The sorted fold costs one collect_list per cell
+    * — cells are bounded (centroid tables fit in memory by design), so
+    * this holds at 100 TB. */
   def ivfTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
               nCells: Int = 3): DataFrame = {
     val dim = 64
     val v = embeddings.select(col("vec_id"), col("label"), col("embedding"),
       l2norm(col("embedding")).as("nrm"))
-    // per-cell centroid: elementwise mean — one avg aggregate per
-    // position (aggregates can't live inside higher-order lambdas).
+    // per-cell centroid: elementwise mean via an ordered fold
     val cells = v.groupBy(col("label"))
-      .agg(avg(element_at(col("embedding"), 1)).as("c1"),
-        (2 to dim).map(i => avg(element_at(col("embedding"), i)).as(s"c$i")): _*)
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
       .select(col("label").as("cell"),
-        array((1 to dim).map(i => col(s"c$i")): _*).as("centroid"))
+        transform(sequence(lit(1), lit(dim)), i =>
+          aggregate(col("vs"), lit(0.0),
+            (acc, s) => acc + element_at(s.getField("embedding"), i)) /
+            size(col("vs"))).as("centroid"))
     val probes = v.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
     // rank cells per probe by centroid cosine, keep nCells
@@ -247,4 +254,34 @@ object Similarity {
         col("rnk").cast("long").as("rnk"))
       .orderBy(col("probe_id"), col("rnk"))
   }
+
+  /** Bit-exact DuckDB oracle for [[ivfTopK]] at the registered defaults:
+    * centroids as ordered folds over `list(embedding ORDER BY vec_id)`
+    * (matching the Spark side's sorted collect_list fold), unrounded
+    * centroid-cosine cell ranking with ties on cell, then the rounded
+    * cosine ranking restricted to the selected cells. */
+  val ivfTopKSql: String =
+    """WITH v AS (SELECT vec_id, label, embedding,
+      |        sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
+      |      FROM embeddings),
+      |cl AS (SELECT label AS cell, list(embedding ORDER BY vec_id) AS vecs
+      |       FROM embeddings GROUP BY label),
+      |cells AS (SELECT cell,
+      |    list_transform(range(64),
+      |      i -> list_sum(list_transform(vecs, w -> w[i+1]::DOUBLE)) / len(vecs)) AS centroid
+      |  FROM cl),
+      |probes AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pn FROM v WHERE vec_id < 10),
+      |pc AS (SELECT p.probe_id, p.pe, p.pn, c.cell,
+      |    list_sum(list_transform(list_zip(p.pe, c.centroid), z -> z[1]::DOUBLE * z[2]::DOUBLE))
+      |      / (p.pn * sqrt(list_sum(list_transform(c.centroid, x -> x * x)))) AS ccos
+      |  FROM probes p CROSS JOIN cells c),
+      |pcr AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) crnk FROM pc),
+      |sel AS (SELECT probe_id, pe, pn, cell FROM pcr WHERE crnk <= 3),
+      |pairs AS (SELECT sel.probe_id, n.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(list_zip(sel.pe, n.embedding),
+      |      z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (sel.pn * n.nrm), 4) AS cos
+      |  FROM sel JOIN v n ON n.label = sel.cell AND n.vec_id != sel.probe_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) rnk FROM pairs)
+      |SELECT probe_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+      |ORDER BY probe_id, rnk""".stripMargin
 }

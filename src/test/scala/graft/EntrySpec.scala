@@ -13,10 +13,9 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     val rowsOnly = q -- o
-    // only queries whose results depend on engine-internal state may
-    // lack an oracle: q11 (HLL sketch internals), q37 (cell ranking
-    // rides on order-dependent float centroid means)
-    assert(rowsOnly === Set("q11_approx_distinct", "q37_ivf_topk"),
+    // the single query whose result depends on engine-internal state:
+    // q11's HLL sketch estimate cannot be replicated outside Spark
+    assert(rowsOnly === Set("q11_approx_distinct"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
