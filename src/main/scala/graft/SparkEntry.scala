@@ -96,7 +96,10 @@ object SparkEntry {
     "q65_pii_redact" -> ((s, d) => Corpus.piiRedact(documents(s, d))),
     "q66_contamination" -> ((s, d) => Corpus.contamination(documents(s, d))),
     "q67_ngram_counts" -> ((s, d) => Corpus.ngramCounts(documents(s, d))),
-    "q68_neardup_components" -> ((s, d) => Corpus.nearDupComponents(documents(s, d)))
+    "q68_neardup_components" -> ((s, d) => Corpus.nearDupComponents(documents(s, d))),
+    "q69_incremental_dedup" -> ((s, d) => Corpus.incrementalDedup(documents(s, d))),
+    "q70_length_band" -> ((s, d) => Corpus.lengthBand(documents(s, d))),
+    "q71_repetition_score" -> ((s, d) => Corpus.repetitionScore(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -163,6 +166,9 @@ object SparkEntry {
     "q65_pii_redact" -> Corpus.piiRedactSql,
     "q66_contamination" -> Corpus.contaminationSql,
     "q67_ngram_counts" -> Corpus.ngramCountsSql,
-    "q68_neardup_components" -> Corpus.nearDupComponentsSql
+    "q68_neardup_components" -> Corpus.nearDupComponentsSql,
+    "q69_incremental_dedup" -> Corpus.incrementalDedupSql,
+    "q70_length_band" -> Corpus.lengthBandSql,
+    "q71_repetition_score" -> Corpus.repetitionScoreSql
   )
 }

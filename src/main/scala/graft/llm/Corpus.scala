@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-management operators a production training-data pipeline runs
@@ -141,6 +142,89 @@ object Corpus {
       |    j -> w[j+1] || ' ' || w[j+2])) AS bigram
       |  FROM (SELECT string_split(text, ' ') w FROM documents))
       |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
+
+  /** Incremental dedup: which NEW documents (odd doc_id stands in for
+    * "today's batch") are not normalized-duplicates of the existing
+    * corpus (even doc_id)? The anti-join runs on the 16-byte md5
+    * fingerprint — at 100 TB neither side ships document bodies, and the
+    * corpus side is the pre-computed fingerprint index a production
+    * pipeline maintains between batches. */
+  def incrementalDedup(documents: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val withFp = documents.select(col("doc_id"), md5(norm.cast("binary")).as("fp"))
+    val corpusFp = withFp.filter(col("doc_id") % 2 === 0).select(col("fp")).distinct()
+    withFp.filter(col("doc_id") % 2 === 1)
+      .join(corpusFp, Seq("fp"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val incrementalDedupSql: String =
+    """WITH f AS (SELECT doc_id,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |                            ' +', ' ', 'g'))) AS fp
+      |  FROM documents)
+      |SELECT doc_id FROM f
+      |WHERE doc_id % 2 = 1
+      |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 2 = 0)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Length-band filter: keep documents whose per-language length rank
+    * sits in the [10%, 90%] percent-rank band — the outlier-trim step of
+    * a quality pipeline. percent_rank is exact integer arithmetic
+    * ((rank-1)/(n-1)), so band membership is engine-independent, unlike
+    * comparing against an interpolated percentile value whose last ulp
+    * can differ. One window shuffle per language. */
+  def lengthBand(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    documents
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= 0.1 && col("pr") <= 0.9)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lengthBandSql: String =
+    """SELECT doc_id, lang, n_chars FROM (
+      |  SELECT doc_id, lang, n_chars,
+      |    percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pr
+      |  FROM documents)
+      |WHERE pr >= 0.1 AND pr <= 0.9
+      |ORDER BY doc_id""".stripMargin
+
+  /** Repetition score (Gopher-style quality signal): the fraction of a
+    * document's ordered bigrams taken by its single most frequent bigram,
+    * floor-quantized to basis points. High values mark boilerplate /
+    * degenerate repetition. Per-document aggregation only — no global
+    * shuffle beyond the doc_id hash. */
+  def repetitionScore(documents: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val grams = when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), greatest(size(w) - 1, lit(1))),
+        j => concat_ws(" ", element_at(w, least(j, size(w))),
+          element_at(w, least(j + 1, size(w))))))
+    graft.Tables.spread(documents.select(col("doc_id"), grams.as("grams")))
+      .select(col("doc_id"), explode(col("grams")).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(F.max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+      .select(col("doc_id"), col("top_bigram_n"), col("n_bigrams"),
+        floor(col("top_bigram_n") * lit(10000.0) / col("n_bigrams"))
+          .cast("long").as("rep_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionScoreSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_transform(range(len(w) - 1),
+      |    j -> w[j+1] || ' ' || w[j+2])) AS bigram
+      |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)),
+      |c AS (SELECT doc_id, bigram, count(*) AS c FROM g GROUP BY doc_id, bigram)
+      |SELECT doc_id, max(c) AS top_bigram_n, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |  CAST(floor(max(c) * 10000.0 / sum(c)) AS BIGINT) AS rep_bp
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Near-duplicate clusters: LSH pairs → undirected graph → connected
     * components by iterative min-label propagation → cluster sizes

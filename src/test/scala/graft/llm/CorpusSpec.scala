@@ -91,6 +91,43 @@ class CorpusSpec extends SparkSpec {
     assert(hits(1L) === 2L) // "secret eval", "eval question"
   }
 
+  test("incremental dedup keeps only new docs absent from the corpus index") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "Existing Document One"),   // corpus
+      (2L, "existing document two"),   // corpus
+      (1L, "existing document one!"),  // new, normalized-dup of 0
+      (3L, "a genuinely new document"),
+      (5L, "existing document two"))   // new, exact dup of 2
+      .toDF("doc_id", "text")
+    val kept = Corpus.incrementalDedup(d).collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(3L))
+  }
+
+  test("length band trims per-language outliers by percent rank") {
+    val banded = Corpus.lengthBand(docs)
+    assert(banded.count() > 0 && banded.count() < docs.count())
+    // extremes are gone: per-lang min and max doc lengths are excluded
+    import org.apache.spark.sql.functions._
+    val extremes = docs.groupBy(col("lang"))
+      .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+    val joined = banded.join(extremes, "lang")
+      .filter(col("n_chars") === col("mn") || col("n_chars") === col("mx"))
+    assert(joined.count() === 0, "band must exclude per-lang extremes")
+  }
+
+  test("repetition score flags degenerate repetition") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spam spam spam spam spam"),       // one bigram repeated 4x
+      (2L, "all four bigrams are different here"))
+      .toDF("doc_id", "text")
+    val r = Corpus.repetitionScore(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) === ((4L, 4L, 10000L)))    // fully repetitive
+    assert(r(2L)._1 === 1L && r(2L)._3 < 2500L) // diverse
+  }
+
   test("ngram counts are order-sensitive and include duplicates") {
     import spark.implicits._
     val d = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
