@@ -196,23 +196,37 @@ object Corpus {
   /** Repetition score (Gopher-style quality signal): the fraction of a
     * document's ordered bigrams taken by its single most frequent bigram,
     * floor-quantized to basis points. High values mark boilerplate /
-    * degenerate repetition. Per-document aggregation only — no global
-    * shuffle beyond the doc_id hash. */
+    * degenerate repetition.
+    *
+    * Runs as a shuffle-FREE JIT kernel: the statistic is per-document, so
+    * exploding 3M bigram rows into a (doc_id, bigram) string-key shuffle
+    * (the declarative form — measured 10.9 s at sf0.1) does pointless
+    * network work; the kernel counts within each document in one pass
+    * (~0.2 s). Ratio arithmetic is exact-int division in double, so the
+    * oracle's floor matches bit-for-bit. */
   def repetitionScore(documents: DataFrame): DataFrame = {
-    val w = split(col("text"), " ")
-    val grams = when(size(w) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), greatest(size(w) - 1, lit(1))),
-        j => concat_ws(" ", element_at(w, least(j, size(w))),
-          element_at(w, least(j + 1, size(w))))))
-    graft.Tables.spread(documents.select(col("doc_id"), grams.as("grams")))
-      .select(col("doc_id"), explode(col("grams")).as("bigram"))
-      .groupBy(col("doc_id"), col("bigram"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(F.max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
-      .select(col("doc_id"), col("top_bigram_n"), col("n_bigrams"),
-        floor(col("top_bigram_n") * lit(10000.0) / col("n_bigrams"))
-          .cast("long").as("rep_bp"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    graft.Tables.spread(documents.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val w = text.split(" ", -1)
+        if (w.length < 2) None // no bigrams — absent, matching the oracle
+        else {
+          val counts = new java.util.HashMap[String, Integer]()
+          var top = 0
+          var i = 0
+          while (i < w.length - 1) {
+            val g = w(i) + " " + w(i + 1)
+            val c = counts.merge(g, 1, (a, b) => a + b)
+            if (c > top) top = c
+            i += 1
+          }
+          val n = (w.length - 1).toLong
+          Some((id, top.toLong, n, math.floor(top * 10000.0 / n).toLong))
+        }
+      })
+      .toDF("doc_id", "top_bigram_n", "n_bigrams", "rep_bp")
       .orderBy(col("doc_id"))
   }
 
