@@ -104,4 +104,31 @@ class PropertySpec extends SparkSpec {
     assert(strs.map(Hashing.fnv1a64).distinct.length === strs.length)
     assert((0L until 10000L).map(Hashing.mix64).distinct.length === 10000)
   }
+
+  test("hash split: any doc_id set partitions into the three splits") {
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.choose(0L, 1000000L)).map(_.distinct)
+    check(Prop.forAllNoShrink(gen) { ids =>
+      val d = ids.map(i => (i, s"text $i", i * 7 % 100 + 1, "en"))
+        .toDF("doc_id", "text", "n_chars", "lang")
+      val split = llm.Corpus.hashSplit(d).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      split.values.sum == ids.length &&
+        split.keySet.subsetOf(Set("train", "val", "test"))
+    }, n = 10)
+  }
+
+  test("repetition score is bounded in (0, 10000] and 10000 iff single bigram") {
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c")).map(_.mkString(" "))
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(gen)) { texts =>
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      llm.Corpus.repetitionScore(d).collect().forall { r =>
+        val (top, n, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        top >= 1 && top <= n && bp > 0 && bp <= 10000 &&
+          ((bp == 10000) == (top == n))
+      }
+    }, n = 10)
+  }
 }

@@ -36,6 +36,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(8L).contains(us("2024-01-01 08:00:00")))
   }
 
+  test("as-of ignores null right timestamps and breaks ties deterministically") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00")))
+      .toDF("lid", "k", "lts")
+    val right = Seq(
+      // null timestamp: can never satisfy rt <= lt — must NOT be matched
+      (100L, 10L, null.asInstanceOf[Timestamp]),
+      // two right rows at the SAME (key, time): the greatest right-value
+      // struct wins, deterministically
+      (101L, 10L, ts("2024-01-01 09:00:00")),
+      (102L, 10L, ts("2024-01-01 09:00:00")))
+      .toDF("rid", "k", "rts")
+    val out = AsOf.joinAsOf(left, right, Seq("k"), "lts", "rts",
+      rightValues = Seq("rid", "rts")).collect()
+    assert(out.length === 1)
+    val matched = out(0).getAs[Long]("asof_rid")
+    assert(matched === 102L, s"expected deterministic max-struct winner, got $matched")
+  }
+
   test("TopKAggregator equals the window top-k formulation") {
     import org.apache.spark.sql.functions.col
     val orders = graft.Tables.orders(spark, sf)
