@@ -68,8 +68,14 @@ object Bench {
     val total = medians.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
       s""""queries":$qs,"failures":$fs,"sf":"$sfDir"}"""
-    println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
     spark.stop()
+    // Driver-parse contract (VERDICT r2 #3): the JSON must be recoverable
+    // from stdout without sbt/log decoration. Emit AFTER spark.stop() so no
+    // logger writes after it: once behind a grep-stable sentinel, once bare
+    // as the absolute final stdout line.
+    println(s"BENCH_JSON: $json")
+    println(json)
+    System.out.flush()
   }
 }

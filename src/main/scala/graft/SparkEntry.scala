@@ -53,6 +53,10 @@ object SparkEntry {
     "q23_tumbling_window" -> ((s, d) => EventWindows.tumbling(events(s, d))),
     "q24_sliding_window" -> ((s, d) => EventWindows.sliding(events(s, d))),
     "q25_session_window" -> ((s, d) => EventWindows.sessions(events(s, d))),
+    "q27_interval_join" -> ((s, d) =>
+      graft.streaming.StatefulOps.intervalJoinBatch(events(s, d))),
+    "q28_stateful_dedup" -> ((s, d) =>
+      graft.streaming.StatefulOps.statefulDedupBatch(events(s, d))),
     // binary course is projected as hex so the driver's pandas comparator
     // can sort it (bytearray is unhashable there) — see Generator.oracleSql.
     "q26_generator" -> ((s, _) => {
@@ -130,6 +134,8 @@ object SparkEntry {
     "q23_tumbling_window" -> EventWindows.tumblingSql,
     "q24_sliding_window" -> EventWindows.slidingSql,
     "q25_session_window" -> EventWindows.sessionsSql,
+    "q27_interval_join" -> graft.streaming.StatefulOps.intervalJoinBatchSql,
+    "q28_stateful_dedup" -> graft.streaming.StatefulOps.statefulDedupBatchSql,
     "q26_generator" -> Generator.oracleSql(10000),
     "q30_dedup_exact" -> Dedup.exactSql,
     "q31_dedup_normalized" -> Dedup.normalizedSql,

@@ -108,9 +108,10 @@ object Corpus {
   }
 
   val contaminationSql: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-      |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 1),
-      |        j -> w[j+1] || ' ' || w[j+2]))) AS sh
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents),
+      |s AS (SELECT doc_id, unnest(CASE WHEN len(w) < 2 THEN [text]
+      |        ELSE list_distinct(list_transform(range(len(w) - 1),
+      |          j -> w[j+1] || ' ' || w[j+2])) END) AS sh
       |      FROM t),
       |b AS (SELECT DISTINCT sh FROM s WHERE doc_id % 97 = 0)
       |SELECT doc_id, count(*) AS n_shared
@@ -265,21 +266,30 @@ object Corpus {
     while (changed > 0 && rounds < 50) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(F.min(col("label")).as("nmin"))
-      val next = labels.as("l")
+      val step = labels.as("l")
         .join(neighborMin.as("m"), col("l.id") === col("m.src"), "left")
         .select(col("l.id").as("id"),
           least(col("l.label"), coalesce(col("m.nmin"), col("l.label"))).as("label"))
-        .persist()
+      // every 5th round, truncate lineage: each round's plan otherwise
+      // nests the previous round's, and on a deep graph a cache
+      // miss/eviction would re-derive the whole chain
+      val next =
+        if ((rounds + 1) % 5 == 0) step.localCheckpoint() else step.persist()
       changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") =!= col("o.label")).count()
       labels.unpersist()
       labels = next
       rounds += 1
     }
+    // materialize the (small: one row per cluster) result eagerly so the
+    // loop's cached labels can be released before returning — otherwise
+    // the final labels DataFrame stays persisted for the session
     val out = labels
       .groupBy(col("label").as("keeper"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("keeper"))
+      .localCheckpoint()
+    labels.unpersist()
     edges.unpersist()
     out
   }
@@ -287,10 +297,11 @@ object Corpus {
   /** Oracle: transitive closure via a recursive CTE over the exhaustive
     * exact-Jaccard pairs (same pair oracle as q32/q33). */
   val nearDupComponentsSql: String =
-    """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    """WITH RECURSIVE t AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents),
       |s AS (SELECT doc_id,
-      |        list_distinct(list_transform(range(len(w) - 1),
-      |          j -> w[j+1] || ' ' || w[j+2])) sh
+      |        CASE WHEN len(w) < 2 THEN [text]
+      |             ELSE list_distinct(list_transform(range(len(w) - 1),
+      |               j -> w[j+1] || ' ' || w[j+2])) END sh
       |      FROM t),
       |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
       |        round(len(list_intersect(a.sh, b.sh))::DOUBLE /

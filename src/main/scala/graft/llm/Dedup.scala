@@ -117,10 +117,11 @@ object Dedup {
     * the LSH recall at the planted pairs' J makes the outputs identical
     * with probability 1 - 1e-8 (see minhashLsh). */
   val minhashLshSql: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents),
       |s AS (SELECT doc_id,
-      |        list_distinct(list_transform(range(len(w) - 1),
-      |          j -> w[j+1] || ' ' || w[j+2])) sh
+      |        CASE WHEN len(w) < 2 THEN [text]
+      |             ELSE list_distinct(list_transform(range(len(w) - 1),
+      |               j -> w[j+1] || ' ' || w[j+2])) END sh
       |      FROM t),
       |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
       |        round(len(list_intersect(a.sh, b.sh))::DOUBLE /
@@ -190,6 +191,15 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Exact all-pairs Jaccard join: Bayardo prefix filter + PPJoin
+    * positional filter + size-ratio prune, then merge-verify. The
+    * positional filter (Xiao et al., PPJoin) is what holds up under a
+    * dense vocabulary where the prefix filter alone prunes little: both
+    * docs order tokens by the same global (df, token) rank, so a shared
+    * token at positions (pa, pb) bounds the total overlap by
+    * min(pa,pb) + min(sza-pa, szb-pb); rows below the Jaccard-equivalent
+    * overlap threshold ceil(t/(1+t)·(sza+szb)) can't belong to a
+    * qualifying pair and die before the distinct+verify stage. */
   def ngramJaccard(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
     val toksH = shingleHashSets(documents)
     val postings = toksH.select(col("doc_id"), size(col("hs")).as("sz"),
@@ -200,13 +210,19 @@ object Dedup {
     val prefix = postings.join(dfreq, "s")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("s"), col("doc_id"), col("sz"))
+      .select(col("s"), col("doc_id"), col("sz"), col("rn"))
 
+    val minOverlap = ceil(lit(threshold / (1 + threshold)) *
+      (col("a.sz") + col("b.sz")))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           // size-ratio prune (implied by J >= t, since J <= min/max)
           col("a.sz") >= lit(threshold) * col("b.sz") &&
-          col("b.sz") >= lit(threshold) * col("a.sz"))
+          col("b.sz") >= lit(threshold) * col("a.sz") &&
+          // PPJoin positional filter
+          least(col("a.rn"), col("b.rn")) +
+            least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn"))
+            >= minOverlap)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 

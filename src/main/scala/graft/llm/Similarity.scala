@@ -212,26 +212,29 @@ object Similarity {
   /** IVF-style approximate top-k: coarse-quantize the corpus into cells
     * (centroid = per-label mean vector), then search only the `nCells`
     * cells nearest each probe. Approximate relative to brute force (the
-    * SimilaritySpec anchor), but DETERMINISTIC — centroid means fold the
-    * member vectors in vec_id order, so the result is bit-identical
-    * across engines/partitionings and fully oracle-checkable (an
-    * unordered `avg` would let parallel summation order flip a
-    * cell-ranking tie). The sorted fold costs one collect_list per cell
-    * — cells are bounded (centroid tables fit in memory by design), so
-    * this holds at 100 TB. */
+    * SimilaritySpec anchor), but DETERMINISTIC — centroid means are
+    * per-dimension DECIMAL(38,12) sums: decimal addition of the quantized
+    * elements is exact and commutative, so the mean is bit-identical
+    * across engines and partitionings regardless of summation order (an
+    * unordered double `avg` would let parallel summation order flip a
+    * cell-ranking tie). Unlike an ordered collect_list fold, this is an
+    * ordinary partial+final hash aggregate with O(dim) state per cell —
+    * cell membership (N/nCells vectors at 100 TB) never materializes in
+    * one buffer. */
   def ivfTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
               nCells: Int = 3): DataFrame = {
     val dim = 64
     val v = embeddings.select(col("vec_id"), col("label"), col("embedding"),
       l2norm(col("embedding")).as("nrm"))
-    // per-cell centroid: elementwise mean via an ordered fold
+    // per-cell centroid: one exact decimal sum per dimension, then a
+    // deterministic double division by the member count
+    val dimSums = (1 to dim).map(i =>
+      sum(element_at(col("embedding"), i).cast("decimal(38,12)")).as(s"s$i"))
     val cells = v.groupBy(col("label"))
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
+      .agg(count(lit(1)).as("cnt"), dimSums: _*)
       .select(col("label").as("cell"),
-        transform(sequence(lit(1), lit(dim)), i =>
-          aggregate(col("vs"), lit(0.0),
-            (acc, s) => acc + element_at(s.getField("embedding"), i)) /
-            size(col("vs"))).as("centroid"))
+        array((1 to dim).map(i =>
+          col(s"s$i").cast("double") / col("cnt")): _*).as("centroid"))
     val probes = v.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
     // rank cells per probe by centroid cosine, keep nCells
@@ -256,20 +259,20 @@ object Similarity {
   }
 
   /** Bit-exact DuckDB oracle for [[ivfTopK]] at the registered defaults:
-    * centroids as ordered folds over `list(embedding ORDER BY vec_id)`
-    * (matching the Spark side's sorted collect_list fold), unrounded
-    * centroid-cosine cell ranking with ties on cell, then the rounded
-    * cosine ranking restricted to the selected cells. */
+    * centroids as per-dimension DECIMAL(38,12) sums over double-widened
+    * floats (exact, order-independent — matching the Spark side's
+    * decimal hash aggregate), divided in double by the member count;
+    * unrounded centroid-cosine cell ranking with ties on cell, then the
+    * rounded cosine ranking restricted to the selected cells. */
   val ivfTopKSql: String =
     """WITH v AS (SELECT vec_id, label, embedding,
       |        sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
       |      FROM embeddings),
-      |cl AS (SELECT label AS cell, list(embedding ORDER BY vec_id) AS vecs
-      |       FROM embeddings GROUP BY label),
-      |cells AS (SELECT cell,
-      |    list_transform(range(64),
-      |      i -> list_sum(list_transform(vecs, w -> w[i+1]::DOUBLE)) / len(vecs)) AS centroid
-      |  FROM cl),
+      |cl AS (SELECT label AS cell, d.range AS d, count(*) AS cnt,
+      |         sum(CAST(CAST(embedding[d.range + 1] AS DOUBLE) AS DECIMAL(38,12))) AS s
+      |       FROM embeddings, range(64) d GROUP BY label, d.range),
+      |cells AS (SELECT cell, list(CAST(s AS DOUBLE) / cnt ORDER BY d) AS centroid
+      |  FROM cl GROUP BY cell),
       |probes AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pn FROM v WHERE vec_id < 10),
       |pc AS (SELECT p.probe_id, p.pe, p.pn, c.cell,
       |    list_sum(list_transform(list_zip(p.pe, c.centroid), z -> z[1]::DOUBLE * z[2]::DOUBLE))

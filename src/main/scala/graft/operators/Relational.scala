@@ -438,7 +438,7 @@ object Relational {
     """SELECT event_type, count(*) AS n,
       |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
       |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
-      |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
       |  CAST(floor(avg(value) * 10000) AS BIGINT) AS avg_value_bp
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 

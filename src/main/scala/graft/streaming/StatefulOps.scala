@@ -73,6 +73,50 @@ object StatefulOps {
         col("fts") <= col("cts") + expr("INTERVAL 5 MINUTES"))
   }
 
+  /** Batch-shaped registration of [[streamIntervalJoin]] (q27): the same
+    * plan builder run over batch DataFrames — `withWatermark` is a no-op
+    * outside streaming (Catalyst's EliminateEventTimeWatermark) — with
+    * timestamps projected to micros and a total order for the oracle
+    * compare. StreamingSpec asserts batch ≡ streaming on the same rows. */
+  def intervalJoinBatch(events: DataFrame): DataFrame =
+    streamIntervalJoin(events, events)
+      .select(col("cu").as("user_id"), unix_micros(col("cts")).as("click_us"),
+        unix_micros(col("fts")).as("follow_us"), col("ftype"))
+      .orderBy(col("user_id"), col("click_us"), col("follow_us"), col("ftype"))
+
+  val intervalJoinBatchSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events)
+      |SELECT c.user_id AS user_id, epoch_us(c.ts) AS click_us,
+      |  epoch_us(f.ts) AS follow_us, f.event_type AS ftype
+      |FROM e c JOIN e f ON c.user_id = f.user_id
+      |  AND f.ts > c.ts AND f.ts <= c.ts + INTERVAL 5 MINUTE
+      |WHERE c.event_type = 'click'
+      |ORDER BY 1, 2, 3, 4""".stripMargin
+
+  /** Batch counterpart of [[dedupWithinWatermark]] (q28). Streaming keeps
+    * each key's first ARRIVAL, which is only deterministic given an
+    * ordered source; the batch shape pins the same semantics to event
+    * order — min (ts, event_id) per (user_id, event_type) — so the result
+    * is engine-independent and oracle-checkable. */
+  def statefulDedupBatch(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("first_us"), col("event_id"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val statefulDedupBatchSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) ts
+      |           FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |        ORDER BY ts, event_id) rn FROM e)
+      |SELECT user_id, event_type, epoch_us(ts) AS first_us, event_id
+      |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
   /** Append-mode driver (for dedup, which forbids complete/update). */
   def runAppendStreaming(spark: SparkSession, dir: String, name: String,
                          plan: DataFrame => DataFrame): DataFrame = {

@@ -77,6 +77,22 @@ class CorpusSpec extends SparkSpec {
     assert(comps === Map(1L -> 3L))
   }
 
+  test("deep chains propagate labels through checkpointed rounds") {
+    import spark.implicits._
+    // 12-doc chain over a sliding 22-token window with stride 2: adjacent
+    // docs share 19 of 23 distinct bigrams (J = 0.826 >= 0.8) but docs two
+    // apart only 17 of 25 (J = 0.68 < 0.8), so the graph is a pure path.
+    // The min label must walk 11 hops — crossing the every-5-rounds
+    // localCheckpoint twice — without plan blowup (VERDICT r2 #6).
+    val toks = (0 until 44).map(i => f"tok$i%02d")
+    val docs = (0 until 12).map { i =>
+      ((i + 1).toLong, toks.slice(2 * i, 2 * i + 22).mkString(" "))
+    }
+    val comps = Corpus.nearDupComponents(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 12L))
+  }
+
   test("contamination flags only docs sharing shingles with the benchmark") {
     import spark.implicits._
     // benchmark doc (id % 97 == 0): "secret eval question here"

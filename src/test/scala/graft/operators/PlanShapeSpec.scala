@@ -74,6 +74,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(df.agg(min("d")).head.getDouble(0) > 0.0)
   }
 
+  test("IVF centroids aggregate with O(dim) state — no collect_list buffer") {
+    // VERDICT r2 #4: the centroid must be an ordinary partial+final hash
+    // aggregate over per-dimension decimal sums, never a whole-cell
+    // collect_list (O(cell membership) single-group state at 100 TB).
+    val p = plan(graft.llm.Similarity.ivfTopK(Tables.embeddings(spark, sf)))
+    assert(!p.contains("collect_list"), s"collect_list in IVF plan:\n$p")
+    assert(!p.contains("ObjectHashAggregate"), s"object agg in IVF plan:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregate:\n$p")
+  }
+
   test("string<->bytes codec round-trips (reference SparkUtils.scala:49-54)") {
     import graft.functions.Codec
     val s = "graft: ünïcode too"

@@ -23,10 +23,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].reset_index(drop=True)
-    # normalize dtypes for compare: timestamps -> ns, floats stay float64
+    # DTYPE-STRICT: no dtype normalization — the driver's comparator hashes
+    # values per-dtype, so int64 vs float64 (DuckDB HUGEINT sums) must FAIL
+    # here too. Only object cells holding arrays are tuple-ized so pandas
+    # can compare them element-wise.
     for c in df.columns:
-        if str(df[c].dtype).startswith("datetime64"):
-            df[c] = df[c].astype("datetime64[us]")
         if df[c].dtype == object:
             df[c] = df[c].apply(
                 lambda v: tuple(v) if isinstance(v, (list, tuple)) or
@@ -70,8 +71,14 @@ def main():
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             n_fail += 1
             continue
+        gd, ed = [str(t) for t in got.dtypes], [str(t) for t in exp.dtypes]
+        if gd != ed:
+            diff = [(c, a, b) for c, a, b in zip(got.columns, gd, ed) if a != b]
+            print(f"FAIL {name}: dtype mismatch {diff}")
+            n_fail += 1
+            continue
         try:
-            pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+            pd.testing.assert_frame_equal(got, exp, check_dtype=True,
                                           check_exact=True)
             print(f"PASS {name}: rows={len(got)}")
             n_pass += 1
