@@ -57,6 +57,8 @@ object SparkEntry {
       graft.streaming.StatefulOps.intervalJoinBatch(events(s, d))),
     "q28_stateful_dedup" -> ((s, d) =>
       graft.streaming.StatefulOps.statefulDedupBatch(events(s, d))),
+    "q29_user_totals" -> ((s, d) =>
+      graft.streaming.StatefulOps.userTotalsBatch(events(s, d))),
     // binary course is projected as hex so the driver's pandas comparator
     // can sort it (bytearray is unhashable there) — see Generator.oracleSql.
     "q26_generator" -> ((s, _) => {
@@ -103,7 +105,9 @@ object SparkEntry {
     "q68_neardup_components" -> ((s, d) => Corpus.nearDupComponents(documents(s, d))),
     "q69_incremental_dedup" -> ((s, d) => Corpus.incrementalDedup(documents(s, d))),
     "q70_length_band" -> ((s, d) => Corpus.lengthBand(documents(s, d))),
-    "q71_repetition_score" -> ((s, d) => Corpus.repetitionScore(documents(s, d)))
+    "q71_repetition_score" -> ((s, d) => Corpus.repetitionScore(documents(s, d))),
+    "q72_sequence_pack" -> ((s, d) => Corpus.sequencePack(documents(s, d))),
+    "q73_mixture_weights" -> ((s, d) => Corpus.mixtureWeights(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -136,6 +140,7 @@ object SparkEntry {
     "q25_session_window" -> EventWindows.sessionsSql,
     "q27_interval_join" -> graft.streaming.StatefulOps.intervalJoinBatchSql,
     "q28_stateful_dedup" -> graft.streaming.StatefulOps.statefulDedupBatchSql,
+    "q29_user_totals" -> graft.streaming.StatefulOps.userTotalsBatchSql,
     "q26_generator" -> Generator.oracleSql(10000),
     "q30_dedup_exact" -> Dedup.exactSql,
     "q31_dedup_normalized" -> Dedup.normalizedSql,
@@ -175,6 +180,8 @@ object SparkEntry {
     "q68_neardup_components" -> Corpus.nearDupComponentsSql,
     "q69_incremental_dedup" -> Corpus.incrementalDedupSql,
     "q70_length_band" -> Corpus.lengthBandSql,
-    "q71_repetition_score" -> Corpus.repetitionScoreSql
+    "q71_repetition_score" -> Corpus.repetitionScoreSql,
+    "q72_sequence_pack" -> Corpus.sequencePackSql,
+    "q73_mixture_weights" -> Corpus.mixtureWeightsSql
   )
 }

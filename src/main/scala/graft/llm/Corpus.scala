@@ -318,4 +318,72 @@ object Corpus {
       |        FROM reach GROUP BY src)
       |SELECT label AS keeper, count(*) AS n_docs
       |FROM lab GROUP BY label ORDER BY keeper""".stripMargin
+
+  /** Sequence packing: concatenate each shard's documents in doc_id
+    * order and cut every `budget` tokens — the standard way training
+    * examples are built from variable-length documents (concat-then-
+    * chunk). A document is assigned to the context window where it
+    * STARTS (bin = tokens-before / budget).
+    *
+    * The 100 TB shape: packing is per-shard (shard = doc_id mod
+    * nShards), so the only data movement is one window shuffle keyed by
+    * shard — shards pack independently and in parallel, exactly how a
+    * production pipeline fans packing out over workers. Output is the
+    * per-(shard, bin) fill summary. Tokens are whitespace splits with
+    * trailing empties kept (split limit -1) to match the oracle's
+    * string_split semantics on any input. */
+  def sequencePack(documents: DataFrame, budget: Int = 512,
+                   nShards: Int = 8): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      pmod(col("doc_id"), lit(nShards)).as("shard"),
+      size(split(col("text"), " ", -1)).cast("long").as("n_toks"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_toks")) / lit(budget.toDouble)))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
+  val sequencePackSql: String =
+    """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+      |             len(string_split(text, ' ')) AS n_toks FROM documents),
+      |c AS (SELECT *, sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+      |        ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+      |SELECT shard, CAST(floor((cum - n_toks) / 512.0) AS BIGINT) AS bin,
+      |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+
+  /** Train-mixture reweighting: per-language resampling weights that
+    * would equalize each language's TOKEN share of the training mix
+    * (weight = uniform target share / actual share, in basis points).
+    * The per-language token totals are one partial+final aggregate over
+    * stateless per-row arithmetic — nothing here grows with corpus
+    * size except the scan. */
+  def mixtureWeights(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("lang"),
+      size(split(col("text"), " ", -1)).cast("long").as("n_toks"))
+    val perLang = toks.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("lang_tokens"))
+    // both sides of the ratio are exact integers, so the double division
+    // and floor-quantization to basis points replicate bit-identically
+    val tot = Window.partitionBy()
+    perLang
+      .withColumn("total_tokens", sum(col("lang_tokens")).over(tot))
+      .withColumn("n_langs", count(lit(1)).over(tot))
+      .select(col("lang"), col("n_docs"), col("lang_tokens"),
+        floor(lit(10000.0) * col("total_tokens") /
+          (col("n_langs") * col("lang_tokens"))).cast("long").as("weight_bp"))
+      .orderBy(col("lang"))
+  }
+
+  val mixtureWeightsSql: String =
+    """WITH p AS (SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+      |  FROM documents GROUP BY lang)
+      |SELECT lang, n_docs, lang_tokens,
+      |  CAST(floor(10000.0 * (SELECT sum(lang_tokens) FROM p) /
+      |    ((SELECT count(*) FROM p) * lang_tokens)) AS BIGINT) AS weight_bp
+      |FROM p ORDER BY lang""".stripMargin
 }

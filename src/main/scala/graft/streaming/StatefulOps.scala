@@ -117,6 +117,24 @@ object StatefulOps {
       |SELECT user_id, event_type, epoch_us(ts) AS first_us, event_id
       |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
+  /** Batch counterpart of [[runningUserTotals]] (q29): the final state of
+    * the mapGroupsWithState stream — per-user event count and value total
+    * (StatefulSpec asserts streaming ≡ batch on the same rows). The total
+    * is quantized to whole cents by round-to-NEAREST, not the q19/q44
+    * floor: `value` is cents-exact, so every group total sits exactly on
+    * a floor boundary and summation-order noise (~1e-9) would flip it;
+    * against the nearest integer that noise is harmless. */
+  def userTotalsBatch(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")) * 100, 0).cast("long").as("total_c"))
+      .orderBy(col("user_id"))
+
+  val userTotalsBatchSql: String =
+    """SELECT user_id, count(*) AS n,
+      |  CAST(round(sum(value) * 100, 0) AS BIGINT) AS total_c
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Append-mode driver (for dedup, which forbids complete/update). */
   def runAppendStreaming(spark: SparkSession, dir: String, name: String,
                          plan: DataFrame => DataFrame): DataFrame = {

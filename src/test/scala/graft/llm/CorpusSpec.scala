@@ -93,6 +93,30 @@ class CorpusSpec extends SparkSpec {
     assert(comps === Map(1L -> 12L))
   }
 
+  test("sequence packing assigns docs to the context window where they start") {
+    import spark.implicits._
+    // one shard, budget 5: token counts 3,3,4 concat-chunk as
+    // [3,3][4] — doc 2 STARTS at offset 3 (bin 0), doc 3 at offset 6 (bin 1)
+    val d = Seq((0L, "a b c"), (8L, "d e f"), (16L, "g h i j"))
+      .toDF("doc_id", "text") // all ids ≡ 0 mod 8 → same shard
+    val out = Corpus.sequencePack(d, budget = 5, nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((0L, 0L, 2L, 6L), (0L, 1L, 1L, 4L)))
+  }
+
+  test("mixture weights equalize per-language token share") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "one two three four five six", "en"),   // 6 tokens
+      (2L, "seven eight nine ten", "en"),          // 4 tokens -> en 10
+      (3L, "un deux trois quatre cinq", "fr"))     // fr 5, total 15
+      .toDF("doc_id", "text", "lang")
+    val w = Corpus.mixtureWeights(d).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // weight = 10000 * total / (n_langs * lang_tokens)
+    assert(w === Map("en" -> 7500L, "fr" -> 15000L))
+  }
+
   test("contamination flags only docs sharing shingles with the benchmark") {
     import spark.implicits._
     // benchmark doc (id % 97 == 0): "secret eval question here"

@@ -13,6 +13,19 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
   }
 
+  test("single-token duplicates pair at jaccard 1.0 via the whole-text fallback") {
+    import spark.implicits._
+    // docs with <2 tokens get the whole text as their one shingle (the
+    // Hashing.shingleHashes fallback); the DuckDB oracles mirror this
+    // with a CASE len(w)<2 branch, so both engines report this pair
+    val d = Seq((1L, "solo"), (2L, "solo"), (3L, "other words here"))
+      .toDF("doc_id", "text")
+    for (pairs <- Seq(Dedup.minhashLsh(d), Dedup.ngramJaccard(d))) {
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.toSeq === Seq((1L, 2L, 1.0)))
+    }
+  }
+
   test("simhash: identical texts get identical fingerprints") {
     import spark.implicits._
     val docs = Seq(
