@@ -41,9 +41,13 @@ object Hashing {
     out
   }
 
-  /** Distinct word-bigram shingle hashes of a whitespace-tokenized text. */
+  /** Distinct word-bigram shingle hashes of a whitespace-tokenized text.
+    * Tokenizes with limit -1 (trailing empty tokens KEPT) so the kernel
+    * agrees with Spark SQL `split` and DuckDB `string_split` on inputs
+    * with trailing separators — Java's 1-arg split would silently drop
+    * them and diverge from every oracle. */
   def shingleHashes(text: String): Array[Long] = {
-    val w = text.split(' ')
+    val w = text.split(" ", -1)
     if (w.length < 2) return Array(fnv1a64(text))
     val set = new java.util.HashSet[Long](w.length * 2)
     var i = 0

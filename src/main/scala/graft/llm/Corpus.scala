@@ -108,14 +108,11 @@ object Corpus {
   }
 
   val contaminationSql: String =
-    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents),
-      |s AS (SELECT doc_id, unnest(CASE WHEN len(w) < 2 THEN [text]
-      |        ELSE list_distinct(list_transform(range(len(w) - 1),
-      |          j -> w[j+1] || ' ' || w[j+2])) END) AS sh
-      |      FROM t),
-      |b AS (SELECT DISTINCT sh FROM s WHERE doc_id % 97 = 0)
+    s"""WITH ${Dedup.shingleSetCteSql},
+      |u AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+      |b AS (SELECT DISTINCT sh FROM u WHERE doc_id % 97 = 0)
       |SELECT doc_id, count(*) AS n_shared
-      |FROM s JOIN b USING (sh)
+      |FROM u JOIN b USING (sh)
       |WHERE doc_id % 97 <> 0
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -281,9 +278,12 @@ object Corpus {
       labels = next
       rounds += 1
     }
-    // materialize the (small: one row per cluster) result eagerly so the
-    // loop's cached labels can be released before returning — otherwise
-    // the final labels DataFrame stays persisted for the session
+    // materialize the (small: one row per cluster) result eagerly, then
+    // release what we can: unpersist() frees CacheManager entries (the
+    // persist() rounds); for localCheckpoint rounds it is a no-op and the
+    // checkpoint blocks are reclaimed by the ContextCleaner once the
+    // DataFrame is GC'd — bounded by the checkpoint cadence, not leaked
+    // for the session
     val out = labels
       .groupBy(col("label").as("keeper"))
       .agg(count(lit(1)).as("n_docs"))
@@ -297,17 +297,7 @@ object Corpus {
   /** Oracle: transitive closure via a recursive CTE over the exhaustive
     * exact-Jaccard pairs (same pair oracle as q32/q33). */
   val nearDupComponentsSql: String =
-    """WITH RECURSIVE t AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents),
-      |s AS (SELECT doc_id,
-      |        CASE WHEN len(w) < 2 THEN [text]
-      |             ELSE list_distinct(list_transform(range(len(w) - 1),
-      |               j -> w[j+1] || ' ' || w[j+2])) END sh
-      |      FROM t),
-      |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
-      |        round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-      |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
-      |      FROM s a JOIN s b ON a.doc_id < b.doc_id),
-      |pairs AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.8),
+    s"""WITH RECURSIVE ${Dedup.exactPairsCteSql},
       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
       |reach(src, dst) AS (

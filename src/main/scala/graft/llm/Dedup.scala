@@ -113,20 +113,33 @@ object Dedup {
     mergeVerify(cand, toksH, threshold)
   }
 
-  /** Oracle: exhaustive exact-Jaccard pairs — only viable at oracle SF;
-    * the LSH recall at the planted pairs' J makes the outputs identical
-    * with probability 1 - 1e-8 (see minhashLsh). */
-  val minhashLshSql: String =
-    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents),
+  /** Shared oracle CTE: per-doc distinct bigram shingle sets, including
+    * the single-token whole-text fallback that mirrors
+    * [[graft.functions.Hashing.shingleHashes]]. Interpolated into every
+    * oracle that computes shingle sets (q32/q33 here, q66/q68 in
+    * Corpus) so the engine-mirroring logic lives in ONE place. */
+  val shingleSetCteSql: String =
+    """t AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents),
       |s AS (SELECT doc_id,
       |        CASE WHEN len(w) < 2 THEN [text]
       |             ELSE list_distinct(list_transform(range(len(w) - 1),
       |               j -> w[j+1] || ' ' || w[j+2])) END sh
-      |      FROM t),
-      |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+      |      FROM t)""".stripMargin
+
+  /** Shared oracle CTE: exhaustive exact-Jaccard >= 0.8 pairs over the
+    * shingle sets (extends [[shingleSetCteSql]]). */
+  val exactPairsCteSql: String = shingleSetCteSql + ",\n" +
+    """p AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
       |        round(len(list_intersect(a.sh, b.sh))::DOUBLE /
       |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
-      |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |      FROM s a JOIN s b ON a.doc_id < b.doc_id),
+      |pairs AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.8)""".stripMargin
+
+  /** Oracle: exhaustive exact-Jaccard pairs — only viable at oracle SF;
+    * the LSH recall at the planted pairs' J makes the outputs identical
+    * with probability 1 - 1e-8 (see minhashLsh). */
+  val minhashLshSql: String =
+    s"""WITH $exactPairsCteSql
       |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
@@ -209,16 +222,25 @@ object Dedup {
       .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
     val prefix = postings.join(dfreq, "s")
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      // same 1e-6 slack as the candidate prunes below: for arbitrary t,
+      // ceil(t*sz) can round up past the exact bound and shorten the
+      // prefix (= silently missed pairs); slack only lengthens it
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-6)) + 1)
       .select(col("s"), col("doc_id"), col("sz"), col("rn"))
 
+    // Both prunes are conservative bounds evaluated in floating point, so
+    // they get 1e-6 of slack: t/(1+t) and t*sz round UP in double (e.g.
+    // ceil(0.8/1.8 * 63) = 29, but the exact bound is 28), which would
+    // silently drop pairs sitting exactly on the J = t boundary that the
+    // exact verify (and the oracle) keep. The slack only ever ADMITS a
+    // few extra candidates — mergeVerify re-checks exactly.
     val minOverlap = ceil(lit(threshold / (1 + threshold)) *
-      (col("a.sz") + col("b.sz")))
+      (col("a.sz") + col("b.sz")) - lit(1e-6))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           // size-ratio prune (implied by J >= t, since J <= min/max)
-          col("a.sz") >= lit(threshold) * col("b.sz") &&
-          col("b.sz") >= lit(threshold) * col("a.sz") &&
+          col("a.sz") >= lit(threshold) * col("b.sz") - lit(1e-6) &&
+          col("b.sz") >= lit(threshold) * col("a.sz") - lit(1e-6) &&
           // PPJoin positional filter
           least(col("a.rn"), col("b.rn")) +
             least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn"))
@@ -242,7 +264,9 @@ object Dedup {
     graft.Tables.spread(documents.select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val distinct = text.split(' ').distinct
+          // limit -1: trailing empties kept, same as the DuckDB oracle's
+          // string_split (and Spark SQL split)
+          val distinct = text.split(" ", -1).distinct
           val hs = distinct.map(graft.functions.Hashing.fnv1a64)
           (id, graft.functions.Hashing.simhash64(hs))
         }

@@ -41,7 +41,9 @@ object TextAnalysis {
     graft.Tables.spread(documents.select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val w = text.split(' ')
+          // limit -1: trailing empties kept, same as the DuckDB oracle's
+          // string_split (and Spark SQL split)
+          val w = text.split(" ", -1)
           var sumLen = 0L
           var nStop = 0L
           var hasThe = false

@@ -26,6 +26,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("exact-boundary J=0.8 pairs survive the prefix/positional prunes") {
+    import spark.implicits._
+    // A: 29 tokens -> 28 bigrams; B = A + 7 tokens -> 35 bigrams, a
+    // superset of A's. J = 28/35 = 0.8 exactly. The unslacked FP overlap
+    // bound (ceil(0.8/1.8 * 63) = 29 > 28) used to drop this pair before
+    // the exact verify ever saw it.
+    val a = (1 to 29).map(i => f"t$i%02d").mkString(" ")
+    val b = a + " " + (1 to 7).map(i => s"u$i").mkString(" ")
+    val d = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccard(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 0.8)))
+  }
+
   test("simhash: identical texts get identical fingerprints") {
     import spark.implicits._
     val docs = Seq(
