@@ -107,7 +107,8 @@ object SparkEntry {
     "q70_length_band" -> ((s, d) => Corpus.lengthBand(documents(s, d))),
     "q71_repetition_score" -> ((s, d) => Corpus.repetitionScore(documents(s, d))),
     "q72_sequence_pack" -> ((s, d) => Corpus.sequencePack(documents(s, d))),
-    "q73_mixture_weights" -> ((s, d) => Corpus.mixtureWeights(documents(s, d)))
+    "q73_mixture_weights" -> ((s, d) => Corpus.mixtureWeights(documents(s, d))),
+    "q74_embedding_quantize" -> ((s, d) => Similarity.quantizeInt8(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -182,6 +183,7 @@ object SparkEntry {
     "q70_length_band" -> Corpus.lengthBandSql,
     "q71_repetition_score" -> Corpus.repetitionScoreSql,
     "q72_sequence_pack" -> Corpus.sequencePackSql,
-    "q73_mixture_weights" -> Corpus.mixtureWeightsSql
+    "q73_mixture_weights" -> Corpus.mixtureWeightsSql,
+    "q74_embedding_quantize" -> Similarity.quantizeInt8Sql
   )
 }

@@ -258,6 +258,52 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** Symmetric int8 quantization of the embedding column — the first
+    * step of product-quantization / compressed ANN indexes: per-vector
+    * scale = max|x|/127, elements rounded to [-127, 127]. Output is the
+    * per-vector summary (scale, quantized checksum, reconstruction MSE)
+    * rather than the int8 payload, so it is hash-comparable.
+    *
+    * 100 TB shape: a pure per-row kernel of codegen'd higher-order
+    * functions — no shuffle, no state; the scan is the cost. Parity:
+    * scale and MSE are the same IEEE op sequence on both engines
+    * (ordered left-fold over the list, q20's pattern); the checksum sums
+    * integer-valued doubles, exact in any order. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val withScale = embeddings.select(col("vec_id"), col("embedding"),
+      (array_max(transform(col("embedding"), x => abs(x.cast("double")))) / lit(127.0))
+        .as("scale"))
+    withScale.select(
+      col("vec_id"),
+      round(col("scale"), 6).as("scale_r"),
+      when(col("scale") === 0, lit(0L)).otherwise(
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + round(x.cast("double") / col("scale"), 0)).cast("long"))
+        .as("qsum"),
+      when(col("scale") === 0, lit(0.0)).otherwise(
+        round(aggregate(col("embedding"), lit(0.0), (acc, x) => {
+          val xd = x.cast("double")
+          val q = round(xd / col("scale"), 0)
+          acc + (xd - q * col("scale")) * (xd - q * col("scale"))
+        }), 6)).as("mse"))
+      .orderBy(col("vec_id"))
+  }
+
+  val quantizeInt8Sql: String =
+    """WITH v AS (SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+      |  FROM embeddings)
+      |SELECT vec_id, round(scale, 6) AS scale_r,
+      |  CAST(CASE WHEN scale = 0 THEN 0 ELSE
+      |    list_sum(list_transform(embedding, x -> round(x::DOUBLE / scale, 0)))
+      |    END AS BIGINT) AS qsum,
+      |  CASE WHEN scale = 0 THEN 0.0 ELSE
+      |    round(list_sum(list_transform(embedding,
+      |      x -> (x::DOUBLE - round(x::DOUBLE / scale, 0) * scale)
+      |         * (x::DOUBLE - round(x::DOUBLE / scale, 0) * scale))), 6)
+      |    END AS mse
+      |FROM v ORDER BY vec_id""".stripMargin
+
   /** Bit-exact DuckDB oracle for [[ivfTopK]] at the registered defaults:
     * centroids as per-dimension DECIMAL(38,12) sums over double-widened
     * floats (exact, order-independent — matching the Spark side's

@@ -59,6 +59,42 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("ngramJaccard equals the exhaustive reference at any threshold") {
+    import spark.implicits._
+    // The prefix / size-ratio / positional prunes must be LOSSLESS for
+    // every threshold: the pruned+verified output has to equal a plain
+    // all-pairs exact-Jaccard reference built from the same shingle
+    // kernel. (The FP boundary bug this guards against: ceil of a
+    // double-rounded bound dropping exact-boundary pairs.)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta")
+    val docGen = Gen.chooseNum(1, 12)
+      .flatMap(k => Gen.listOfN(k, Gen.oneOf(vocab))).map(_.mkString(" "))
+    val gen = for {
+      n <- Gen.chooseNum(5, 15)
+      docs <- Gen.listOfN(n, docGen)
+      t <- Gen.oneOf(0.5, 0.7, 0.8, 0.9)
+    } yield (docs, t)
+    check(Prop.forAllNoShrink(gen) { case (docs, t) =>
+      val df = docs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text")
+      val got = llm.Dedup.ngramJaccard(df, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val sets = docs.zipWithIndex
+        .map { case (s, i) => i.toLong -> Hashing.shingleHashes(s).toSet }
+      val want = (for {
+        (ia, sa) <- sets
+        (ib, sb) <- sets
+        if ia < ib
+        inter = (sa & sb).size
+        jac = inter.toDouble / (sa.size + sb.size - inter)
+        r = math.floor(jac * 10000 + 0.5) / 10000
+        if r >= t
+      } yield (ia, ib, r)).toSet
+      got == want
+    }, n = 10)
+  }
+
   test("dedup is idempotent: deduping the keepers changes nothing") {
     import spark.implicits._
     val gen = Gen.listOfN(60, Gen.oneOf("aa", "bb", "cc", "dd", "ee f", "gg hh"))

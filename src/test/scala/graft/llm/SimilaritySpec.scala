@@ -19,6 +19,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.15, s"IVF recall $recall implausibly low")
   }
 
+  test("int8 quantization: scale, checksum, and reconstruction error") {
+    import spark.implicits._
+    // scale = 1/127; q = [127, -64 (half away from zero), 32, 0]
+    val df = Seq((1L, Array(1.0f, -0.5f, 0.25f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(df).collect()(0)
+    assert(math.abs(r.getDouble(1) - 1.0 / 127) < 1e-6)
+    assert(r.getLong(2) === 95L) // 127 - 64 + 32 + 0
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1e-4)
+  }
+
   test("cosine top-k neighbors are symmetric in similarity value") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
