@@ -84,6 +84,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"expected hash aggregate:\n$p")
   }
 
+  test("interval join (q27) plans as a keyed join, never a cartesian") {
+    val p = plan(graft.streaming.StatefulOps.intervalJoinBatch(Tables.events(spark, sf)))
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no keyed join:\n$p")
+  }
+
+  test("sequence packing (q72) is one window pass, no join") {
+    val p = plan(graft.llm.Corpus.sequencePack(Tables.documents(spark, sf)))
+    assert(!p.contains("Join"), s"packing should not join:\n$p")
+    assert(p.contains("Window"), s"expected window cumsum:\n$p")
+  }
+
+  test("int8 quantization (q74) is a pure per-row kernel — no join, no aggregate") {
+    val p = plan(graft.llm.Similarity.quantizeInt8(Tables.embeddings(spark, sf)))
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(!p.contains("HashAggregate"), s"unexpected aggregate:\n$p")
+    // only the presentation sort may exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"unexpected hash exchange:\n$p")
+  }
+
   test("string<->bytes codec round-trips (reference SparkUtils.scala:49-54)") {
     import graft.functions.Codec
     val s = "graft: ünïcode too"
