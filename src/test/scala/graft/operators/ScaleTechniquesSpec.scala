@@ -54,8 +54,13 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(n === 25)
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
     assert(dirs.count(_.startsWith("n_regionkey=")) === 5)
-    // partition pruning: reading one partition dir only
+    // partition pruning must happen in the PLAN (PartitionFilters on the
+    // scan), not as a post-scan filter — at 100 TB this is the difference
+    // between reading one directory and reading the table
     val one = spark.read.parquet(out).filter(col("n_regionkey") === 0)
     assert(one.count() === 5)
+    val p = one.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("n_regionkey"),
+      s"expected partition pruning on the scan:\n$p")
   }
 }
