@@ -108,7 +108,8 @@ object SparkEntry {
     "q71_repetition_score" -> ((s, d) => Corpus.repetitionScore(documents(s, d))),
     "q72_sequence_pack" -> ((s, d) => Corpus.sequencePack(documents(s, d))),
     "q73_mixture_weights" -> ((s, d) => Corpus.mixtureWeights(documents(s, d))),
-    "q74_embedding_quantize" -> ((s, d) => Similarity.quantizeInt8(embeddings(s, d)))
+    "q74_embedding_quantize" -> ((s, d) => Similarity.quantizeInt8(embeddings(s, d))),
+    "q75_source_stats" -> ((s, d) => Corpus.sourceStats(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -184,6 +185,7 @@ object SparkEntry {
     "q71_repetition_score" -> Corpus.repetitionScoreSql,
     "q72_sequence_pack" -> Corpus.sequencePackSql,
     "q73_mixture_weights" -> Corpus.mixtureWeightsSql,
-    "q74_embedding_quantize" -> Similarity.quantizeInt8Sql
+    "q74_embedding_quantize" -> Similarity.quantizeInt8Sql,
+    "q75_source_stats" -> Corpus.sourceStatsSql
   )
 }

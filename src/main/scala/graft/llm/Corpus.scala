@@ -368,6 +368,45 @@ object Corpus {
       .orderBy(col("lang"))
   }
 
+  /** Per-source curation stats: doc count, token total, and the
+    * duplication rate (fraction of docs whose exact text fingerprint
+    * occurs more than once corpus-wide) — the signal that drives
+    * per-source up/down-weighting decisions.
+    *
+    * 100 TB shape: one aggregate on the 16-byte md5 fingerprint to find
+    * duplicated fingerprints, one fingerprint-keyed join back (bodies
+    * never shuffle — only (source, fp, n_toks) rows move), one final
+    * per-source aggregate. dup_bp is floor((10000*k)/n) where k,n are
+    * exact integers — the double rounds only when the rational is
+    * non-integral, so the floor can't flip across engines. */
+  def sourceStats(documents: DataFrame): DataFrame = {
+    val fp = documents.select(col("source"),
+      md5(col("text").cast("binary")).as("fp"),
+      size(split(col("text"), " ", -1)).cast("long").as("n_toks"))
+    val dup = fp.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+    fp.as("f").join(dup.as("d"), Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("c").isNotNull, lit(1L)).otherwise(lit(0L))).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_dup_docs"),
+        floor(lit(10000.0) * col("n_dup_docs") / col("n_docs")).cast("long")
+          .as("dup_bp"))
+      .orderBy(col("source"))
+  }
+
+  val sourceStatsSql: String =
+    """WITH f AS (SELECT source, md5(text) AS fp,
+      |             len(string_split(text, ' ')) AS n_toks FROM documents),
+      |d AS (SELECT fp, count(*) AS c FROM f GROUP BY fp HAVING count(*) > 1)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |  CAST(floor(10000.0 * sum(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END)
+      |    / count(*)) AS BIGINT) AS dup_bp
+      |FROM f LEFT JOIN d USING (fp) GROUP BY source ORDER BY source""".stripMargin
+
   val mixtureWeightsSql: String =
     """WITH p AS (SELECT lang, count(*) AS n_docs,
       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens

@@ -117,6 +117,19 @@ class CorpusSpec extends SparkSpec {
     assert(w === Map("en" -> 7500L, "fr" -> 15000L))
   }
 
+  test("source stats report per-source corpus-wide duplication rate") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "dup text", "web"), (2L, "dup text", "web"), (3L, "unique one", "web"),
+      (4L, "dup text", "books"), (5L, "solo", "books"))
+      .toDF("doc_id", "text", "source")
+    val got = Corpus.sourceStats(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    // "dup text" occurs 3x corpus-wide, so the books copy counts too
+    assert(got("web") === ((3L, 2L, 6666L)))
+    assert(got("books") === ((2L, 1L, 5000L)))
+  }
+
   test("contamination flags only docs sharing shingles with the benchmark") {
     import spark.implicits._
     // benchmark doc (id % 97 == 0): "secret eval question here"
