@@ -70,12 +70,18 @@ object Bench {
       s""""queries":$qs,"failures":$fs,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
     spark.stop()
-    // Driver-parse contract (VERDICT r2 #3): the JSON must be recoverable
-    // from stdout without sbt/log decoration. Emit AFTER spark.stop() so no
-    // logger writes after it: once behind a grep-stable sentinel, once bare
-    // as the absolute final stdout line.
-    println(s"BENCH_JSON: $json")
-    println(json)
+    // Driver-parse contract (VERDICT r3 #2): the driver's tail capture
+    // truncated the full ~3 KB per-query JSON line three rounds running
+    // (BENCH_r0{1,2,3}.json "parsed": null, tail starting mid-object), so
+    // the stdout lines must be SHORT — headline numbers only, well under
+    // any plausible tail window. The full per-query map lives in
+    // BENCH.json on disk. Emit AFTER spark.stop() so no logger writes
+    // after it: once behind a grep-stable sentinel, once bare as the
+    // absolute final stdout line.
+    val short = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""iters":$iters,"n_queries":${medians.size},"failures":$fs,"sf":"$sfDir"}"""
+    println(s"BENCH_JSON: $short")
+    println(short)
     System.out.flush()
   }
 }

@@ -76,6 +76,7 @@ object SparkEntry {
     "q36_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(embeddings(s, d))),
     "q37_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embeddings(s, d))),
     "q38_lsh_topk" -> ((s, d) => Similarity.lshTopK(embeddings(s, d))),
+    "q39_ann_recall" -> ((s, d) => Similarity.annRecall(embeddings(s, d))),
     "q40_token_stats" -> ((s, d) => TextAnalysis.tokenStats(documents(s, d))),
     "q41_term_freq" -> ((s, d) => TextAnalysis.termFreq(documents(s, d))),
     "q42_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(documents(s, d))),
@@ -84,6 +85,7 @@ object SparkEntry {
     "q45_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(documents(s, d))),
     "q46_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokens(documents(s, d))),
     "q47_rolling_hash" -> ((s, d) => TextAnalysis.rollingHash(documents(s, d))),
+    "q48_substring_dedup" -> ((s, d) => TextAnalysis.substringDedup(documents(s, d))),
     "q50_binary_meta" -> ((s, d) => Multimodal.binaryMeta(documents(s, d))),
     "q51_media_features" -> ((s, d) => Multimodal.mediaFeatures(documents(s, d))),
     "q55_frame_sample" -> ((s, d) => Multimodal.frameSample(documents(s, d))),
@@ -106,7 +108,9 @@ object SparkEntry {
     "q69_incremental_dedup" -> ((s, d) => Corpus.incrementalDedup(documents(s, d))),
     "q70_length_band" -> ((s, d) => Corpus.lengthBand(documents(s, d))),
     "q71_repetition_score" -> ((s, d) => Corpus.repetitionScore(documents(s, d))),
-    "q72_sequence_pack" -> ((s, d) => Corpus.sequencePack(documents(s, d))),
+    // nShards pinned to 8 so the oracle SQL literal stays valid; the
+    // operator default tracks defaultParallelism (scale-safe out of the box)
+    "q72_sequence_pack" -> ((s, d) => Corpus.sequencePack(documents(s, d), nShards = 8)),
     "q73_mixture_weights" -> ((s, d) => Corpus.mixtureWeights(documents(s, d))),
     "q74_embedding_quantize" -> ((s, d) => Similarity.quantizeInt8(embeddings(s, d))),
     "q75_source_stats" -> ((s, d) => Corpus.sourceStats(documents(s, d)))
@@ -153,6 +157,7 @@ object SparkEntry {
     "q36_embedding_neardup" -> Similarity.embeddingNearDupSql,
     "q37_ivf_topk" -> Similarity.ivfTopKSql,
     "q38_lsh_topk" -> Similarity.lshTopKSql,
+    "q39_ann_recall" -> Similarity.annRecallSql,
     "q40_token_stats" -> TextAnalysis.tokenStatsSql,
     "q41_term_freq" -> TextAnalysis.termFreqSql,
     "q42_tfidf_top" -> TextAnalysis.tfidfTopSql,
@@ -161,6 +166,7 @@ object SparkEntry {
     "q45_fingerprint" -> TextAnalysis.fingerprintSql,
     "q46_bpe_tokens" -> TextAnalysis.bpeTokensSql,
     "q47_rolling_hash" -> TextAnalysis.rollingHashSql,
+    "q48_substring_dedup" -> TextAnalysis.substringDedupSql,
     "q50_binary_meta" -> Multimodal.binaryMetaSql,
     "q51_media_features" -> Multimodal.mediaFeaturesSql,
     "q55_frame_sample" -> Multimodal.frameSampleSql,

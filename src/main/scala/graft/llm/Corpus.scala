@@ -118,18 +118,39 @@ object Corpus {
 
   /** Global ordered-bigram counts, top 20 — the language-model n-gram
     * statistic (order-sensitive, duplicates counted, unlike the
-    * dedup shingle SET). explode → partial agg → one small shuffle →
-    * TakeOrderedAndProject. */
+    * dedup shingle SET).
+    *
+    * Runs as a JIT'd kernel, the q71 treatment: the declarative
+    * `explode(transform(sequence(...)))` form evaluated an interpreted
+    * higher-order lambda per bigram and pushed ~3M generated string rows
+    * into the partial aggregate (18 s at sf0.1 under driver load); the
+    * kernel counts bigrams in a per-partition hashmap in one pass and
+    * emits only the pre-combined `(bigram, partial_cnt)` pairs —
+    * ~|vocabulary|² × partitions rows. The final groupBy-sum shuffle then
+    * moves thousands of rows, not millions, and top-k collapses to
+    * TakeOrderedAndProject. Split keeps trailing empties (limit -1),
+    * matching Spark SQL `split` and the oracle's string_split. */
   def ngramCounts(documents: DataFrame, k: Int = 20): DataFrame = {
-    val w = split(col("text"), " ")
-    val grams = when(size(w) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), greatest(size(w) - 1, lit(1))),
-        j => concat_ws(" ", element_at(w, least(j, size(w))),
-          element_at(w, least(j + 1, size(w))))))
+    val spark = documents.sparkSession
+    import spark.implicits._
     graft.Tables.spread(documents.select(col("text")))
-      .select(explode(grams).as("bigram"))
+      .as[String]
+      .mapPartitions { it =>
+        val counts = new java.util.HashMap[String, Long]()
+        it.foreach { text =>
+          val w = text.split(" ", -1)
+          var i = 0
+          while (i < w.length - 1) {
+            counts.merge(w(i) + " " + w(i + 1), 1L, _ + _)
+            i += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        counts.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue.toLong))
+      }
+      .toDF("bigram", "partial_cnt")
       .groupBy(col("bigram"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("partial_cnt")).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(k)
   }
@@ -251,31 +272,46 @@ object Corpus {
   def nearDupComponents(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
     val pairs = Dedup.minhashLsh(documents, threshold)
       .select(col("doc_a"), col("doc_b"))
+    // The graph is TINY relative to the corpus (only near-dup candidates
+    // survive the LSH band join — thousands of rows at any SF), but each
+    // propagation round is a join+agg whose fixed per-task cost dominates
+    // at shuffle-width parallelism. Pin both loop frames to a few
+    // hash-partitions on their join keys so every round is a handful of
+    // tasks; the expensive, corpus-wide work (LSH) happened upstream.
+    val loopParts = 4
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
+      .repartition(loopParts, col("dst"))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
+    // `cached` is the frame holding this round's persist/checkpoint (the
+    // thing to unpersist); `labels` is the (id, label) view of it
+    var cached = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .repartition(loopParts, col("id"))
       .persist()
+    var labels = cached
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(F.min(col("label")).as("nmin"))
+      // carry the previous label through the step so convergence is a
+      // filter on THIS round's materialization — one job per round, not a
+      // second join against the old labels
       val step = labels.as("l")
         .join(neighborMin.as("m"), col("l.id") === col("m.src"), "left")
-        .select(col("l.id").as("id"),
+        .select(col("l.id").as("id"), col("l.label").as("old_label"),
           least(col("l.label"), coalesce(col("m.nmin"), col("l.label"))).as("label"))
       // every 5th round, truncate lineage: each round's plan otherwise
       // nests the previous round's, and on a deep graph a cache
       // miss/eviction would re-derive the whole chain
       val next =
         if ((rounds + 1) % 5 == 0) step.localCheckpoint() else step.persist()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("label") < col("old_label")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("label"))
       rounds += 1
     }
     // materialize the (small: one row per cluster) result eagerly, then
@@ -289,7 +325,7 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("keeper"))
       .localCheckpoint()
-    labels.unpersist()
+    cached.unpersist()
     edges.unpersist()
     out
   }
@@ -318,14 +354,20 @@ object Corpus {
     * The 100 TB shape: packing is per-shard (shard = doc_id mod
     * nShards), so the only data movement is one window shuffle keyed by
     * shard — shards pack independently and in parallel, exactly how a
-    * production pipeline fans packing out over workers. Output is the
+    * production pipeline fans packing out over workers. `nShards`
+    * defaults to the cluster's defaultParallelism so the window sort is
+    * never narrower than the cluster out of the box (the registered
+    * query q72 pins 8 to keep its oracle literal). Output is the
     * per-(shard, bin) fill summary. Tokens are whitespace splits with
     * trailing empties kept (split limit -1) to match the oracle's
     * string_split semantics on any input. */
   def sequencePack(documents: DataFrame, budget: Int = 512,
-                   nShards: Int = 8): DataFrame = {
+                   nShards: Int = -1): DataFrame = {
+    val shards =
+      if (nShards > 0) nShards
+      else documents.sparkSession.sparkContext.defaultParallelism
     val toks = documents.select(col("doc_id"),
-      pmod(col("doc_id"), lit(nShards)).as("shard"),
+      pmod(col("doc_id"), lit(shards)).as("shard"),
       size(split(col("text"), " ", -1)).cast("long").as("n_toks"))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -258,6 +258,35 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** ANN quality as a measured query: recall@k of the two approximate
+    * indexes (IVF cells, SRP-LSH buckets) against the brute-force cosine
+    * truth, one row per method. Turns "the index is approximately right"
+    * into a hard, oracle-checked number — the acceptance gate a
+    * production ANN rollout runs before swapping indexes.
+    *
+    * All three inputs are the registered q35/q37/q38 plans at their
+    * defaults; the truth set is probes×k rows, so the scoring joins are
+    * trivial regardless of corpus size (the cost lives in the inputs,
+    * which are already scale-shaped). recall_bp is floor((10000·hits)/
+    * truth) on exact integers — engine-independent. */
+  def annRecall(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
+    val truth = cosineTopK(embeddings, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    def scored(method: String, approx: DataFrame): DataFrame = {
+      val a = approx.select(col("probe_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1L))
+      truth.join(a, Seq("probe_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(method).as("method"), col("n_truth"), col("n_hits"),
+          floor(lit(10000.0) * col("n_hits") / col("n_truth")).cast("long")
+            .as("recall_bp"))
+    }
+    scored("ivf", ivfTopK(embeddings, nProbes, k))
+      .unionAll(scored("srp_lsh", lshTopK(embeddings, nProbes, k)))
+      .orderBy(col("method"))
+  }
+
   /** Symmetric int8 quantization of the embedding column — the first
     * step of product-quantization / compressed ANN indexes: per-vector
     * scale = max|x|/127, elements rounded to [-127, 127]. Output is the
@@ -333,4 +362,26 @@ object Similarity {
       |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) rnk FROM pairs)
       |SELECT probe_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
       |ORDER BY probe_id, rnk""".stripMargin
+
+  /** Oracle for [[annRecall]]: composes the registered q35/q37/q38
+    * oracles verbatim as derived tables (DuckDB allows a WITH inside a
+    * subquery), then scores hits with the same left-join + floor
+    * arithmetic as the Spark side. */
+  val annRecallSql: String =
+    s"""WITH truth AS (SELECT probe_id, neighbor_id FROM ($cosineTopKSql) q),
+      |ivf AS (SELECT probe_id, neighbor_id FROM ($ivfTopKSql) q),
+      |lsh AS (SELECT probe_id, neighbor_id FROM ($lshTopKSql) q),
+      |m AS (
+      |  SELECT 'ivf' AS method, count(*) AS n_truth,
+      |    CAST(sum(CASE WHEN i.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      |  FROM truth t LEFT JOIN ivf i
+      |    ON i.probe_id = t.probe_id AND i.neighbor_id = t.neighbor_id
+      |  UNION ALL
+      |  SELECT 'srp_lsh' AS method, count(*) AS n_truth,
+      |    CAST(sum(CASE WHEN l.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      |  FROM truth t LEFT JOIN lsh l
+      |    ON l.probe_id = t.probe_id AND l.neighbor_id = t.neighbor_id)
+      |SELECT method, n_truth, n_hits,
+      |  CAST(floor(10000.0 * n_hits / n_truth) AS BIGINT) AS recall_bp
+      |FROM m ORDER BY method""".stripMargin
 }

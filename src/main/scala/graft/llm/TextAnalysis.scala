@@ -282,6 +282,70 @@ object TextAnalysis {
       |    (h, x) -> (h * 31 + x) % 1000000007) AS rhash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Substring-level exact dedup (the suffix-array /
+    * "deduplicate-text-datasets" operator family, chunk-granular): cut
+    * each document's token stream into non-overlapping `chunk`-token
+    * windows, fingerprint each window with the q47 rolling hash, and
+    * report per document how many of its chunks repeat ANYWHERE in the
+    * corpus (including elsewhere in the same document) — the signal a
+    * boilerplate/repeated-span removal pass acts on right after
+    * doc-level dedup.
+    *
+    * 100 TB shape: documents never pair with each other — each doc emits
+    * O(tokens/chunk) 16-byte (doc_id, hash) rows, the corpus-wide
+    * repetition count is one hash aggregate on the 8-byte hash key, and
+    * the join back is hash-equi-keyed. Nothing is all-pairs and no text
+    * leaves the executor. The hash arithmetic is the q47 kernel's exact
+    * modular fold (first-char·131 + codepoint-length, h·31+x mod 1e9+7),
+    * so the DuckDB oracle replicates it bit-for-bit. */
+  def substringDedup(documents: DataFrame, chunk: Int = 8): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val chunks = graft.Tables.spread(
+        documents.select(col("doc_id"), col("text"))).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val w = text.split(" ", -1)
+        (0 until w.length / chunk).iterator.map { ci =>
+          var h = 0L
+          var j = ci * chunk
+          while (j < (ci + 1) * chunk) {
+            val t = w(j)
+            val first = if (t.isEmpty) 0L else t.codePointAt(0).toLong
+            h = (h * 31 + (first * 131 + t.codePointCount(0, t.length))) % 1000000007L
+            j += 1
+          }
+          (id, h)
+        }
+      })
+      .toDF("doc_id", "chash")
+    val freq = chunks.groupBy(col("chash")).agg(count(lit(1)).as("c"))
+    chunks.join(freq, "chash")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("c") > 1, lit(1L)).otherwise(lit(0L))).as("n_rep_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_rep_chunks"),
+        floor(lit(10000.0) * col("n_rep_chunks") / col("n_chunks")).cast("long")
+          .as("rep_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val substringDedupSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |ch AS (
+      |  SELECT doc_id, unnest(list_transform(range(len(w) // 8), ci ->
+      |    list_reduce(
+      |      list_prepend(0::BIGINT,
+      |        list_transform(list_slice(w, ci * 8 + 1, ci * 8 + 8),
+      |          t -> (ord(substring(t, 1, 1)) * 131 + length(t))::BIGINT)),
+      |      (h, x) -> (h * 31 + x) % 1000000007))) AS chash
+      |  FROM t),
+      |g AS (SELECT chash, count(*) AS c FROM ch GROUP BY chash)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_chunks,
+      |  CAST(floor(10000.0 * sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) / count(*)) AS BIGINT) AS rep_bp
+      |FROM ch JOIN g USING (chash)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Canonical document fingerprint: md5 of the sorted distinct token
     * set — groups bag-of-words duplicates regardless of word order. */
   def fingerprint(documents: DataFrame): DataFrame =

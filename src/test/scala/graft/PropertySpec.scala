@@ -154,6 +154,22 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("sequence packing conserves docs and tokens at any shard count") {
+    import spark.implicits._
+    val texts = Gen.nonEmptyListOf(
+      Gen.chooseNum(1, 9).map(n => Seq.fill(n)("tok").mkString(" ")))
+    check(Prop.forAllNoShrink(texts, Gen.chooseNum(1, 7)) { (ts, shards) =>
+      val d = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = llm.Corpus.sequencePack(d, budget = 4, nShards = shards).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      val totalToks = ts.map(_.split(" ", -1).length.toLong).sum
+      out.map(_._2).sum == ts.length.toLong &&       // every doc in one bin
+        out.map(_._3).sum == totalToks &&            // tokens conserved
+        out.forall(_._1 < shards)                    // shard ids in range
+    }, n = 10)
+  }
+
   test("repetition score is bounded in (0, 10000] and 10000 iff single bigram") {
     import spark.implicits._
     val gen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c")).map(_.mkString(" "))

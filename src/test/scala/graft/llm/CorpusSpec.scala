@@ -104,6 +104,17 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 0L, 2L, 6L), (0L, 1L, 1L, 4L)))
   }
 
+  test("sequence packing shard count defaults to the cluster parallelism") {
+    import spark.implicits._
+    val d = (0L until 64L).map(i => (i, "one two three")).toDF("doc_id", "text")
+    val shards = Corpus.sequencePack(d).select("shard").distinct().collect()
+      .map(_.getLong(0)).toSet
+    // VERDICT r3 #6: the default must track defaultParallelism so the
+    // window sort is never narrower than the cluster
+    val p = spark.sparkContext.defaultParallelism.toLong
+    assert(shards === (0L until p).toSet)
+  }
+
   test("mixture weights equalize per-language token share") {
     import spark.implicits._
     val d = Seq(

@@ -68,4 +68,26 @@ class DedupSpec extends SparkSpec {
     assert(out.count() === 2)
     assert(out.filter(col("keeper") === 1 && col("n_copies") === 2).count() === 1)
   }
+
+  test("substring dedup flags repeated 8-token chunks, cross- and within-doc") {
+    import spark.implicits._
+    val t = (1 to 8).map(i => s"t$i").mkString(" ")   // shared chunk
+    val u = (1 to 8).map(i => s"u$i").mkString(" ")   // unique to doc 1
+    val w = (1 to 9).map(i => s"w$i").mkString(" ")   // unique, 9 toks → 1 chunk
+    val docs = Seq(
+      (1L, s"$t $u"),                      // 16 toks: [t-chunk][u-chunk]
+      (2L, s"$t extra words here"),        // 11 toks: [t-chunk] only
+      (3L, w),                             // 1 chunk, nowhere repeated
+      (4L, s"$u $u"),                      // same chunk TWICE within one doc
+      (5L, "too short"))                   // < 8 toks: no chunks, absent
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.substringDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 4's duplicated u-chunk also makes doc 1's u-chunk repeated
+    assert(out === Map(
+      1L -> ((2L, 2L, 10000L)),
+      2L -> ((1L, 1L, 10000L)),
+      3L -> ((1L, 0L, 0L)),
+      4L -> ((2L, 2L, 10000L))))
+  }
 }

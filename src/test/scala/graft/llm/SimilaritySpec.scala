@@ -67,4 +67,23 @@ class SimilaritySpec extends SparkSpec {
       assert(labels(r.getLong(0)) === labels(r.getLong(1)))
     }
   }
+
+  test("ann recall (q39) equals recall computed from the raw top-k frames") {
+    val emb = Tables.embeddings(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.cosineTopK(emb))
+    val expected = Map(
+      "ivf" -> pairs(Similarity.ivfTopK(emb)),
+      "srp_lsh" -> pairs(Similarity.lshTopK(emb)))
+    val got = Similarity.annRecall(emb).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (m, approx) =>
+      val hits = (truth intersect approx).size.toLong
+      val bp = math.floor(10000.0 * hits / truth.size).toLong
+      assert(got(m) === ((truth.size.toLong, hits, bp)), s"method $m")
+    }
+  }
 }

@@ -91,6 +91,22 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"no keyed join:\n$p")
   }
 
+  test("ngram counts (q67) run as a kernel: no Generate, top-k stays TakeOrdered") {
+    val p = plan(graft.llm.Corpus.ngramCounts(Tables.documents(spark, sf)))
+    // VERDICT r3 #1: the interpreted explode(transform(sequence(...)))
+    // path materialized millions of generated rows; the kernel emits
+    // pre-combined partials, so no Generate may reappear
+    assert(!p.contains("Generate"), s"explode crept back into q67:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k lost:\n$p")
+  }
+
+  test("substring dedup (q48) joins on the hash key, never cartesian") {
+    val p = plan(graft.llm.TextAnalysis.substringDedup(Tables.documents(spark, sf)))
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no keyed join:\n$p")
+  }
+
   test("sequence packing (q72) is one window pass, no join") {
     val p = plan(graft.llm.Corpus.sequencePack(Tables.documents(spark, sf)))
     assert(!p.contains("Join"), s"packing should not join:\n$p")
