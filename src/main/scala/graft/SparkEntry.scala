@@ -86,6 +86,7 @@ object SparkEntry {
     "q46_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokens(documents(s, d))),
     "q47_rolling_hash" -> ((s, d) => TextAnalysis.rollingHash(documents(s, d))),
     "q48_substring_dedup" -> ((s, d) => TextAnalysis.substringDedup(documents(s, d))),
+    "q49_quality_rules" -> ((s, d) => TextAnalysis.qualityRules(documents(s, d))),
     "q50_binary_meta" -> ((s, d) => Multimodal.binaryMeta(documents(s, d))),
     "q51_media_features" -> ((s, d) => Multimodal.mediaFeatures(documents(s, d))),
     "q55_frame_sample" -> ((s, d) => Multimodal.frameSample(documents(s, d))),
@@ -167,6 +168,7 @@ object SparkEntry {
     "q46_bpe_tokens" -> TextAnalysis.bpeTokensSql,
     "q47_rolling_hash" -> TextAnalysis.rollingHashSql,
     "q48_substring_dedup" -> TextAnalysis.substringDedupSql,
+    "q49_quality_rules" -> TextAnalysis.qualityRulesSql,
     "q50_binary_meta" -> Multimodal.binaryMetaSql,
     "q51_media_features" -> Multimodal.mediaFeaturesSql,
     "q55_frame_sample" -> Multimodal.frameSampleSql,

@@ -282,6 +282,98 @@ object TextAnalysis {
       |    (h, x) -> (h * 31 + x) % 1000000007) AS rhash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Gopher/C4-style rule-based quality filter: the standard
+    * pre-training document gate as hard pass/fail rules rather than the
+    * q44 weighted score. Every rule is EXACT INTEGER arithmetic
+    * (cross-multiplied ratios, never a float compare), so engine parity
+    * holds with no quantization caveats:
+    *   r_len    20 <= n_tokens <= 1000
+    *   r_word   3 <= mean token length <= 12   (3n <= sum_len <= 12n)
+    *   r_stop   at least 2 stopword-marker hits
+    *   r_digit  digit-only tokens are <= half of all tokens
+    *   r_rep    top bigram takes <= 20% of bigrams (5·top <= n_bigrams;
+    *            vacuously true for docs with < 2 tokens)
+    *   keep     all of the above
+    *
+    * One mapPartitions kernel computes every signal in a single pass
+    * over the tokens — per-row, shuffle-free; the scan is the cost at
+    * 100 TB. */
+  def qualityRules(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val stopSet: Set[String] = markers.values.flatten.toSet
+    graft.Tables.spread(documents.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val w = text.split(" ", -1)
+          var sumLen = 0L
+          var nStop = 0L
+          var nDigit = 0L
+          var i = 0
+          while (i < w.length) {
+            val t = w(i)
+            sumLen += t.codePointCount(0, t.length)
+            if (stopSet.contains(t)) nStop += 1
+            var allDigit = t.nonEmpty
+            var j = 0
+            while (allDigit && j < t.length) {
+              if (t.charAt(j) < '0' || t.charAt(j) > '9') allDigit = false
+              j += 1
+            }
+            if (allDigit) nDigit += 1
+            i += 1
+          }
+          val bigrams = new java.util.HashMap[String, Integer]()
+          var top = 0
+          i = 0
+          while (i < w.length - 1) {
+            val c = bigrams.merge(w(i) + " " + w(i + 1), 1, (a, b) => a + b)
+            if (c > top) top = c
+            i += 1
+          }
+          val n = w.length.toLong
+          val nb = math.max(w.length - 1, 0).toLong
+          val rLen = n >= 20 && n <= 1000
+          val rWord = 3 * n <= sumLen && sumLen <= 12 * n
+          val rStop = nStop >= 2
+          val rDigit = 2 * nDigit <= n
+          val rRep = nb == 0 || 5L * top <= nb
+          (id, n, rLen, rWord, rStop, rDigit, rRep,
+            rLen && rWord && rStop && rDigit && rRep)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "r_len", "r_word", "r_stop", "r_digit",
+        "r_rep", "keep")
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityRulesSql: String = {
+    val stop = markers.values.flatten.toSeq.sorted.map(m => s"'$m'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       |m AS (SELECT doc_id, len(w) AS n,
+       |  CAST(coalesce(list_sum(list_transform(w, t -> length(t))), 0) AS BIGINT) AS sum_len,
+       |  len(list_filter(w, t -> t IN ($stop))) AS n_stop,
+       |  len(list_filter(w, t -> regexp_full_match(t, '[0-9]+'))) AS n_digit
+       |FROM t),
+       |g AS (SELECT doc_id, max(c) AS top, CAST(sum(c) AS BIGINT) AS nb FROM (
+       |    SELECT doc_id, bigram, count(*) AS c FROM (
+       |      SELECT doc_id, unnest(list_transform(range(len(w) - 1),
+       |        j -> w[j+1] || ' ' || w[j+2])) AS bigram FROM t)
+       |    GROUP BY doc_id, bigram)
+       |  GROUP BY doc_id),
+       |f AS (SELECT m.doc_id, m.n AS n_tokens,
+       |  (m.n >= 20 AND m.n <= 1000) AS r_len,
+       |  (3 * m.n <= m.sum_len AND m.sum_len <= 12 * m.n) AS r_word,
+       |  (m.n_stop >= 2) AS r_stop,
+       |  (2 * m.n_digit <= m.n) AS r_digit,
+       |  (g.doc_id IS NULL OR 5 * g.top <= g.nb) AS r_rep
+       |FROM m LEFT JOIN g ON m.doc_id = g.doc_id)
+       |SELECT doc_id, n_tokens, r_len, r_word, r_stop, r_digit, r_rep,
+       |  (r_len AND r_word AND r_stop AND r_digit AND r_rep) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** Substring-level exact dedup (the suffix-array /
     * "deduplicate-text-datasets" operator family, chunk-granular): cut
     * each document's token stream into non-overlapping `chunk`-token

@@ -192,6 +192,31 @@ class CorpusSpec extends SparkSpec {
     assert(r(2L)._1 === 1L && r(2L)._3 < 2500L) // diverse
   }
 
+  test("quality rules gate on exact integer boundaries") {
+    import spark.implicits._
+    // 20 distinct tokens incl. two stop markers: passes everything
+    val good = (Seq("hash", "batch") ++
+      (1 to 18).map(i => f"tok$i%02d")).mkString(" ")
+    val docs = Seq(
+      (1L, good),
+      (2L, (1 to 19).map(i => f"tok$i%02d").mkString(" ")),  // 19 toks: r_len fails
+      (3L, (Seq("hash", "batch") ++ (1 to 18).map(_ => "42")).mkString(" ")), // digit-heavy
+      (4L, (Seq("hash", "batch") ++ (1 to 18).map(_ => "ab")).mkString(" "))) // short+repetitive
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.qualityRules(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+        r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))).toMap
+    assert(out(1L) === ((true, true, true, true, true, true)))
+    // doc 2: length gate fails, stop gate fails; everything else passes
+    assert(out(2L) === ((false, true, false, true, true, false)))
+    // doc 3: 18/20 digit-only → r_digit fails; top bigram "42 42" is
+    // 17/19 bigrams → r_rep fails
+    assert(out(3L)._4 === false && out(3L)._5 === false)
+    // doc 4: sum_len = 4+5+18·2 = 45 < 3·20 → r_word fails; "ab ab"
+    // dominates bigrams → r_rep fails; stop gate still passes
+    assert(out(4L) === ((true, false, true, true, false, false)))
+  }
+
   test("ngram counts are order-sensitive and include duplicates") {
     import spark.implicits._
     val d = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
