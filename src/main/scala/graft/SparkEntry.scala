@@ -114,7 +114,9 @@ object SparkEntry {
     "q72_sequence_pack" -> ((s, d) => Corpus.sequencePack(documents(s, d), nShards = 8)),
     "q73_mixture_weights" -> ((s, d) => Corpus.mixtureWeights(documents(s, d))),
     "q74_embedding_quantize" -> ((s, d) => Similarity.quantizeInt8(embeddings(s, d))),
-    "q75_source_stats" -> ((s, d) => Corpus.sourceStats(documents(s, d)))
+    "q75_source_stats" -> ((s, d) => Corpus.sourceStats(documents(s, d))),
+    "q76_length_histogram" -> ((s, d) => Corpus.lengthHistogram(documents(s, d))),
+    "q77_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -194,6 +196,8 @@ object SparkEntry {
     "q72_sequence_pack" -> Corpus.sequencePackSql,
     "q73_mixture_weights" -> Corpus.mixtureWeightsSql,
     "q74_embedding_quantize" -> Similarity.quantizeInt8Sql,
-    "q75_source_stats" -> Corpus.sourceStatsSql
+    "q75_source_stats" -> Corpus.sourceStatsSql,
+    "q76_length_histogram" -> Corpus.lengthHistogramSql,
+    "q77_semantic_dedup" -> Similarity.semanticDedupSql
   )
 }

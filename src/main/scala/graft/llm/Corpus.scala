@@ -212,6 +212,25 @@ object Corpus {
       |WHERE pr >= 0.1 AND pr <= 0.9
       |ORDER BY doc_id""".stripMargin
 
+  /** Document-length histogram: fixed-width bins of `n_chars` with
+    * per-bin doc counts and observed bounds — the corpus profile a
+    * curation pass reads before choosing length cutoffs (the q70 band
+    * trim acts on what this reports). Integer `div` binning on both
+    * engines, so bin membership is exact; one partial+final aggregate
+    * over a two-column scan is the entire cost at any corpus size. */
+  def lengthHistogram(documents: DataFrame, binWidth: Int = 50): DataFrame =
+    documents
+      .groupBy(expr(s"n_chars div $binWidth").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("bin"))
+
+  val lengthHistogramSql: String =
+    """SELECT n_chars // 50 AS bin, count(*) AS n_docs,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents GROUP BY bin ORDER BY bin""".stripMargin
+
   /** Repetition score (Gopher-style quality signal): the fraction of a
     * document's ordered bigrams taken by its single most frequent bigram,
     * floor-quantized to basis points. High values mark boilerplate /
@@ -269,18 +288,29 @@ object Corpus {
     * rounds — near-dup clusters are shallow, so typically 2-4. The
     * driver only compares counts between rounds; no graph data ever
     * reaches it. */
-  def nearDupComponents(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val pairs = Dedup.minhashLsh(documents, threshold)
-      .select(col("doc_a"), col("doc_b"))
+  def nearDupComponents(documents: DataFrame, threshold: Double = 0.8): DataFrame =
+    connectedComponents(
+      Dedup.minhashLsh(documents, threshold).select(col("doc_a"), col("doc_b")))
+      .select(col("keeper"), col("n_members").as("n_docs"))
+      .orderBy(col("keeper"))
+
+  /** Connected components over an undirected pair list (first two
+    * columns = the pair) by iterative min-label propagation; one row per
+    * component: (keeper = component minimum id, n_members). The shared
+    * engine behind text-LSH clustering (q68) and embedding-space
+    * SemDeDup (q77). */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val Array(aCol, bCol, _*) = pairs.columns
     // The graph is TINY relative to the corpus (only near-dup candidates
-    // survive the LSH band join — thousands of rows at any SF), but each
-    // propagation round is a join+agg whose fixed per-task cost dominates
-    // at shuffle-width parallelism. Pin both loop frames to a few
-    // hash-partitions on their join keys so every round is a handful of
-    // tasks; the expensive, corpus-wide work (LSH) happened upstream.
+    // survive the upstream blocking join — thousands of rows at any SF),
+    // but each propagation round is a join+agg whose fixed per-task cost
+    // dominates at shuffle-width parallelism. Pin both loop frames to a
+    // few hash-partitions on their join keys so every round is a handful
+    // of tasks; the expensive, corpus-wide work happened upstream.
     val loopParts = 4
     val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .select(col(aCol), col(bCol))
+      .union(pairs.select(col(bCol), col(aCol)))
       .toDF("src", "dst")
       .repartition(loopParts, col("dst"))
       .persist()
@@ -322,7 +352,7 @@ object Corpus {
     // for the session
     val out = labels
       .groupBy(col("label").as("keeper"))
-      .agg(count(lit(1)).as("n_docs"))
+      .agg(count(lit(1)).as("n_members"))
       .orderBy(col("keeper"))
       .localCheckpoint()
     cached.unpersist()

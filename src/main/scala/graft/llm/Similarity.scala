@@ -258,6 +258,33 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** SemDeDup-style semantic deduplication: embedding-cosine near-dup
+    * pairs (label-blocked, q36) → connected components → one keeper per
+    * cluster with its size. The embedding-space mirror of the text-side
+    * q68 pipeline, sharing the same min-label-propagation engine —
+    * at 100 TB the pair discovery is the blocked equi-join and the
+    * component graph is only the near-dup survivors. */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame =
+    Corpus.connectedComponents(
+      embeddingNearDup(embeddings, threshold).select(col("vec_a"), col("vec_b")))
+      .select(col("keeper"), col("n_members").as("n_vecs"))
+      .orderBy(col("keeper"))
+
+  /** Oracle: transitive closure (recursive CTE) over the q36 exact
+    * near-dup pairs. */
+  val semanticDedupSql: String =
+    s"""WITH RECURSIVE pr AS (SELECT vec_a, vec_b FROM ($embeddingNearDupSql) q),
+      |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr
+      |          UNION ALL SELECT vec_b, vec_a FROM pr),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |lab AS (SELECT src AS id, least(src, min(dst)) AS label
+      |        FROM reach GROUP BY src)
+      |SELECT label AS keeper, count(*) AS n_vecs
+      |FROM lab GROUP BY label ORDER BY keeper""".stripMargin
+
   /** ANN quality as a measured query: recall@k of the two approximate
     * indexes (IVF cells, SRP-LSH buckets) against the brute-force cosine
     * truth, one row per method. Turns "the index is approximately right"

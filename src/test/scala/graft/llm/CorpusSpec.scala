@@ -192,6 +192,16 @@ class CorpusSpec extends SparkSpec {
     assert(r(2L)._1 === 1L && r(2L)._3 < 2500L) // diverse
   }
 
+  test("length histogram bins by integer division with exact bounds") {
+    import spark.implicits._
+    val d = Seq((1L, 10L), (2L, 49L), (3L, 50L), (4L, 149L))
+      .toDF("doc_id", "n_chars")
+    val out = Corpus.lengthHistogram(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((0L, 2L, 10L, 49L), (1L, 1L, 50L, 50L),
+      (2L, 1L, 149L, 149L)))
+  }
+
   test("quality rules gate on exact integer boundaries") {
     import spark.implicits._
     // 20 distinct tokens incl. two stop markers: passes everything

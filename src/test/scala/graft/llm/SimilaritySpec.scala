@@ -68,6 +68,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup clusters near-identical embeddings transitively") {
+    import spark.implicits._
+    // label 1: v1≈v2≈v3 chain (cos ≈ 1), v7 orthogonal; label 2: v8≈v9.
+    // v4 matches v1 in direction but sits in label 2 — blocking keeps
+    // them apart, mirroring the IVF-cell blocking of the pair stage.
+    val d = Seq(
+      (1L, Array(1f, 0f, 0f), 1),
+      (2L, Array(0.99f, 0.01f, 0f), 1),
+      (3L, Array(0.98f, 0.02f, 0f), 1),
+      (7L, Array(0f, 0f, 1f), 1),
+      (4L, Array(1f, 0f, 0f), 2),
+      (8L, Array(0f, 1f, 0f), 2),
+      (9L, Array(0f, 0.99f, 0.01f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDedup(d, threshold = 0.9).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {1,2,3} one cluster; {8,9} one cluster; 4 and 7 pair with nothing
+    assert(out === Map(1L -> 3L, 8L -> 2L))
+  }
+
   test("ann recall (q39) equals recall computed from the raw top-k frames") {
     val emb = Tables.embeddings(spark, sf)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =

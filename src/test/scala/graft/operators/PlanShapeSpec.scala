@@ -107,6 +107,12 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"no keyed join:\n$p")
   }
 
+  test("quality rules (q49) are a pure per-row kernel — no join, no aggregate") {
+    val p = plan(graft.llm.TextAnalysis.qualityRules(Tables.documents(spark, sf)))
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(!p.contains("HashAggregate"), s"unexpected aggregate:\n$p")
+  }
+
   test("sequence packing (q72) is one window pass, no join") {
     val p = plan(graft.llm.Corpus.sequencePack(Tables.documents(spark, sf)))
     assert(!p.contains("Join"), s"packing should not join:\n$p")
