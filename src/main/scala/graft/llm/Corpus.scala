@@ -298,27 +298,34 @@ object Corpus {
     * columns = the pair) by iterative min-label propagation; one row per
     * component: (keeper = component minimum id, n_members). The shared
     * engine behind text-LSH clustering (q68) and embedding-space
-    * SemDeDup (q77). */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+    * SemDeDup (q77).
+    *
+    * `loopParts` controls the loop's partition width. The graph is small
+    * relative to the corpus (only near-dup candidates survive the
+    * upstream blocking join), so each propagation round is a join+agg
+    * whose fixed per-task cost dominates at full shuffle width — pinning
+    * both loop frames to a few hash-partitions on their join keys makes
+    * every round a handful of tasks. The default tracks the cluster
+    * (defaultParallelism/8, floor 4) so a 1000-executor run still gets
+    * hundreds of partitions for a billion-edge graph while local runs
+    * stay at 4. */
+  def connectedComponents(pairs: DataFrame, loopParts: Int = -1): DataFrame = {
     val Array(aCol, bCol, _*) = pairs.columns
-    // The graph is TINY relative to the corpus (only near-dup candidates
-    // survive the upstream blocking join — thousands of rows at any SF),
-    // but each propagation round is a join+agg whose fixed per-task cost
-    // dominates at shuffle-width parallelism. Pin both loop frames to a
-    // few hash-partitions on their join keys so every round is a handful
-    // of tasks; the expensive, corpus-wide work happened upstream.
-    val loopParts = 4
+    val parts =
+      if (loopParts > 0) loopParts
+      else math.max(4,
+        pairs.sparkSession.sparkContext.defaultParallelism / 8)
     val edges = pairs
       .select(col(aCol), col(bCol))
       .union(pairs.select(col(bCol), col(aCol)))
       .toDF("src", "dst")
-      .repartition(loopParts, col("dst"))
+      .repartition(parts, col("dst"))
       .persist()
     // `cached` is the frame holding this round's persist/checkpoint (the
     // thing to unpersist); `labels` is the (id, label) view of it
     var cached = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .repartition(loopParts, col("id"))
+      .repartition(parts, col("id"))
       .persist()
     var labels = cached
     var changed = 1L

@@ -154,6 +154,24 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("substring dedup reports exact chunk counts and bounded rep_bp") {
+    import spark.implicits._
+    // tiny alphabet so repeated 8-token chunks actually occur
+    val gen = Gen.listOfN(20, Gen.oneOf("a", "b")).map(_.mkString(" "))
+    check(Prop.forAllNoShrink(Gen.nonEmptyListOf(gen)) { texts =>
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = llm.TextAnalysis.substringDedup(d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      out.length == texts.length &&                     // 20 toks → 2 chunks each
+        out.forall { case (id, nc, nr, bp) =>
+          nc == texts(id.toInt).split(" ", -1).length / 8 &&
+            nr >= 0 && nr <= nc &&
+            bp == math.floor(10000.0 * nr / nc).toLong
+        }
+    }, n = 10)
+  }
+
   test("sequence packing conserves docs and tokens at any shard count") {
     import spark.implicits._
     val texts = Gen.nonEmptyListOf(
