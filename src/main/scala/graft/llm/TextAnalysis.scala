@@ -384,12 +384,14 @@ object TextAnalysis {
     * doc-level dedup.
     *
     * 100 TB shape: documents never pair with each other — each doc emits
-    * O(tokens/chunk) 16-byte (doc_id, hash) rows, the corpus-wide
-    * repetition count is one hash aggregate on the 8-byte hash key, and
-    * the join back is hash-equi-keyed. Nothing is all-pairs and no text
-    * leaves the executor. The hash arithmetic is the q47 kernel's exact
-    * modular fold (first-char·131 + codepoint-length, h·31+x mod 1e9+7),
-    * so the DuckDB oracle replicates it bit-for-bit. */
+    * O(tokens/chunk) 16-byte (doc_id, hash) rows and the corpus-wide
+    * repetition count is a window count over the 8-byte hash key, so the
+    * text is scanned and chunk-hashed exactly ONCE (a self-join
+    * formulation would run the kernel per join side) and only the id/hash
+    * pairs shuffle — twice (by hash, then by doc). Nothing is all-pairs
+    * and no text leaves the executor. The hash arithmetic is the q47
+    * kernel's exact modular fold (first-char·131 + codepoint-length,
+    * h·31+x mod 1e9+7), so the DuckDB oracle replicates it bit-for-bit. */
   def substringDedup(documents: DataFrame, chunk: Int = 8): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -410,8 +412,8 @@ object TextAnalysis {
         }
       })
       .toDF("doc_id", "chash")
-    val freq = chunks.groupBy(col("chash")).agg(count(lit(1)).as("c"))
-    chunks.join(freq, "chash")
+    chunks
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("chash"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("c") > 1, lit(1L)).otherwise(lit(0L))).as("n_rep_chunks"))
