@@ -116,7 +116,8 @@ object SparkEntry {
     "q74_embedding_quantize" -> ((s, d) => Similarity.quantizeInt8(embeddings(s, d))),
     "q75_source_stats" -> ((s, d) => Corpus.sourceStats(documents(s, d))),
     "q76_length_histogram" -> ((s, d) => Corpus.lengthHistogram(documents(s, d))),
-    "q77_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(embeddings(s, d)))
+    "q77_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(embeddings(s, d))),
+    "q78_stopword_filter" -> ((s, d) => TextAnalysis.stopwordFilter(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -198,6 +199,7 @@ object SparkEntry {
     "q74_embedding_quantize" -> Similarity.quantizeInt8Sql,
     "q75_source_stats" -> Corpus.sourceStatsSql,
     "q76_length_histogram" -> Corpus.lengthHistogramSql,
-    "q77_semantic_dedup" -> Similarity.semanticDedupSql
+    "q77_semantic_dedup" -> Similarity.semanticDedupSql,
+    "q78_stopword_filter" -> TextAnalysis.stopwordFilterSql
   )
 }

@@ -440,6 +440,31 @@ object TextAnalysis {
       |FROM ch JOIN g USING (chash)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Stopword filter: drop marker stopwords from each document's token
+    * stream, reporting the removal count and a content hash of the
+    * cleaned text (piiRedact's pattern — the text itself never leaves
+    * the executor). Declarative codegen'd higher-order filter; pure
+    * per-row work, shuffle-free, the scan is the cost at 100 TB. */
+  def stopwordFilter(documents: DataFrame): DataFrame = {
+    val stop = markers.values.flatten.toSeq.sorted
+    val w = words(col("text"))
+    val cleaned = filter(w, t => !t.isInCollection(stop))
+    documents.select(
+      col("doc_id"),
+      (size(w) - size(cleaned)).cast("long").as("n_removed"),
+      md5(array_join(cleaned, " ").cast("binary")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val stopwordFilterSql: String = {
+    val stop = markers.values.flatten.toSeq.sorted.map(m => s"'$m'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       |f AS (SELECT doc_id, w, list_filter(w, t -> t NOT IN ($stop)) AS c FROM t)
+       |SELECT doc_id, CAST(len(w) - len(c) AS BIGINT) AS n_removed,
+       |  md5(array_to_string(c, ' ')) AS clean_md5
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** Canonical document fingerprint: md5 of the sorted distinct token
     * set — groups bag-of-words duplicates regardless of word order. */
   def fingerprint(documents: DataFrame): DataFrame =

@@ -192,6 +192,23 @@ class CorpusSpec extends SparkSpec {
     assert(r(2L)._1 === 1L && r(2L)._3 < 2500L) // diverse
   }
 
+  test("stopword filter removes only marker tokens and hashes the remainder") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the data row stays here"),     // removes the/data/row
+      (2L, "nothing matches at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.stopwordFilter(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L)._1 === 3L)
+    assert(out(2L)._1 === 0L)
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L)._2 === md5("stays here"))
+    assert(out(2L)._2 === md5("nothing matches at all"))
+  }
+
   test("length histogram bins by integer division with exact bounds") {
     import spark.implicits._
     val d = Seq((1L, 10L), (2L, 49L), (3L, 50L), (4L, 149L))
