@@ -93,6 +93,16 @@ class CorpusSpec extends SparkSpec {
     assert(comps === Map(1L -> 12L))
   }
 
+  test("connected components on a pair-free corpus return empty, not error") {
+    import spark.implicits._
+    val d = Seq((1L, "first unique document text"),
+      (2L, "second entirely different words")).toDF("doc_id", "text")
+    assert(Corpus.nearDupComponents(d).collect().isEmpty)
+    val e = Seq((1L, Array(1f, 0f), 1), (2L, Array(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.semanticDedup(e, threshold = 0.9).collect().isEmpty)
+  }
+
   test("sequence packing assigns docs to the context window where they start") {
     import spark.implicits._
     // one shard, budget 5: token counts 3,3,4 concat-chunk as
