@@ -315,10 +315,15 @@ object Corpus {
       if (loopParts > 0) loopParts
       else math.max(4,
         pairs.sparkSession.sparkContext.defaultParallelism / 8)
+    // both orientations from ONE evaluation of the pair plan — a
+    // union(pairs, pairs.swapped) would run the upstream candidate
+    // discovery (LSH band join / blocked cosine join) once per branch
     val edges = pairs
-      .select(col(aCol), col(bCol))
-      .union(pairs.select(col(bCol), col(aCol)))
-      .toDF("src", "dst")
+      .select(explode(array(
+        struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+        struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(parts, col("dst"))
       .persist()
     // `cached` is the frame holding this round's persist/checkpoint (the
