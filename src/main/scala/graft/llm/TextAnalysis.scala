@@ -52,7 +52,9 @@ object TextAnalysis {
           var i = 0
           while (i < w.length) {
             val t = w(i)
-            sumLen += t.length
+            // code points, not UTF-16 units — DuckDB length() counts code
+            // points, so astral-plane tokens would otherwise diverge
+            sumLen += t.codePointCount(0, t.length)
             if (t == "the") hasThe = true
             if (stopSet.contains(t)) nStop += 1
             var m = 0

@@ -202,6 +202,17 @@ class CorpusSpec extends SparkSpec {
     assert(r(2L)._1 === 1L && r(2L)._3 < 2500L) // diverse
   }
 
+  test("token stats count code points, not UTF-16 units (astral-plane parity)") {
+    import spark.implicits._
+    // "🚀🚀" is 2 code points but 4 UTF-16 chars — DuckDB length() counts
+    // code points, so the kernel must too
+    val d = Seq((1L, "🚀🚀 ab", 5L))
+      .toDF("doc_id", "text", "n_chars")
+    val r = TextAnalysis.tokenStats(d).collect()(0)
+    assert(r.getLong(1) === 2L)                 // n_tokens
+    assert(r.getDouble(3) === 2.0)              // avg_token_len = (2+2)/2
+  }
+
   test("stopword filter removes only marker tokens and hashes the remainder") {
     import spark.implicits._
     val d = Seq(
