@@ -110,6 +110,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected window repetition count:\n$p")
   }
 
+  test("ann recall (q39) scores via equi-joins, never a cartesian") {
+    val p = plan(graft.llm.Similarity.annRecall(Tables.embeddings(spark, sf)))
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
   test("quality rules (q49) are a pure per-row kernel — no join, no aggregate") {
     val p = plan(graft.llm.TextAnalysis.qualityRules(Tables.documents(spark, sf)))
     assert(!p.contains("Join"), s"unexpected join:\n$p")
