@@ -117,7 +117,11 @@ object SparkEntry {
     "q75_source_stats" -> ((s, d) => Corpus.sourceStats(documents(s, d))),
     "q76_length_histogram" -> ((s, d) => Corpus.lengthHistogram(documents(s, d))),
     "q77_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(embeddings(s, d))),
-    "q78_stopword_filter" -> ((s, d) => TextAnalysis.stopwordFilter(documents(s, d)))
+    "q78_stopword_filter" -> ((s, d) => TextAnalysis.stopwordFilter(documents(s, d))),
+    "q79_skew_join" -> ((s, d) =>
+      graft.operators.Skew.skewJoinAgg(orders(s, d), customer(s, d))),
+    "q80_struct_ops" -> ((s, d) => Relational.structOps(customer(s, d))),
+    "q81_decimal_agg" -> ((s, d) => Relational.decimalAgg(lineitem(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -200,6 +204,9 @@ object SparkEntry {
     "q75_source_stats" -> Corpus.sourceStatsSql,
     "q76_length_histogram" -> Corpus.lengthHistogramSql,
     "q77_semantic_dedup" -> Similarity.semanticDedupSql,
-    "q78_stopword_filter" -> TextAnalysis.stopwordFilterSql
+    "q78_stopword_filter" -> TextAnalysis.stopwordFilterSql,
+    "q79_skew_join" -> graft.operators.Skew.skewJoinAggSql,
+    "q80_struct_ops" -> Relational.structOpsSql,
+    "q81_decimal_agg" -> Relational.decimalAggSql
   )
 }

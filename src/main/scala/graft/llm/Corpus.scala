@@ -440,12 +440,15 @@ object Corpus {
       size(split(col("text"), " ", -1)).cast("long").as("n_toks"))
     val perLang = toks.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("lang_tokens"))
-    // both sides of the ratio are exact integers, so the double division
-    // and floor-quantization to basis points replicate bit-identically
-    val tot = Window.partitionBy()
-    perLang
-      .withColumn("total_tokens", sum(col("lang_tokens")).over(tot))
-      .withColumn("n_langs", count(lit(1)).over(tot))
+    // corpus totals as a broadcast 1-row frame (the q42 df/N pattern) —
+    // an unpartitioned window here would force a single-partition
+    // WindowExec, a scale-killer if the pattern ever migrates upstream
+    // of the aggregate. Both sides of the ratio are exact integers, so
+    // the double division and floor-quantization to basis points
+    // replicate bit-identically.
+    val totals = perLang.agg(
+      sum(col("lang_tokens")).as("total_tokens"), count(lit(1)).as("n_langs"))
+    perLang.crossJoin(broadcast(totals))
       .select(col("lang"), col("n_docs"), col("lang_tokens"),
         floor(lit(10000.0) * col("total_tokens") /
           (col("n_langs") * col("lang_tokens"))).cast("long").as("weight_bp"))

@@ -740,6 +740,92 @@ object Relational {
       |  round(max(o_totalprice), 2) AS mx
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q80: nested-struct (UDT-shaped) column derivation, field access,
+  // and filtering — the CQL UDT/tuple → nested StructType mapping from
+  // SURVEY §1.2, exercised end-to-end through the oracle. The struct is
+  // built, filtered THROUGH (a predicate on a 2-deep field), and
+  // projected back to scalars; Catalyst collapses the field accesses to
+  // the underlying columns, so pushdown/pruning still reach the scan —
+  // the plan must look as if the struct never existed (the property a
+  // UDT mapping needs at 100 TB).
+  // --------------------------------------------------------------------
+  def structOps(customer: DataFrame): DataFrame =
+    customer
+      .withColumn("profile", struct(
+        col("c_name").as("name"),
+        struct(col("c_nationkey").as("nat"), col("c_acctbal").as("bal"),
+          col("c_mktsegment").as("seg")).as("acct")))
+      .filter(col("profile.acct.bal") > 5000 &&
+        col("profile.acct.seg").isin("BUILDING", "MACHINERY"))
+      .select(col("c_custkey"), col("profile.name").as("name"),
+        col("profile.acct.nat").as("nat"), col("profile.acct.bal").as("bal"))
+      .orderBy(col("c_custkey"))
+
+  // Oracle mirrors the struct round-trip with struct_pack + dotted
+  // field access (no arithmetic — values pass through untouched).
+  val structOpsSql: String =
+    """WITH s AS (SELECT c_custkey,
+      |    struct_pack(name := c_name,
+      |      acct := struct_pack(nat := c_nationkey, bal := c_acctbal,
+      |                          seg := c_mktsegment)) AS profile
+      |  FROM customer)
+      |SELECT c_custkey, profile.name AS name, profile.acct.nat AS nat,
+      |  profile.acct.bal AS bal
+      |FROM s
+      |WHERE profile.acct.bal > 5000
+      |  AND profile.acct.seg IN ('BUILDING', 'MACHINERY')
+      |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q81: DecimalType(38,18) end-to-end — the decimal/varint mapping
+  // from SURVEY §1.2. Decimals are built from exact integers (bigint →
+  // decimal cast is exact on both engines; double → decimal is NOT —
+  // the engines round the binary expansion differently), then summed
+  // and added IN decimal: decimal addition is exact and
+  // order-independent, so the aggregate is bit-identical across any
+  // partitioning — no float caveats, no quantization. Sum of
+  // decimal(38,18) stays decimal(38,18) on both engines. avg is
+  // deliberately the floor-bp integer pattern (DuckDB's avg(DECIMAL)
+  // returns DOUBLE, so a decimal avg has no strict-dtype oracle).
+  // --------------------------------------------------------------------
+  def decimalAgg(lineitem: DataFrame): DataFrame = {
+    val qtyDec = col("l_quantity").cast("long").cast("decimal(38,18)")
+    val centsDec = round(col("l_extendedprice") * 100).cast("long")
+      .cast("decimal(38,18)")
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(qtyDec).as("sum_qty_dec"),
+        sum(centsDec).as("sum_cents_dec"),
+        sum(qtyDec + centsDec).as("sum_both_dec"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty_dec") > lit(new java.math.BigDecimal(100)))
+      // decimal ADD re-scales to (38,17) under Spark's precision rules;
+      // pin the declared (38,18) so the parquet logical type (and its
+      // float64 image in the comparator) matches the oracle exactly
+      .select(col("l_returnflag"), col("n"), col("sum_qty_dec"),
+        col("sum_cents_dec"), col("sum_both_dec").cast("decimal(38,18)").as("sum_both_dec"),
+        floor(lit(10000.0) * col("sum_qty") / col("n")).cast("long")
+          .as("avg_qty_bp"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val decimalAggSql: String =
+    """WITH d AS (SELECT l_returnflag,
+      |    CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,18)) AS qd,
+      |    CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,18)) AS cd,
+      |    CAST(l_quantity AS BIGINT) AS qi
+      |  FROM lineitem)
+      |SELECT l_returnflag, count(*) AS n,
+      |  sum(qd) AS sum_qty_dec,
+      |  sum(cd) AS sum_cents_dec,
+      |  sum(qd + cd) AS sum_both_dec,
+      |  CAST(floor(10000.0 * sum(qi) / count(*)) AS BIGINT) AS avg_qty_bp
+      |FROM d GROUP BY l_returnflag
+      |HAVING sum(qd) > 100
+      |ORDER BY l_returnflag""".stripMargin
+
   // Oracle: the O(n²) formulation — same answer, only viable at oracle SF.
   // `<=` matches the AsOf operator's right-sorts-first tie handling.
   val asofJoinSql: String =

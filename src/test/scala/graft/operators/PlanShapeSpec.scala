@@ -136,6 +136,52 @@ class PlanShapeSpec extends SparkSpec {
       s"unexpected hash exchange:\n$p")
   }
 
+  test("salted skew join (q79) bounds every partition's share of the hot key") {
+    // deliberately skewed input: ~2/3 of orders on ONE key. Unsalted,
+    // that key's rows land in a single reducer partition; salted, no
+    // partition may hold more than a bounded share of the join output.
+    val orders = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf)
+    val skewed = orders.select(
+      when(col("o_orderkey") % 3 =!= 0, lit(1L)).otherwise(col("o_custkey")).as("k"),
+      col("o_totalprice"))
+    val dim = customer.select(col("c_custkey").as("k"), col("c_nationkey"))
+      .hint("shuffle_hash")
+    val joined = Skew.saltedJoin(skewed, dim, "k", 16)
+    val p = plan(joined)
+    assert(!p.contains("BroadcastHashJoin"),
+      s"dim was broadcast — salting demo degenerates:\n$p")
+    // the join key must be the COMPOSITE (k, _salt) — that is the whole
+    // mechanism: the hot key becomes `salts` distinct shuffle keys
+    assert(p.contains("_salt"), s"salt column absent from the plan:\n$p")
+    // physical dispersion check needs AQE's small-partition coalescing
+    // off — at test scale it legitimately merges everything into one
+    // partition, which says nothing about the at-scale key layout
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val counts = joined.rdd
+        .mapPartitions(it => Iterator.single(it.size.toLong)).collect()
+      val total = counts.sum.toDouble
+      assert(total > 0)
+      // hot key is ~2/3 of rows; unsalted it lands in ONE of the 4 test
+      // reducers (>66% share). Salted over 16 sub-keys no reducer should
+      // exceed a bounded share.
+      assert(counts.max / total < 0.4,
+        s"skew not dispersed: max share ${counts.max / total}")
+    } finally conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("struct ops (q80) collapse field access — pushdown reaches the scan") {
+    val p = plan(Relational.structOps(Tables.customer(spark, sf)))
+    // the filter on profile.acct.bal must reach parquet as a plain
+    // c_acctbal pushdown — the struct wrapper shouldn't block it
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(c_acctbal,5000"),
+      s"struct field filter not pushed to scan:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
   test("string<->bytes codec round-trips (reference SparkUtils.scala:49-54)") {
     import graft.functions.Codec
     val s = "graft: ünïcode too"
