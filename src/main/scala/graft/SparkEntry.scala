@@ -121,7 +121,8 @@ object SparkEntry {
     "q79_skew_join" -> ((s, d) =>
       graft.operators.Skew.skewJoinAgg(orders(s, d), customer(s, d))),
     "q80_struct_ops" -> ((s, d) => Relational.structOps(customer(s, d))),
-    "q81_decimal_agg" -> ((s, d) => Relational.decimalAgg(lineitem(s, d)))
+    "q81_decimal_agg" -> ((s, d) => Relational.decimalAgg(lineitem(s, d))),
+    "q82_pq_adc" -> ((s, d) => Similarity.pqTopK(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -207,6 +208,7 @@ object SparkEntry {
     "q78_stopword_filter" -> TextAnalysis.stopwordFilterSql,
     "q79_skew_join" -> graft.operators.Skew.skewJoinAggSql,
     "q80_struct_ops" -> Relational.structOpsSql,
-    "q81_decimal_agg" -> Relational.decimalAggSql
+    "q81_decimal_agg" -> Relational.decimalAggSql,
+    "q82_pq_adc" -> Similarity.pqTopKSql
   )
 }

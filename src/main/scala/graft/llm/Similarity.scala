@@ -221,20 +221,26 @@ object Similarity {
     * ordinary partial+final hash aggregate with O(dim) state per cell —
     * cell membership (N/nCells vectors at 100 TB) never materializes in
     * one buffer. */
-  def ivfTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
-              nCells: Int = 3): DataFrame = {
-    val dim = 64
-    val v = embeddings.select(col("vec_id"), col("label"), col("embedding"),
-      l2norm(col("embedding")).as("nrm"))
-    // per-cell centroid: one exact decimal sum per dimension, then a
-    // deterministic double division by the member count
+  /** Per-label mean vector as the deterministic coarse codebook: one
+    * exact DECIMAL(38,12) sum per dimension (order-independent, O(dim)
+    * aggregate state), then a deterministic double division by the
+    * member count. Shared by the IVF cells (q37) and the PQ subspace
+    * codebooks (q82). */
+  private[llm] def labelCentroids(embeddings: DataFrame, dim: Int = 64): DataFrame = {
     val dimSums = (1 to dim).map(i =>
       sum(element_at(col("embedding"), i).cast("decimal(38,12)")).as(s"s$i"))
-    val cells = v.groupBy(col("label"))
+    embeddings.groupBy(col("label"))
       .agg(count(lit(1)).as("cnt"), dimSums: _*)
       .select(col("label").as("cell"),
         array((1 to dim).map(i =>
           col(s"s$i").cast("double") / col("cnt")): _*).as("centroid"))
+  }
+
+  def ivfTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
+              nCells: Int = 3): DataFrame = {
+    val v = embeddings.select(col("vec_id"), col("label"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val cells = labelCentroids(embeddings)
     val probes = v.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
     // rank cells per probe by centroid cosine, keep nCells
@@ -310,6 +316,7 @@ object Similarity {
             .as("recall_bp"))
     }
     scored("ivf", ivfTopK(embeddings, nProbes, k))
+      .unionAll(scored("pq_adc", pqTopK(embeddings, nProbes, k)))
       .unionAll(scored("srp_lsh", lshTopK(embeddings, nProbes, k)))
       .orderBy(col("method"))
   }
@@ -360,6 +367,105 @@ object Similarity {
       |    END AS mse
       |FROM v ORDER BY vec_id""".stripMargin
 
+  /** Product quantization with asymmetric-distance scoring (the back
+    * half of the PQ family; q74's int8 scalar quantization is the front
+    * half): split the 64-dim space into `m` contiguous subspaces, give
+    * each subspace a codebook (the per-label decimal-sum centroids of
+    * [[labelCentroids]], sliced per subspace — deterministic, k-means-
+    * free), encode every corpus vector as its per-subspace nearest
+    * codeword, and score probes asymmetrically: the EXACT probe against
+    * each vector's quantized reconstruction, ranked by quantized cosine.
+    *
+    * 100 TB shape: the codebook is m × K × (dim/m) doubles — a 1-row
+    * broadcast (the q42 df/N pattern; the collect_list holds K=#labels
+    * entries, bounded by the codebook size, never corpus membership).
+    * Encoding is a pure per-row fold over the broadcast codebook —
+    * shuffle-free, the scan is the cost; an encoded vector is m small
+    * ints (the whole point of PQ: the index fits in memory at 100 TB
+    * where raw vectors don't). Scoring is the q35 broadcast-probe shape
+    * over reconstructions, WindowGroupLimit before any exchange.
+    *
+    * Parity: codeword choice is a strict-less fold in codeword order
+    * (ties → smallest cell, mirrored by the oracle's ORDER BY d2, cell);
+    * subspace distances and the final cosine are the same IEEE op
+    * sequence on both engines. */
+  def pqTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
+             m: Int = 8): DataFrame = {
+    val dim = 64
+    val sub = dim / m
+    val cb = labelCentroids(embeddings)
+      .agg(sort_array(collect_list(struct(col("cell"), col("centroid")))).as("cb"))
+    // per-subspace nearest codeword, keeping its centroid slice — the
+    // reconstruction is assembled inline so scoring needs no second join
+    val qsubs = (0 until m).map { mi =>
+      val lo = mi * sub + 1
+      val zero = struct(lit(Double.MaxValue).as("d2"),
+        array_repeat(lit(0.0), sub).as("sub"))
+      aggregate(col("cb"), zero, (acc, c) => {
+        val cs = slice(c.getField("centroid"), lo, sub)
+        val d2c = aggregate(
+          zip_with(slice(col("embedding"), lo, sub), cs,
+            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (s, x) => s + x)
+        when(d2c < acc.getField("d2"),
+          struct(d2c.as("d2"), cs.as("sub"))).otherwise(acc)
+      }).getField("sub").as(s"q$mi")
+    }
+    val recon = embeddings.crossJoin(broadcast(cb))
+      .select(col("vec_id") +: qsubs: _*)
+      .select(col("vec_id"),
+        concat((0 until m).map(i => col(s"q$i")): _*).as("qvec"))
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        l2norm(col("embedding")).as("pn"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("qcos").desc, col("vec_id"))
+    recon.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("qcos", round(
+        aggregate(zip_with(col("pe"), col("qvec"),
+          (a, b) => a.cast("double") * b), lit(0.0), (s, x) => s + x) /
+        (col("pn") * sqrt(aggregate(col("qvec"), lit(0.0),
+          (s, x) => s + x * x))), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("qcos"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Bit-exact DuckDB oracle for [[pqTopK]] at the registered defaults
+    * (m=8 subspaces of 8 dims, 10 probes, k=5): the q37 decimal-sum
+    * centroids sliced per subspace, per-(vector, subspace) argmin with
+    * ties on cell, reconstruction by ordered flatten, then the same
+    * rounded quantized-cosine ranking as the Spark side. */
+  val pqTopKSql: String =
+    """WITH cl AS (SELECT label AS cell, d.range AS d, count(*) AS cnt,
+      |         sum(CAST(CAST(embedding[d.range + 1] AS DOUBLE) AS DECIMAL(38,12))) AS s
+      |       FROM embeddings, range(64) d GROUP BY label, d.range),
+      |cells AS (SELECT cell, list(CAST(s AS DOUBLE) / cnt ORDER BY d) AS centroid
+      |  FROM cl GROUP BY cell),
+      |sd AS (SELECT e.vec_id, m.range AS m, c.cell,
+      |    list_sum(list_transform(range(8), j ->
+      |      (e.embedding[m.range * 8 + j + 1]::DOUBLE - c.centroid[m.range * 8 + j + 1])
+      |      * (e.embedding[m.range * 8 + j + 1]::DOUBLE - c.centroid[m.range * 8 + j + 1]))) AS d2
+      |  FROM embeddings e CROSS JOIN cells c CROSS JOIN range(8) m),
+      |bs AS (SELECT vec_id, m, cell,
+      |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) AS rn
+      |  FROM sd),
+      |qv AS (SELECT b.vec_id,
+      |    flatten(list(list_slice(c.centroid, b.m * 8 + 1, b.m * 8 + 8) ORDER BY b.m)) AS qvec
+      |  FROM bs b JOIN cells c ON c.cell = b.cell WHERE b.rn = 1 GROUP BY b.vec_id),
+      |p AS (SELECT vec_id AS probe_id, embedding AS pe,
+      |        sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS pn
+      |      FROM embeddings WHERE vec_id < 10),
+      |pairs AS (SELECT p.probe_id, q.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(range(64), dd -> p.pe[dd + 1]::DOUBLE * q.qvec[dd + 1]))
+      |      / (p.pn * sqrt(list_sum(list_transform(q.qvec, x -> x * x)))), 4) AS qcos
+      |  FROM p JOIN qv q ON q.vec_id != p.probe_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |        ORDER BY qcos DESC, neighbor_id) rnk FROM pairs)
+      |SELECT probe_id, neighbor_id, qcos, rnk FROM r WHERE rnk <= 5
+      |ORDER BY probe_id, rnk""".stripMargin
+
   /** Bit-exact DuckDB oracle for [[ivfTopK]] at the registered defaults:
     * centroids as per-dimension DECIMAL(38,12) sums over double-widened
     * floats (exact, order-independent — matching the Spark side's
@@ -397,12 +503,18 @@ object Similarity {
   val annRecallSql: String =
     s"""WITH truth AS (SELECT probe_id, neighbor_id FROM ($cosineTopKSql) q),
       |ivf AS (SELECT probe_id, neighbor_id FROM ($ivfTopKSql) q),
+      |pq AS (SELECT probe_id, neighbor_id FROM ($pqTopKSql) q),
       |lsh AS (SELECT probe_id, neighbor_id FROM ($lshTopKSql) q),
       |m AS (
       |  SELECT 'ivf' AS method, count(*) AS n_truth,
       |    CAST(sum(CASE WHEN i.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
       |  FROM truth t LEFT JOIN ivf i
       |    ON i.probe_id = t.probe_id AND i.neighbor_id = t.neighbor_id
+      |  UNION ALL
+      |  SELECT 'pq_adc' AS method, count(*) AS n_truth,
+      |    CAST(sum(CASE WHEN p.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      |  FROM truth t LEFT JOIN pq p
+      |    ON p.probe_id = t.probe_id AND p.neighbor_id = t.neighbor_id
       |  UNION ALL
       |  SELECT 'srp_lsh' AS method, count(*) AS n_truth,
       |    CAST(sum(CASE WHEN l.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits

@@ -88,6 +88,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out === Map(1L -> 3L, 8L -> 2L))
   }
 
+  test("PQ ADC (q82): k rows per probe, deterministic under repartitioning") {
+    val emb = Tables.embeddings(spark, sf)
+    val pq = Similarity.pqTopK(emb)
+    val byProbe = pq.collect().groupBy(_.getLong(0))
+    assert(byProbe.size === 10)
+    assert(byProbe.values.forall(_.length === 5))
+    // deterministic under repartitioning: decimal codebooks + per-row
+    // encoding must not depend on the physical layout
+    val pq2 = Similarity.pqTopK(emb.repartition(7))
+    assert(pq.collect().toSeq === pq2.collect().toSeq)
+    // sanity: overlap with brute force is nonzero at the registered
+    // m=8 on the planted fixture (q39 tracks the exact recall number)
+    val truth = Similarity.cosineTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = pq.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((truth intersect approx).nonEmpty, "PQ recall is zero")
+  }
+
   test("ann recall (q39) equals recall computed from the raw top-k frames") {
     val emb = Tables.embeddings(spark, sf)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
@@ -95,6 +113,7 @@ class SimilaritySpec extends SparkSpec {
     val truth = pairs(Similarity.cosineTopK(emb))
     val expected = Map(
       "ivf" -> pairs(Similarity.ivfTopK(emb)),
+      "pq_adc" -> pairs(Similarity.pqTopK(emb)),
       "srp_lsh" -> pairs(Similarity.lshTopK(emb)))
     val got = Similarity.annRecall(emb).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
