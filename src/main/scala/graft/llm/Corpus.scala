@@ -295,80 +295,123 @@ object Corpus {
       .orderBy(col("keeper"))
 
   /** Connected components over an undirected pair list (first two
-    * columns = the pair) by iterative min-label propagation; one row per
-    * component: (keeper = component minimum id, n_members). The shared
-    * engine behind text-LSH clustering (q68) and embedding-space
-    * SemDeDup (q77).
-    *
-    * `loopParts` controls the loop's partition width. The graph is small
-    * relative to the corpus (only near-dup candidates survive the
-    * upstream blocking join), so each propagation round is a join+agg
-    * whose fixed per-task cost dominates at full shuffle width — pinning
-    * both loop frames to a few hash-partitions on their join keys makes
-    * every round a handful of tasks. The default tracks the cluster
-    * (defaultParallelism/8, floor 4) so a 1000-executor run still gets
-    * hundreds of partitions for a billion-edge graph while local runs
-    * stay at 4. */
+    * columns = the pair); one row per component: (keeper = component
+    * minimum id, n_members). The shared engine behind text-LSH
+    * clustering (q68) and embedding-space SemDeDup (q77). See
+    * [[componentLabels]] for the algorithm. */
   def connectedComponents(pairs: DataFrame, loopParts: Int = -1): DataFrame = {
-    val Array(aCol, bCol, _*) = pairs.columns
-    val parts =
-      if (loopParts > 0) loopParts
-      else math.max(4,
-        pairs.sparkSession.sparkContext.defaultParallelism / 8)
-    // both orientations from ONE evaluation of the pair plan — a
-    // union(pairs, pairs.swapped) would run the upstream candidate
-    // discovery (LSH band join / blocked cosine join) once per branch
-    val edges = pairs
-      .select(explode(array(
-        struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
-        struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
-        .as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .repartition(parts, col("dst"))
-      .persist()
-    // `cached` is the frame holding this round's persist/checkpoint (the
-    // thing to unpersist); `labels` is the (id, label) view of it
-    var cached = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .repartition(parts, col("id"))
-      .persist()
-    var labels = cached
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(F.min(col("label")).as("nmin"))
-      // carry the previous label through the step so convergence is a
-      // filter on THIS round's materialization — one job per round, not a
-      // second join against the old labels
-      val step = labels.as("l")
-        .join(neighborMin.as("m"), col("l.id") === col("m.src"), "left")
-        .select(col("l.id").as("id"), col("l.label").as("old_label"),
-          least(col("l.label"), coalesce(col("m.nmin"), col("l.label"))).as("label"))
-      // every 5th round, truncate lineage: each round's plan otherwise
-      // nests the previous round's, and on a deep graph a cache
-      // miss/eviction would re-derive the whole chain
-      val next =
-        if ((rounds + 1) % 5 == 0) step.localCheckpoint() else step.persist()
-      changed = next.filter(col("label") < col("old_label")).count()
-      cached.unpersist()
-      cached = next
-      labels = next.select(col("id"), col("label"))
-      rounds += 1
-    }
-    // materialize the (small: one row per cluster) result eagerly, then
-    // release what we can: unpersist() frees CacheManager entries (the
-    // persist() rounds); for localCheckpoint rounds it is a no-op and the
-    // checkpoint blocks are reclaimed by the ContextCleaner once the
-    // DataFrame is GC'd — bounded by the checkpoint cadence, not leaked
-    // for the session
+    val labels = componentLabels(pairs, loopParts)
     val out = labels
       .groupBy(col("label").as("keeper"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("keeper"))
       .localCheckpoint()
-    cached.unpersist()
-    edges.unpersist()
+    labels.unpersist()
+    out
+  }
+
+  /** Per-node component labels (id, label = component minimum id) by
+    * the alternating large-star / small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): each
+    * round rewires every node's larger neighbors to its local minimum
+    * (large-star), then collapses each node's smaller neighborhood onto
+    * that minimum (small-star), converging to star graphs centered at
+    * component minima in O(log² n) rounds — on long-diameter graphs this
+    * beats plain min-label propagation's O(diameter), and under skew the
+    * per-round state is a partial-aggregatable `min` (O(1) per key in
+    * the map-side combine), never a collect of the neighborhood; the
+    * join-back of per-node minima is AQE skew-split at runtime.
+    *
+    * The returned frame is persisted (callers release it when done).
+    * Replaces the round-4 min-label propagation loop — same labels,
+    * fewer rounds on deep graphs, bounded per-key aggregate state.
+    *
+    * `loopParts` pins the loop's shuffle width. The candidate graph is
+    * small relative to the corpus (only near-dup survivors of the
+    * upstream blocking join carry edges), so each round's fixed per-task
+    * cost dominates at full width — the default tracks the cluster
+    * (defaultParallelism/8, floor 4): hundreds of partitions on a
+    * 1000-executor run, 4 locally. */
+  def componentLabels(pairs: DataFrame, loopParts: Int = -1): DataFrame = {
+    val Array(aCol, bCol, _*) = pairs.columns
+    val parts =
+      if (loopParts > 0) loopParts
+      else math.max(4,
+        pairs.sparkSession.sparkContext.defaultParallelism / 8)
+    // larger-endpoint-first canonical orientation, deduped; built from
+    // ONE evaluation of the pair plan — a union(pairs, pairs.swapped)
+    // would run the upstream candidate discovery once per branch
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    var dir = pairs
+      .select(greatest(a, b).as("u"), least(a, b).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .repartition(parts, col("u"))
+      .persist()
+
+    /** min(v) per u joined back onto the edges; the agg is map-side
+      * combinable so a hot star center costs O(1) state per task. */
+    def withMin(edges: DataFrame): DataFrame = {
+      val mins = edges.groupBy(col("u")).agg(F.min(col("v")).as("mn"))
+      edges.join(mins, "u")
+    }
+
+    var prev = (-1L, 0L)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 50) {
+      // large-star over BOTH orientations: every node u re-points its
+      // strictly larger neighbors at m = min(Γ⁺(u))
+      val sym = dir.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      val ls = withMin(sym)
+        .select(col("u"), col("v"), least(col("u"), col("mn")).as("m"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // m <= u < v: stays larger-first
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star over the larger-first orientation: every node folds
+      // its (all-smaller) neighborhood onto m = min(Γ⁻(u)); the row
+      // carrying m itself re-emits the (u, m) spoke
+      val ss = withMin(ls)
+        .select(
+          when(col("v") === col("mn"), col("u")).otherwise(col("v")).as("u"),
+          col("mn").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // lineage truncation every few rounds (a cache miss would
+      // otherwise re-derive the whole chain); convergence = the edge
+      // set reached a fixed point, checked as (count, xor of edge
+      // hashes — order-independent, overflow-free under ANSI, and the
+      // edges are distinct so nothing cancels) on the SAME
+      // materialization — one job per round
+      val next =
+        if ((rounds + 1) % 5 == 0) ss.localCheckpoint()
+        else ss.repartition(parts, col("u")).persist()
+      val row = next.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      val cur = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      converged = cur == prev
+      prev = cur
+      dir.unpersist()
+      dir = next
+      rounds += 1
+    }
+    // the converged graph is a union of stars rooted at component
+    // minima: a node's label is its center (or itself, for centers)
+    val out = dir
+      .select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy(col("u"))
+      .agg(F.min(col("v")).as("mn"))
+      .select(col("u").as("id"), least(col("u"), col("mn")).as("label"))
+      .persist()
+    out.count() // materialize before releasing the loop frame
+    dir.unpersist()
     out
   }
 

@@ -103,6 +103,43 @@ class CorpusSpec extends SparkSpec {
     assert(Similarity.semanticDedup(e, threshold = 0.9).collect().isEmpty)
   }
 
+  test("large-star/small-star engine matches union-find on raw pair graphs") {
+    import spark.implicits._
+    // chain (worst case for plain propagation), a skewed star (one hot
+    // center — the shape that melts a collect-based neighborhood), two
+    // mid-size blobs, and cross-links merging chain into blob A
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val star = (1000L until 1400L).map(v => (500L, v))
+    val blobA = Seq((50L, 51L), (51L, 52L), (52L, 50L), (52L, 53L))
+    val blobB = Seq((70L, 71L), (71L, 72L))
+    val cross = Seq((39L, 50L))
+    val pairs = chain ++ star ++ blobA ++ blobB ++ cross
+    // reference components via union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (x, y) => parent(find(x)) = find(y) }
+    val expected = parent.keys.toSeq.groupBy(find)
+      .map { case (_, ids) => ids.min -> ids.size.toLong }
+    val got = Corpus.connectedComponents(pairs.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("skewed star converges in few rounds with per-node labels intact") {
+    import spark.implicits._
+    // 1-center 500-leaf star, leaves numerically BELOW the center so
+    // both star phases must fire (center is not the minimum)
+    val pairs = (1L to 500L).map(v => (9999L, v))
+    val labels = Corpus.componentLabels(pairs.toDF("a", "b"))
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size === 501)
+    assert(m.values.forall(_ == 1L))
+    labels.unpersist()
+  }
+
   test("sequence packing assigns docs to the context window where they start") {
     import spark.implicits._
     // one shard, budget 5: token counts 3,3,4 concat-chunk as
