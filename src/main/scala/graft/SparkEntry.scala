@@ -122,7 +122,8 @@ object SparkEntry {
       graft.operators.Skew.skewJoinAgg(orders(s, d), customer(s, d))),
     "q80_struct_ops" -> ((s, d) => Relational.structOps(customer(s, d))),
     "q81_decimal_agg" -> ((s, d) => Relational.decimalAgg(lineitem(s, d))),
-    "q82_pq_adc" -> ((s, d) => Similarity.pqTopK(embeddings(s, d)))
+    "q82_pq_adc" -> ((s, d) => Similarity.pqTopK(embeddings(s, d))),
+    "q83_curation_pipeline" -> ((s, d) => Corpus.curationPipeline(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -209,6 +210,7 @@ object SparkEntry {
     "q79_skew_join" -> graft.operators.Skew.skewJoinAggSql,
     "q80_struct_ops" -> Relational.structOpsSql,
     "q81_decimal_agg" -> Relational.decimalAggSql,
-    "q82_pq_adc" -> Similarity.pqTopKSql
+    "q82_pq_adc" -> Similarity.pqTopKSql,
+    "q83_curation_pipeline" -> Corpus.curationPipelineSql
   )
 }

@@ -537,6 +537,82 @@ object Corpus {
       |    / count(*)) AS BIGINT) AS dup_bp
       |FROM f LEFT JOIN d USING (fp) GROUP BY source ORDER BY source""".stripMargin
 
+  /** End-to-end curation pipeline (q83): the integration proof that the
+    * registered operators compose as a production pass, not a list —
+    *   1. q49 Gopher/C4 rule gate keeps quality docs,
+    *   2. q68 near-dup components keep one doc per duplicate cluster
+    *      (the component-minimum "keeper"; [[componentLabels]] drop-set),
+    *   3. q48 substring repetition trims docs whose chunk-level
+    *      repetition exceeds `repTrimBp` basis points,
+    *   4. q72 sequence packing summarizes the surviving corpus into
+    *      per-(shard, context-window) fill stats.
+    *
+    * Every stage is the already-audited operator — the only new plumbing
+    * is three doc_id-keyed semi/anti joins (16-byte keys; bodies shuffle
+    * only where the underlying operator already shuffles them). The
+    * oracle composes the same stages as CTEs over the gated subset. */
+  def curationPipeline(documents: DataFrame, repTrimBp: Long = 5000,
+                       budget: Int = 512, nShards: Int = 8): DataFrame = {
+    val keepIds = TextAnalysis.qualityRules(documents)
+      .filter(col("keep")).select(col("doc_id"))
+    val gated = documents.join(keepIds, Seq("doc_id"), "left_semi")
+    val labels = componentLabels(
+      Dedup.minhashLsh(gated).select(col("doc_a"), col("doc_b")))
+    val dupDrops = labels.filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+    val deduped = gated.join(dupDrops, Seq("doc_id"), "left_anti")
+    val repDrops = TextAnalysis.substringDedup(deduped)
+      .filter(col("rep_bp") > repTrimBp).select(col("doc_id"))
+    val curated = deduped.join(repDrops, Seq("doc_id"), "left_anti")
+    // materialize before releasing the label cache (same discipline as
+    // connectedComponents: the output is tiny, the lineage is not)
+    val out = sequencePack(curated, budget, nShards).localCheckpoint()
+    labels.unpersist()
+    out
+  }
+
+  /** Oracle: the same four stages as chained CTEs — rule gate (full
+    * q49 SQL as a derived table), recursive-CTE closure over the exact
+    * pairs of the GATED subset, the q48 chunk-hash repetition trim, and
+    * the q72 packing arithmetic. */
+  val curationPipelineSql: String =
+    s"""WITH RECURSIVE
+      |gate AS (SELECT doc_id FROM (${TextAnalysis.qualityRulesSql}) q WHERE keep),
+      |gated AS (SELECT d.* FROM documents d JOIN gate USING (doc_id)),
+      |${Dedup.exactPairsCte("gated")},
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |lab AS (SELECT src AS id, least(src, min(dst)) AS label
+      |        FROM reach GROUP BY src),
+      |dd AS (SELECT * FROM gated
+      |       WHERE doc_id NOT IN (SELECT id FROM lab WHERE label < id)),
+      |t2 AS (SELECT doc_id, string_split(text, ' ') w FROM dd),
+      |ch AS (SELECT doc_id, unnest(list_transform(range(len(w) // 8), ci ->
+      |    list_reduce(
+      |      list_prepend(0::BIGINT,
+      |        list_transform(list_slice(w, ci * 8 + 1, ci * 8 + 8),
+      |          t -> (ord(substring(t, 1, 1)) * 131 + length(t))::BIGINT)),
+      |      (h, x) -> (h * 31 + x) % 1000000007))) AS chash
+      |  FROM t2),
+      |gch AS (SELECT chash, count(*) AS c FROM ch GROUP BY chash),
+      |rep AS (SELECT doc_id,
+      |    CAST(floor(10000.0 * sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+      |      / count(*)) AS BIGINT) AS rep_bp
+      |  FROM ch JOIN gch USING (chash) GROUP BY doc_id),
+      |cur AS (SELECT * FROM dd
+      |        WHERE doc_id NOT IN (SELECT doc_id FROM rep WHERE rep_bp > 5000)),
+      |tt AS (SELECT doc_id, doc_id % 8 AS shard,
+      |         len(string_split(text, ' ')) AS n_toks FROM cur),
+      |cc AS (SELECT *, sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+      |         ROWS UNBOUNDED PRECEDING) AS cum FROM tt)
+      |SELECT shard, CAST(floor((cum - n_toks) / 512.0) AS BIGINT) AS bin,
+      |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      |FROM cc GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+
   val mixtureWeightsSql: String =
     """WITH p AS (SELECT lang, count(*) AS n_docs,
       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens

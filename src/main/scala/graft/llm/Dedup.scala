@@ -117,23 +117,29 @@ object Dedup {
     * the single-token whole-text fallback that mirrors
     * [[graft.functions.Hashing.shingleHashes]]. Interpolated into every
     * oracle that computes shingle sets (q32/q33 here, q66/q68 in
-    * Corpus) so the engine-mirroring logic lives in ONE place. */
-  val shingleSetCteSql: String =
-    """t AS (SELECT doc_id, text, string_split(text, ' ') w FROM documents),
+    * Corpus, the q83 pipeline over its gated subset) so the
+    * engine-mirroring logic lives in ONE place. `src` is the relation
+    * the shingles are computed over. */
+  def shingleSetCte(src: String): String =
+    s"""t AS (SELECT doc_id, text, string_split(text, ' ') w FROM $src),
       |s AS (SELECT doc_id,
       |        CASE WHEN len(w) < 2 THEN [text]
       |             ELSE list_distinct(list_transform(range(len(w) - 1),
       |               j -> w[j+1] || ' ' || w[j+2])) END sh
       |      FROM t)""".stripMargin
 
+  val shingleSetCteSql: String = shingleSetCte("documents")
+
   /** Shared oracle CTE: exhaustive exact-Jaccard >= 0.8 pairs over the
-    * shingle sets (extends [[shingleSetCteSql]]). */
-  val exactPairsCteSql: String = shingleSetCteSql + ",\n" +
+    * shingle sets (extends [[shingleSetCte]]). */
+  def exactPairsCte(src: String): String = shingleSetCte(src) + ",\n" +
     """p AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
       |        round(len(list_intersect(a.sh, b.sh))::DOUBLE /
       |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
       |      FROM s a JOIN s b ON a.doc_id < b.doc_id),
       |pairs AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.8)""".stripMargin
+
+  val exactPairsCteSql: String = exactPairsCte("documents")
 
   /** Oracle: exhaustive exact-Jaccard pairs — only viable at oracle SF;
     * the LSH recall at the planted pairs' J makes the outputs identical

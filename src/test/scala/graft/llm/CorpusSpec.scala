@@ -140,6 +140,25 @@ class CorpusSpec extends SparkSpec {
     labels.unpersist()
   }
 
+  test("curation pipeline drops gate failures, dup non-keepers, and repeated spans") {
+    import spark.implicits._
+    // 24 distinct quality tokens incl. stopword markers "the"/"a";
+    // every surviving doc packs into shard = doc_id % 8
+    val good = ("the a " + (1 to 22).map(i => s"tok$i").mkString(" "))
+    val repeated = Seq.fill(8)("rep span eight tokens here fill pad out").mkString(" ")
+    val docs = Seq(
+      (1L, good),                  // keeper of the duplicate cluster
+      (2L, good),                  // dup of 1 -> dropped by CC stage
+      (3L, "too short"),           // fails r_len -> dropped by gate
+      (4L, "the a " + repeated),   // passes gate, chunks repeat -> trimmed
+      (5L, good.replace("tok22", "tok99"))) // near-dup of 1 (J>=0.8) -> dropped
+      .toDF("doc_id", "text")
+    val out = Corpus.curationPipeline(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // only doc 1 survives: 24 tokens, shard 1, bin 0
+    assert(out.toSeq === Seq((1L, 0L, 1L, 24L)))
+  }
+
   test("sequence packing assigns docs to the context window where they start") {
     import spark.implicits._
     // one shard, budget 5: token counts 3,3,4 concat-chunk as
