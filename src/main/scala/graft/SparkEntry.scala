@@ -123,7 +123,8 @@ object SparkEntry {
     "q80_struct_ops" -> ((s, d) => Relational.structOps(customer(s, d))),
     "q81_decimal_agg" -> ((s, d) => Relational.decimalAgg(lineitem(s, d))),
     "q82_pq_adc" -> ((s, d) => Similarity.pqTopK(embeddings(s, d))),
-    "q83_curation_pipeline" -> ((s, d) => Corpus.curationPipeline(documents(s, d)))
+    "q83_curation_pipeline" -> ((s, d) => Corpus.curationPipeline(documents(s, d))),
+    "q84_bucketed_join" -> ((s, d) => Relational.bucketedJoinAgg(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -211,6 +212,7 @@ object SparkEntry {
     "q80_struct_ops" -> Relational.structOpsSql,
     "q81_decimal_agg" -> Relational.decimalAggSql,
     "q82_pq_adc" -> Similarity.pqTopKSql,
-    "q83_curation_pipeline" -> Corpus.curationPipelineSql
+    "q83_curation_pipeline" -> Corpus.curationPipelineSql,
+    "q84_bucketed_join" -> Relational.bucketedJoinAggSql
   )
 }

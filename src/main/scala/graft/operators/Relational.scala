@@ -826,6 +826,41 @@ object Relational {
       |HAVING sum(qd) > 100
       |ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q84: bucketed co-located join — the repeated-join amortization
+  // pattern: both facts are written ONCE bucketed+sorted on the join
+  // key, and every subsequent join on that key is exchange-free (the
+  // sort-merge reads bucket i against bucket i directly). At 100 TB
+  // this converts the dominant per-query cost (two full-fact shuffles)
+  // into a one-time layout cost — the Spark-native equivalent of the
+  // reference's token-range co-location. The hint pins SMJ so a
+  // fixture-size broadcast cannot hide the property being demonstrated.
+  // --------------------------------------------------------------------
+  def bucketedJoinAgg(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      buckets: Int = 8): DataFrame = {
+    val o = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+    o.write.mode("overwrite").bucketBy(buckets, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("graft_orders_bkt")
+    l.write.mode("overwrite").bucketBy(buckets, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("graft_lineitem_bkt")
+    spark.table("graft_orders_bkt")
+      .join(spark.table("graft_lineitem_bkt").hint("merge"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val bucketedJoinAggSql: String =
+    """SELECT o_custkey, count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   // Oracle: the O(n²) formulation — same answer, only viable at oracle SF.
   // `<=` matches the AsOf operator's right-sorts-first tie handling.
   val asofJoinSql: String =

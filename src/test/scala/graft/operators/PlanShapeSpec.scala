@@ -182,6 +182,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"unexpected join:\n$p")
   }
 
+  test("bucketed join (q84) is exchange-free on the join key") {
+    val df = Relational.bucketedJoinAgg(spark, sf, buckets = 4)
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$p")
+    // the ONLY exchanges allowed are the aggregate (o_custkey) and the
+    // presentation sort — never the join key: bucket i reads against
+    // bucket i directly
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"left side shuffled on the join key:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"right side shuffled on the join key:\n$p")
+  }
+
   test("string<->bytes codec round-trips (reference SparkUtils.scala:49-54)") {
     import graft.functions.Codec
     val s = "graft: ünïcode too"
