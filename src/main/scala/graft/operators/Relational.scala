@@ -842,6 +842,16 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"))
     val l = graft.Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_quantity"))
+    // the in-memory catalog forgets managed tables between sessions but
+    // their warehouse directories persist — drop both layers or a
+    // second session dies with LOCATION_ALREADY_EXISTS
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("graft_orders_bkt", "graft_lineitem_bkt").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+    }
     o.write.mode("overwrite").bucketBy(buckets, "o_orderkey")
       .sortBy("o_orderkey").saveAsTable("graft_orders_bkt")
     l.write.mode("overwrite").bucketBy(buckets, "l_orderkey")
