@@ -44,7 +44,12 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
-      // already a supported timestamp encoding (micros/millis)
+      // timezone-naive writers (isAdjustedToUTC=false) surface NTZ;
+      // the session is pinned UTC so the cast is a lossless relabel
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      // already the expected TimestampType encoding
       case _ => raw
     }
   }
