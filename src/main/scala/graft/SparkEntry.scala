@@ -124,7 +124,12 @@ object SparkEntry {
     "q81_decimal_agg" -> ((s, d) => Relational.decimalAgg(lineitem(s, d))),
     "q82_pq_adc" -> ((s, d) => Similarity.pqTopK(embeddings(s, d))),
     "q83_curation_pipeline" -> ((s, d) => Corpus.curationPipeline(documents(s, d))),
-    "q84_bucketed_join" -> ((s, d) => Relational.bucketedJoinAgg(s, d))
+    "q84_bucketed_join" -> ((s, d) => Relational.bucketedJoinAgg(s, d)),
+    "q85_heavy_hitters" -> ((s, d) => Corpus.heavyHitters(documents(s, d))),
+    "q86_importance_weights" -> ((s, d) =>
+      TextAnalysis.importanceWeights(documents(s, d))),
+    "q87_bloom_prune" -> ((s, d) => graft.operators.RuntimeFilter.bloomPruneAgg(s, d)),
+    "q88_kmeans_lloyd" -> ((s, d) => Similarity.kmeansLloyd(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -213,6 +218,10 @@ object SparkEntry {
     "q81_decimal_agg" -> Relational.decimalAggSql,
     "q82_pq_adc" -> Similarity.pqTopKSql,
     "q83_curation_pipeline" -> Corpus.curationPipelineSql,
-    "q84_bucketed_join" -> Relational.bucketedJoinAggSql
+    "q84_bucketed_join" -> Relational.bucketedJoinAggSql,
+    "q85_heavy_hitters" -> Corpus.heavyHittersSql,
+    "q86_importance_weights" -> TextAnalysis.importanceWeightsSql,
+    "q87_bloom_prune" -> graft.operators.RuntimeFilter.bloomPruneAggSql,
+    "q88_kmeans_lloyd" -> Similarity.kmeansLloydSql
   )
 }

@@ -162,6 +162,85 @@ object Corpus {
       |  FROM (SELECT string_split(text, ' ') w FROM documents))
       |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
 
+  /** Grouped heavy hitters: top-k terms per language via a two-pass
+    * sketch-then-recount — the bounded-memory complement of the exact
+    * q67 kernel for when the (group × term) domain does NOT fit in an
+    * executor hashmap.
+    *
+    * Pass 1 runs a Misra-Gries summary of `capacity` counters per
+    * language inside each partition and emits only the surviving
+    * candidate terms. By the MG guarantee, any term with in-partition
+    * frequency > n_p/(capacity+1) survives its partition, so (pigeonhole
+    * over partitions) every term with GLOBAL frequency > n/(capacity+1)
+    * appears in the union of candidates — size the capacity so the true
+    * top-k clear that bar and the candidate set is a superset of the
+    * answer. Pass 2 recounts ONLY candidates exactly: the broadcast
+    * semi-join kills non-candidate tokens before the partial aggregate,
+    * so the shuffle carries ≤ capacity × partitions rows per language
+    * regardless of vocabulary size. (On the synthetic corpus the shared
+    * vocabulary is far below `capacity`, so no counter is ever evicted
+    * and exactness is unconditional; CorpusSpec exercises the eviction
+    * path with a tiny capacity.) */
+  def heavyHitters(documents: DataFrame, k: Int = 5, capacity: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val toks = graft.Tables.spread(documents.select(col("lang"), col("text")))
+    val candidates = toks.as[(String, String)]
+      .mapPartitions { it =>
+        val perLang =
+          new java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]]()
+        it.foreach { case (lang, text) =>
+          val s = perLang.computeIfAbsent(lang,
+            _ => new java.util.HashMap[String, java.lang.Long](capacity * 2))
+          val w = text.split(" ", -1)
+          var i = 0
+          while (i < w.length) {
+            val t = w(i)
+            val cur = s.get(t)
+            if (cur ne null) s.put(t, cur + 1L)
+            else if (s.size < capacity) s.put(t, 1L)
+            else {
+              // full and t unseen: decrement every counter, dropping zeros
+              // (the Misra-Gries step — t itself is NOT inserted)
+              val iter = s.entrySet().iterator()
+              while (iter.hasNext) {
+                val e = iter.next()
+                if (e.getValue == 1L) iter.remove()
+                else e.setValue(e.getValue - 1L)
+              }
+            }
+            i += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        perLang.entrySet().iterator().asScala.flatMap { e =>
+          e.getValue.keySet().iterator().asScala.map(t => (e.getKey, t))
+        }
+      }
+      .toDF("lang", "term")
+      .distinct()
+    val exact = toks
+      .select(col("lang"), explode(split(col("text"), " ", -1)).as("term"))
+      .join(broadcast(candidates), Seq("lang", "term"), "left_semi")
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("term"))
+    exact.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  /** Oracle: plain exact per-language top-k (the sketch is a superset
+    * pre-filter; the recount makes the registered result exact). */
+  val heavyHittersSql: String =
+    """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      |c AS (SELECT lang, term, count(*) AS cnt FROM t GROUP BY lang, term),
+      |r AS (SELECT lang, term, cnt,
+      |        row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rnk
+      |      FROM c)
+      |SELECT lang, term, cnt, rnk FROM r WHERE rnk <= 5
+      |ORDER BY lang, rnk""".stripMargin
+
   /** Incremental dedup: which NEW documents (odd doc_id stands in for
     * "today's batch") are not normalized-duplicates of the existing
     * corpus (even doc_id)? The anti-join runs on the 16-byte md5

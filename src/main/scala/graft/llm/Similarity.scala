@@ -496,6 +496,98 @@ object Similarity {
       |SELECT probe_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
       |ORDER BY probe_id, rnk""".stripMargin
 
+  /** Lloyd's k-means proper over the embedding column — a fixed number
+    * of assign/recompute rounds from deterministic seeds (the vectors
+    * with the k smallest ids), closing the "k-means-free" caveat on the
+    * IVF/PQ codebooks: this IS the codebook trainer those indexes would
+    * run at scale. Registered with a fixed iteration count so the whole
+    * computation is a finite, unrollable plan with a bit-exact oracle.
+    *
+    * Exactness: elements are quantized once to integer milli-units
+    * (round(x·1000)), so squared distances are pure int64 arithmetic
+    * (≤ 64·10⁶ per pair — no overflow until ~10¹² vectors/cluster) and
+    * every assignment/tie (order by dist, then cluster) is
+    * engine-independent. Recomputed centroids use floor(sum/count) —
+    * int-valued sums below 2⁵³ make the double division + floor exact on
+    * both engines.
+    *
+    * 100 TB shape per round: centroids are k rows, BROADCAST; the
+    * assignment is a per-row fold (k·dim work, no shuffle); the argmin
+    * is a partial-aggregable min-of-struct per vec_id; the recompute is
+    * the q37 per-dimension partial+final hash aggregate with O(k·dim)
+    * state. A production trainer adds per-round lineage checkpoints —
+    * the CC engine's loop discipline (Corpus.connectedComponents). */
+  def kmeansLloyd(embeddings: DataFrame, k: Int = 4, iters: Int = 2,
+                  dim: Int = 64, scale: Int = 1000): DataFrame = {
+    val q = embeddings.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * scale).cast("long")).as("qe"))
+    var centroids = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("qe").as("ce"))
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      val pairs = q.crossJoin(broadcast(centroids))
+        .withColumn("dist", aggregate(
+          zip_with(col("qe"), col("ce"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      assigned = pairs.groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"),
+          col("m.dist").as("dist"))
+      val dimSums = (1 to dim).map(i => sum(element_at(col("qe"), i)).as(s"s$i"))
+      centroids = assigned.join(q, "vec_id")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cnt"), dimSums: _*)
+        .select(col("cluster"),
+          array((1 to dim).map(i =>
+            floor(col(s"s$i").cast("double") / col("cnt")).cast("long")): _*).as("ce"))
+    }
+    assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
+      .join(centroids.select(col("cluster"),
+        aggregate(col("ce"), lit(0L), (a, x) => a + x).as("centroid_sum")), "cluster")
+      .select(col("cluster"), col("n_members"), col("inertia"), col("centroid_sum"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Bit-exact oracle for [[kmeansLloyd]] at the registered defaults
+    * (k=4, iters=2): the two assign/recompute rounds unrolled as CTEs —
+    * same milli-unit quantization, same int64 distances, same
+    * (dist, cluster) tie order, same floor(sum/count) recompute. The
+    * final row set reports the round-2 assignment and the centroids
+    * recomputed from it. */
+  val kmeansLloydSql: String = {
+    def assign(c: String, p: String, a: String) =
+      s"""$p AS (SELECT q.vec_id, $c.cluster,
+         |    CAST(list_sum(list_transform(range(64), i ->
+         |      (q.qe[i + 1] - $c.ce[i + 1]) * (q.qe[i + 1] - $c.ce[i + 1]))) AS BIGINT) AS dist
+         |  FROM q CROSS JOIN $c),
+         |$a AS (SELECT vec_id, cluster, dist FROM
+         |    (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |       ORDER BY dist, cluster) rn FROM $p) WHERE rn = 1)""".stripMargin
+    def recompute(a: String, c: String) =
+      s"""$c AS (SELECT cluster, list(cd ORDER BY d) AS ce FROM
+         |    (SELECT $a.cluster, d.range AS d,
+         |       CAST(floor(sum(q.qe[d.range + 1])::DOUBLE / count(*)) AS BIGINT) AS cd
+         |     FROM $a JOIN q USING (vec_id) CROSS JOIN range(64) d
+         |     GROUP BY $a.cluster, d.range)
+         |  GROUP BY cluster)""".stripMargin
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cluster, qe AS ce FROM q WHERE vec_id < 4),
+       |${assign("c0", "p1", "a1")},
+       |${recompute("a1", "c1")},
+       |${assign("c1", "p2", "a2")},
+       |${recompute("a2", "c2")},
+       |sm AS (SELECT cluster, count(*) AS n_members,
+       |         CAST(sum(dist) AS BIGINT) AS inertia
+       |       FROM a2 GROUP BY cluster)
+       |SELECT sm.cluster, sm.n_members, sm.inertia,
+       |  CAST(list_sum(c2.ce) AS BIGINT) AS centroid_sum
+       |FROM sm JOIN c2 USING (cluster) ORDER BY sm.cluster""".stripMargin
+  }
+
   /** Oracle for [[annRecall]]: composes the registered q35/q37/q38
     * oracles verbatim as derived tables (DuckDB allows a WITH inside a
     * subquery), then scores hits with the same left-join + floor

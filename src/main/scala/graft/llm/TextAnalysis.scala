@@ -141,6 +141,60 @@ object TextAnalysis {
       |        ORDER BY tfidf DESC, term) rnk FROM scored)
       |SELECT doc_id, term, tfidf FROM r WHERE rnk = 1 ORDER BY doc_id""".stripMargin
 
+  /** DSIR-style importance weighting for data selection: score each
+    * document by how much more its unigram profile resembles a TARGET
+    * slice of the corpus (here `source = targetSource`) than the corpus
+    * at large — the hashed-n-gram importance-resampling signal used to
+    * pick pretraining data that "looks like" a trusted seed set. The
+    * textbook score is Σ_w c_doc(w)·ln(p_tgt(w)/p_all(w)); registered
+    * here with the sign-preserving exact-integer surrogate
+    * weight(w) = cnt_tgt(w)·N_all − cnt_all(w)·N_tgt (the
+    * cross-multiplied difference of relative frequencies, the q49
+    * technique), so scores are pure int64 arithmetic and hash-identical
+    * across engines — no ln() last-ulp coin flips in the keep decision.
+    *
+    * Scale shape: text is token-exploded twice (per-doc tf and the
+    * corpus term table), both immediately map-side combined to at most
+    * |vocab| distinct keys per partition; the term-weight table is
+    * vocab-sized and BROADCAST into the per-doc scoring join, so no
+    * token-level rows ever shuffle on term. At 100 TB swap the int64
+    * weights for decimal(38,0) (counts×counts headroom) — the plan
+    * shape is unchanged. */
+  def importanceWeights(documents: DataFrame, targetSource: String = "src0"): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ", -1)).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val termStats = toks.groupBy(col("term")).agg(
+      count(lit(1)).as("cnt_all"),
+      sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("cnt_tgt"))
+    val totals = termStats.agg(
+      sum(col("cnt_all")).as("n_all"), sum(col("cnt_tgt")).as("n_tgt"))
+    val weights = termStats.crossJoin(broadcast(totals))
+      .select(col("term"),
+        (col("cnt_tgt") * col("n_all") - col("cnt_all") * col("n_tgt")).as("w"))
+    tf.join(broadcast(weights), "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("w")).as("score"))
+      .withColumn("keep", col("score") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val importanceWeightsSql: String =
+    """WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+      |           FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+      |ts AS (SELECT term, count(*) AS cnt_all,
+      |         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS cnt_tgt
+      |       FROM t GROUP BY term),
+      |n AS (SELECT CAST(sum(cnt_all) AS BIGINT) AS n_all,
+      |             CAST(sum(cnt_tgt) AS BIGINT) AS n_tgt FROM ts),
+      |wt AS (SELECT term, CAST(cnt_tgt * n_all - cnt_all * n_tgt AS BIGINT) AS w
+      |       FROM ts CROSS JOIN n)
+      |SELECT tf.doc_id, CAST(sum(tf.tf * wt.w) AS BIGINT) AS score,
+      |       CAST(sum(tf.tf * wt.w) AS BIGINT) > 0 AS keep
+      |FROM tf JOIN wt USING (term)
+      |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
+
   /** Heuristic language ID: per-language marker-token counts (from the
     * docStats kernel), argmax with ties broken by language code. */
   def langId(documents: DataFrame): DataFrame = {

@@ -31,6 +31,26 @@ class CorpusSpec extends SparkSpec {
     assert(s1.forall(ids))
   }
 
+  test("heavy hitters stay exact through Misra-Gries evictions") {
+    import spark.implicits._
+    // hot=11, warm=5, nine singletons; n=24 tokens. capacity=2 forces
+    // constant evictions; the MG bar is n/(cap+1)=8, so hot (11) is
+    // GUARANTEED a candidate under ANY partitioning/order, and the
+    // recount makes its reported count exact
+    val d = Seq(
+      (1L, "hot hot hot hot a b c hot hot", "en"),
+      (2L, "hot warm warm warm d e hot hot", "en"),
+      (3L, "x y z hot hot warm warm", "en")
+    ).toDF("doc_id", "text", "lang")
+    val top1 = Corpus.heavyHitters(d, k = 1, capacity = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(top1 === Seq(("en", "hot", 11L)))
+    // with headroom, the full exact top-2 (no evictions ever happen)
+    val top2 = Corpus.heavyHitters(d, k = 2, capacity = 64).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(top2 === Seq(("en", "hot", 11L), ("en", "warm", 5L)))
+  }
+
   test("pii redaction removes every digit run") {
     import spark.implicits._
     val d = Seq((1L, "call 555 0123 now"), (2L, "no digits here"))

@@ -106,6 +106,25 @@ class SimilaritySpec extends SparkSpec {
     assert((truth intersect approx).nonEmpty, "PQ recall is zero")
   }
 
+  test("k-means Lloyd (q88): partitions every vector; layout-invariant") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = Similarity.kmeansLloyd(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // every vector lands in exactly one cluster
+    assert(a.map(_._2).sum === emb.count())
+    // integer-quantized distances + floor(sum/count) centroids must make
+    // the whole trajectory independent of physical layout
+    val b = Similarity.kmeansLloyd(emb.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(a === b)
+    // a second Lloyd round can only tighten (or keep) the assignment
+    // inertia measured against the round-1 centroids
+    val one = Similarity.kmeansLloyd(emb, iters = 1).collect()
+      .map(r => r.getLong(2)).sum
+    val two = a.map(_._3).sum
+    assert(two <= one, s"inertia rose across rounds: $one -> $two")
+  }
+
   test("ann recall (q39) equals recall computed from the raw top-k frames") {
     val emb = Tables.embeddings(spark, sf)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =

@@ -195,6 +195,32 @@ class PlanShapeSpec extends SparkSpec {
       s"right side shuffled on the join key:\n$p")
   }
 
+  test("runtime bloom filter is injected into the fact side (q87)") {
+    val p = plan(RuntimeFilter.bloomPruneAgg(spark, sf))
+    // InjectRuntimeFilter must plant might_contain(bloom(o_orderkey))
+    // on the lineitem leg — the scan-side pruning that makes this join
+    // shuffle ~1% of the fact at 100 TB instead of all of it
+    assert(p.contains("might_contain"), s"no runtime bloom filter:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"broadcast defeated the bloom-path test:\n$p")
+  }
+
+  test("heavy hitters (q85) recount semi-joins broadcast candidates pre-aggregate") {
+    val p = plan(graft.llm.Corpus.heavyHitters(Tables.documents(spark, sf)))
+    // non-candidate tokens must die at a broadcast semi join BEFORE the
+    // (lang, term) aggregate — the recount shuffle stays candidate-sized
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidate filter not a broadcast semi join:\n$p")
+  }
+
+  test("importance weights (q86) broadcast the vocab-sized weight table") {
+    val p = plan(graft.llm.TextAnalysis.importanceWeights(Tables.documents(spark, sf)))
+    // the per-doc scoring join must be broadcast-hash on the term table;
+    // token-level rows never shuffle on term
+    assert(p.contains("BroadcastHashJoin"), s"weight join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token rows shuffled on term:\n$p")
+  }
+
   test("string<->bytes codec round-trips (reference SparkUtils.scala:49-54)") {
     import graft.functions.Codec
     val s = "graft: ünïcode too"
