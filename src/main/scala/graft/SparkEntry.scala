@@ -129,7 +129,8 @@ object SparkEntry {
     "q86_importance_weights" -> ((s, d) =>
       TextAnalysis.importanceWeights(documents(s, d))),
     "q87_bloom_prune" -> ((s, d) => graft.operators.RuntimeFilter.bloomPruneAgg(s, d)),
-    "q88_kmeans_lloyd" -> ((s, d) => Similarity.kmeansLloyd(embeddings(s, d)))
+    "q88_kmeans_lloyd" -> ((s, d) => Similarity.kmeansLloyd(embeddings(s, d))),
+    "q89_histogram_quantiles" -> ((s, d) => Relational.histogramQuantiles(orders(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -222,6 +223,7 @@ object SparkEntry {
     "q85_heavy_hitters" -> Corpus.heavyHittersSql,
     "q86_importance_weights" -> TextAnalysis.importanceWeightsSql,
     "q87_bloom_prune" -> graft.operators.RuntimeFilter.bloomPruneAggSql,
-    "q88_kmeans_lloyd" -> Similarity.kmeansLloydSql
+    "q88_kmeans_lloyd" -> Similarity.kmeansLloydSql,
+    "q89_histogram_quantiles" -> Relational.histogramQuantilesSql
   )
 }

@@ -741,6 +741,55 @@ object Relational {
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // --------------------------------------------------------------------
+  // q89: approximate quantiles from a fixed-width histogram sketch —
+  // the 100 TB complement of q62: exact `percentile` buffers every
+  // value per group (a full sort's worth of state); the histogram is an
+  // ordinary MERGEABLE partial+final aggregate over ~|bins| keys, then
+  // the quantile is read off the cumulative counts of the (tiny)
+  // per-group histogram. Error is bounded by the bin width, by
+  // construction. Everything is exact arithmetic both engines run
+  // identically (floor of an IEEE division, integer cumsum, one shared
+  // ceil(q·n) target), so unlike approx_percentile's engine-internal
+  // sketch this approximation is deterministically oracle-checkable.
+  // Estimate convention: upper edge of the first bin whose cumulative
+  // count reaches ceil(q·n).
+  // --------------------------------------------------------------------
+  def histogramQuantiles(orders: DataFrame, binWidth: Double = 1000.0): DataFrame = {
+    val hist = orders
+      .groupBy(col("o_orderpriority"),
+        floor(col("o_totalprice") / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val run = Window.partitionBy(col("o_orderpriority")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("o_orderpriority"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(run))
+      .withColumn("n", sum(col("cnt")).over(all))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= ceil(col("n") * 0.5), col("bin"))).as("b50"),
+        min(when(col("cum") >= ceil(col("n") * 0.95), col("bin"))).as("b95"))
+      .select(col("o_orderpriority"), col("n"),
+        ((col("b50") + 1) * binWidth).as("p50_est"),
+        ((col("b95") + 1) * binWidth).as("p95_est"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val histogramQuantilesSql: String =
+    """WITH h AS (SELECT o_orderpriority,
+      |    CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bin, count(*) AS cnt
+      |  FROM orders GROUP BY o_orderpriority, bin),
+      |c AS (SELECT *,
+      |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM h)
+      |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+      |  (min(CASE WHEN cum >= ceil(n * 0.5) THEN bin END) + 1) * 1000.0 AS p50_est,
+      |  (min(CASE WHEN cum >= ceil(n * 0.95) THEN bin END) + 1) * 1000.0 AS p95_est
+      |FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------------------
   // q80: nested-struct (UDT-shaped) column derivation, field access,
   // and filtering — the CQL UDT/tuple → nested StructType mapping from
   // SURVEY §1.2, exercised end-to-end through the oracle. The struct is

@@ -221,6 +221,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"token rows shuffled on term:\n$p")
   }
 
+  test("histogram quantiles (q89) never globally sort the fact values") {
+    val p = plan(Relational.histogramQuantiles(Tables.orders(spark, sf)))
+    // the whole point vs q62: a mergeable partial+final hash aggregate
+    // over bins — no per-group value buffering, no sort of o_totalprice
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+    assert(!p.contains("Sort [o_totalprice"), s"fact values sorted:\n$p")
+    assert(!p.contains("percentile"), s"exact percentile buffer present:\n$p")
+  }
+
   test("string<->bytes codec round-trips (reference SparkUtils.scala:49-54)") {
     import graft.functions.Codec
     val s = "graft: ünïcode too"

@@ -33,6 +33,24 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("histogram-sketch quantiles land within one bin width of exact (q89)") {
+    val o = Tables.orders(spark, sf)
+    val est = Relational.histogramQuantiles(o).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val vals = o.select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.map(_.getDouble(1)).sorted }
+    vals.foreach { case (k, v) =>
+      val (e50, e95) = est(k)
+      // the estimate is the upper edge of the bin holding the ceil(q·n)-th
+      // order statistic: (v_q, v_q + width] — a deterministic bound
+      def os(q: Double): Double = v((math.ceil(q * v.length) - 1).toInt.max(0))
+      val (v50, v95) = (os(0.5), os(0.95))
+      assert(e50 > v50 && e50 <= v50 + 1000.0, s"$k p50 est $e50 vs $v50")
+      assert(e95 > v95 && e95 <= v95 + 1000.0, s"$k p95 est $e95 vs $v95")
+    }
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)
