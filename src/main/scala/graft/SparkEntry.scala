@@ -130,7 +130,9 @@ object SparkEntry {
       TextAnalysis.importanceWeights(documents(s, d))),
     "q87_bloom_prune" -> ((s, d) => graft.operators.RuntimeFilter.bloomPruneAgg(s, d)),
     "q88_kmeans_lloyd" -> ((s, d) => Similarity.kmeansLloyd(embeddings(s, d))),
-    "q89_histogram_quantiles" -> ((s, d) => Relational.histogramQuantiles(orders(s, d)))
+    "q89_histogram_quantiles" -> ((s, d) => Relational.histogramQuantiles(orders(s, d))),
+    "q90_user_spend" -> ((s, d) =>
+      graft.streaming.StatefulOps.userSpendBatch(events(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -224,6 +226,7 @@ object SparkEntry {
     "q86_importance_weights" -> TextAnalysis.importanceWeightsSql,
     "q87_bloom_prune" -> graft.operators.RuntimeFilter.bloomPruneAggSql,
     "q88_kmeans_lloyd" -> Similarity.kmeansLloydSql,
-    "q89_histogram_quantiles" -> Relational.histogramQuantilesSql
+    "q89_histogram_quantiles" -> Relational.histogramQuantilesSql,
+    "q90_user_spend" -> graft.streaming.StatefulOps.userSpendBatchSql
   )
 }

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Stateful streaming operators (SURVEY.md §2B streaming row):
   * watermarked dedup and custom keyed state via mapGroupsWithState.
@@ -38,6 +39,60 @@ object StatefulOps {
       }
       .toDF()
   }
+
+  final case class UserSpend(user_id: Long, n: Long, total_c: Long, max_c: Long)
+
+  /** StatefulProcessor for the Spark 4 `transformWithState` API — the
+    * successor to mapGroupsWithState with named, individually-evictable
+    * state variables (ValueState/ListState/MapState + per-state TTL) on
+    * the RocksDB store. One ValueState holds the per-user (count, sum,
+    * max) triple; state is O(distinct users), disk-backed, and
+    * changelog-checkpointed by the store — the shape that holds when
+    * keyspace outgrows executor heap at 100 TB. */
+  class SpendProcessor extends StatefulProcessor[Long, (Long, Double), UserSpend] {
+    @transient private var agg: ValueState[(Long, Double, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, Double, Double)]("agg",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble),
+        TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Double)],
+                                 timers: TimerValues): Iterator[UserSpend] = {
+      var (n, s, m) = if (agg.exists()) agg.get() else (0L, 0.0, Double.MinValue)
+      rows.foreach { case (_, v) => n += 1; s += v; if (v > m) m = v }
+      agg.update((n, s, m))
+      // cents quantization: round-to-NEAREST for the same reason as q29
+      Iterator.single(UserSpend(uid, n, math.round(s * 100), math.round(m * 100)))
+    }
+  }
+
+  /** Running per-user spend via [[SpendProcessor]]. Requires the RocksDB
+    * state store provider (transformWithState's backing store). */
+  def runningUserSpend(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new SpendProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
+  /** Batch counterpart of [[runningUserSpend]] (q90): the final state of
+    * the transformWithState stream — per-user count, cents-quantized
+    * total and max (StatefulSpec asserts streaming ≡ batch). */
+  def userSpendBatch(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")) * 100, 0).cast("long").as("total_c"),
+        round(max(col("value")) * 100, 0).cast("long").as("max_c"))
+      .orderBy(col("user_id"))
+
+  val userSpendBatchSql: String =
+    """SELECT user_id, count(*) AS n,
+      |  CAST(round(sum(value) * 100, 0) AS BIGINT) AS total_c,
+      |  CAST(round(max(value) * 100, 0) AS BIGINT) AS max_c
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Drive a stateful plan over a parquet directory of events to
     * completion against a memory sink (update mode). */

@@ -37,6 +37,25 @@ class StatefulSpec extends SparkSpec {
     assert(s.except(b).isEmpty && b.except(s).isEmpty)
   }
 
+  test("transformWithState running spend equals batch groupBy (RocksDB store)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = eventsDir()
+      val streamed = StatefulOps.runUpdateStreaming(spark, dir, "spend_out",
+        StatefulOps.runningUserSpend)
+        .select(col("user_id"), col("n"), col("total_c"), col("max_c"))
+      val batch = StatefulOps.userSpendBatch(Tables.events(spark, sf))
+        .select(col("user_id"), col("n"), col("total_c"), col("max_c"))
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("metrics observer records stages and exposes a DataFrame") {
     val obs = graft.etl.MetricsObserver.install(spark)
     Tables.lineitem(spark, sf).groupBy("l_returnflag").count().collect()
