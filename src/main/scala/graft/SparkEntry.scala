@@ -132,7 +132,19 @@ object SparkEntry {
     "q88_kmeans_lloyd" -> ((s, d) => Similarity.kmeansLloyd(embeddings(s, d))),
     "q89_histogram_quantiles" -> ((s, d) => Relational.histogramQuantiles(orders(s, d))),
     "q90_user_spend" -> ((s, d) =>
-      graft.streaming.StatefulOps.userSpendBatch(events(s, d)))
+      graft.streaming.StatefulOps.userSpendBatch(events(s, d))),
+    "q91_doc_chunks" -> ((s, d) => TextAnalysis.docChunks(documents(s, d))),
+    "q92_containment_dedup" -> ((s, d) => Dedup.containment(documents(s, d))),
+    "q93_cluster_keep_best" -> ((s, d) => Corpus.clusterKeepBest(documents(s, d))),
+    "q94_pagerank" -> ((s, d) =>
+      graft.operators.Graph.pageRank(orders(s, d), lineitem(s, d))),
+    "q95_temperature_sample" -> ((s, d) => Corpus.temperatureSample(documents(s, d))),
+    "q96_json_roundtrip" -> ((s, d) => graft.sources.TableIO.jsonRoundTripAgg(s, d)),
+    "q97_ohlc_bars" -> ((s, d) => EventWindows.ohlcBars(events(s, d))),
+    "q98_scd2_intervals" -> ((s, d) => Relational.scd2Intervals(events(s, d))),
+    "q99_group_sample" -> ((s, d) => Corpus.groupSample(documents(s, d))),
+    "q100_partition_prune" -> ((s, d) =>
+      graft.sources.TableIO.partitionPruneAgg(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -227,6 +239,16 @@ object SparkEntry {
     "q87_bloom_prune" -> graft.operators.RuntimeFilter.bloomPruneAggSql,
     "q88_kmeans_lloyd" -> Similarity.kmeansLloydSql,
     "q89_histogram_quantiles" -> Relational.histogramQuantilesSql,
-    "q90_user_spend" -> graft.streaming.StatefulOps.userSpendBatchSql
+    "q90_user_spend" -> graft.streaming.StatefulOps.userSpendBatchSql,
+    "q91_doc_chunks" -> TextAnalysis.docChunksSql,
+    "q92_containment_dedup" -> Dedup.containmentSql,
+    "q93_cluster_keep_best" -> Corpus.clusterKeepBestSql,
+    "q94_pagerank" -> graft.operators.Graph.pageRankSql,
+    "q95_temperature_sample" -> Corpus.temperatureSampleSql,
+    "q96_json_roundtrip" -> graft.sources.TableIO.jsonRoundTripAggSql,
+    "q97_ohlc_bars" -> EventWindows.ohlcBarsSql,
+    "q98_scd2_intervals" -> Relational.scd2IntervalsSql,
+    "q99_group_sample" -> Corpus.groupSampleSql,
+    "q100_partition_prune" -> graft.sources.TableIO.partitionPruneAggSql
   )
 }

@@ -509,6 +509,134 @@ object Corpus {
       |SELECT label AS keeper, count(*) AS n_docs
       |FROM lab GROUP BY label ORDER BY keeper""".stripMargin
 
+  /** q99: deterministic per-group k-sample — exactly `k` documents per
+    * language, chosen by md5 order (a reproducible stand-in for uniform
+    * random): the eval-set / spot-check primitive ("give me 10 docs per
+    * lang, the same 10 every run"). rn is kept so the output is
+    * self-describing.
+    *
+    * 100 TB shape: the row_number window is rank-only, so Spark pushes a
+    * WindowGroupLimit below the exchange — each map task forwards at
+    * most k rows per group instead of its whole partition; the shuffle
+    * carries ~k·|groups| rows regardless of corpus size (plan guard in
+    * PlanShapeSpec). */
+  def groupSample(documents: DataFrame, k: Int = 10): DataFrame = {
+    val ord = md5(col("doc_id").cast("string").cast("binary"))
+    val w = Window.partitionBy(col("lang")).orderBy(ord, col("doc_id"))
+    documents.select(col("doc_id"), col("lang"))
+      .withColumn("rn0", row_number().over(w))
+      .filter(col("rn0") <= k) // raw rank attr: keeps WindowGroupLimit eligible
+      .select(col("doc_id"), col("lang"), col("rn0").cast("long").as("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  val groupSampleSql: String =
+    """WITH r AS (SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, lang, rn FROM r WHERE rn <= 10
+      |ORDER BY lang, rn""".stripMargin
+
+  /** q95: temperature-scaled mixture sampling (α = 0.5) — the standard
+    * multilingual/multi-source flattening trick: source s keeps documents
+    * at rate √(n_min/n_s), so expected picks scale with √n_s instead of
+    * n_s and the rarest source keeps everything. Membership is the same
+    * deterministic md5-bucket arithmetic as q63/q64 (here mod 10000 for
+    * basis-point rates), so a re-run — or a resharded corpus — samples
+    * the SAME documents. Reports per-source counts, sampling rate, and
+    * the realized sample size.
+    *
+    * 100 TB shape: per-source counts are one partial+final aggregate;
+    * the rate table is #sources rows, BROADCAST into the per-doc pass;
+    * per-doc membership is stateless hash arithmetic (no shuffle of doc
+    * rows at all — the only exchange is the final #sources-row agg).
+    * Rates floor-quantize an IEEE sqrt — bit-identical across engines. */
+  def temperatureSample(documents: DataFrame): DataFrame = {
+    val counts = documents.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(F.min(col("n_docs")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("source"), col("n_docs"),
+        floor(lit(10000.0) *
+          sqrt(col("n_min").cast("double") / col("n_docs").cast("double")))
+          .cast("long").as("rate_bp"))
+    val b10k = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long") % 10000
+    documents.select(col("source"), b10k.as("b"))
+      .join(broadcast(rates), "source")
+      .groupBy(col("source"), col("n_docs"), col("rate_bp"))
+      .agg(sum(when(col("b") < col("rate_bp"), lit(1L)).otherwise(lit(0L)))
+        .as("n_sampled"))
+      .orderBy(col("source"))
+  }
+
+  val temperatureSampleSql: String =
+    """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      |mn AS (SELECT min(n_docs) AS n_min FROM c),
+      |r AS (SELECT source, n_docs,
+      |    CAST(floor(10000.0 * sqrt(n_min::DOUBLE / n_docs::DOUBLE)) AS BIGINT) AS rate_bp
+      |  FROM c, mn),
+      |b AS (SELECT doc_id, source,
+      |    CAST(concat('0x', substring(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) % 10000 AS b
+      |  FROM documents)
+      |SELECT r.source, r.n_docs, r.rate_bp,
+      |  CAST(sum(CASE WHEN b.b < r.rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM b JOIN r ON b.source = r.source
+      |GROUP BY r.source, r.n_docs, r.rate_bp
+      |ORDER BY r.source""".stripMargin
+
+  /** q93: quality-ranked cluster resolution — the decision step a dedup
+    * pipeline runs AFTER clustering: within each near-dup component,
+    * keep the highest-quality member (q44's quality_bp, ties broken by
+    * lowest doc_id) instead of q68's blind min-id keeper. One row per
+    * multi-document cluster: the winner and the cluster size.
+    *
+    * 100 TB shape: the cluster graph is near-dup survivors only (the
+    * audited q32 → CC path); the winner is a single partial+final
+    * `max(struct(quality, -id))` aggregate per label — O(1) map-side
+    * state per cluster, no window sort, no per-cluster buffers — and
+    * the quality join ships two longs per clustered doc, never text. */
+  def clusterKeepBest(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val labels = componentLabels(
+      Dedup.minhashLsh(documents, threshold).select(col("doc_a"), col("doc_b")))
+    val quality = TextAnalysis.qualityScore(documents)
+      .select(col("doc_id"), col("quality_bp"))
+    val out = labels.join(quality, col("id") === col("doc_id"))
+      .groupBy(col("label").as("cluster"))
+      .agg(
+        F.max(struct(col("quality_bp"), (-col("doc_id")).as("neg_id"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), (-col("best.neg_id")).as("best_doc"),
+        col("best.quality_bp").as("best_quality_bp"), col("n_members"))
+      .orderBy(col("cluster"))
+      .localCheckpoint()
+    labels.unpersist()
+    out
+  }
+
+  /** Oracle: the q68 recursive-closure labels joined to the q44 quality
+    * subquery; winner = row_number over (quality desc, doc_id). */
+  val clusterKeepBestSql: String =
+    s"""WITH RECURSIVE ${Dedup.exactPairsCteSql},
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |lab AS (SELECT src AS id, least(src, min(dst)) AS label
+      |        FROM reach GROUP BY src),
+      |q AS (SELECT doc_id, quality_bp FROM (${TextAnalysis.qualityScoreSql}) qq),
+      |best AS (SELECT l.label, q.doc_id, q.quality_bp,
+      |           row_number() OVER (PARTITION BY l.label
+      |             ORDER BY q.quality_bp DESC, q.doc_id) AS rn
+      |         FROM lab l JOIN q ON l.id = q.doc_id),
+      |sz AS (SELECT label, count(*) AS n_members FROM lab GROUP BY label)
+      |SELECT b.label AS cluster, b.doc_id AS best_doc,
+      |  b.quality_bp AS best_quality_bp, sz.n_members
+      |FROM best b JOIN sz USING (label) WHERE b.rn = 1
+      |ORDER BY cluster""".stripMargin
+
   /** Sequence packing: concatenate each shard's documents in doc_id
     * order and cut every `budget` tokens — the standard way training
     * examples are built from variable-length documents (concat-then-

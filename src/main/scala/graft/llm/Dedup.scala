@@ -260,6 +260,72 @@ object Dedup {
   // Same oracle as minhashLsh: both compute exact-Jaccard >= 0.8 pairs.
   val ngramJaccardSql: String = minhashLshSql
 
+  /** q92: directional set-containment dedup — C(A,B) = |A∩B| / |A| over
+    * word-bigram shingle sets, emitting (doc_a, doc_b) when doc_a's
+    * shingles are ≥ t contained in doc_b's. Catches the pair class
+    * symmetric Jaccard structurally misses: a short document embedded
+    * verbatim in a much longer one (quote inflation, boilerplate
+    * wrappers, page-in-page scrapes) has J ≈ |A|/|B| → 0 but C = 1.
+    *
+    * Candidate generation is the containment-adapted prefix filter: an
+    * overlap ≥ ceil(t·|A|) cannot avoid ALL of A's |A| − ceil(t·|A|) + 1
+    * rarest shingles (df-ranked, same global order as q33), so only that
+    * prefix of A is indexed, joined against the FULL posting list of the
+    * B side (containment puts no upper bound on |B|, so B cannot be
+    * prefix-pruned — only the |B| ≥ t·|A| lower bound applies).
+    * Verification is the exact two-pointer merge. At 100 TB the shape
+    * is the q33 inverted-index join with an asymmetric (smaller) A-side:
+    * candidates are Ω(true pairs), never corpus², and a df-cutoff on hot
+    * shingles bounds posting skew the same way. */
+  def containment(documents: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val toksH = shingleHashSets(documents)
+    val postings = toksH.select(col("doc_id"), size(col("hs")).as("sz"),
+      explode(col("hs")).as("s"))
+    val dfreq = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val ranked = postings.join(dfreq, "s").withColumn("rn", row_number().over(w))
+    // 1e-6 slack mirrors q33: ceil(t·sz) evaluated in double can round up
+    // past the exact bound and shorten the prefix (= silently missed
+    // pairs); slack only admits extra candidates, which verify re-checks.
+    val prefixA = ranked
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-6)) + 1)
+      .select(col("s"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val fullB = ranked.select(col("s"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    val cand = prefixA.join(fullB, "s")
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("sz_b") >= lit(threshold) * col("sz_a") - lit(1e-6))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val a = toksH.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val b = toksH.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hs_a"), col("hs_b"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions(_.flatMap { case (da, db, ha, hb) =>
+        var i = 0; var j = 0; var inter = 0
+        while (i < ha.length && j < hb.length) {
+          if (ha(i) == hb(j)) { inter += 1; i += 1; j += 1 }
+          else if (ha(i) < hb(j)) i += 1
+          else j += 1
+        }
+        val c = inter.toDouble / ha.length
+        val r = math.floor(c * 10000 + 0.5) / 10000 // round half-up, 4dp
+        if (r >= threshold) Some((da, db, r)) else None
+      })
+      .toDF("doc_a", "doc_b", "containment")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val containmentSql: String =
+    s"""WITH $shingleSetCteSql,
+      |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+      |        round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 4) AS containment
+      |      FROM s a JOIN s b ON a.doc_id != b.doc_id)
+      |SELECT doc_a, doc_b, containment FROM p WHERE containment >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** SimHash 64-bit fingerprints: per-bit majority vote over distinct
     * token hashes, as a JIT'd kernel (same rationale as minhashBands).
     * Oracle-checked: FNV-1a is plain mod-2^64 arithmetic, so the DuckDB

@@ -521,6 +521,65 @@ object TextAnalysis {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** q91: RAG/training-window document chunker — overlapping token
+    * windows of `size` tokens advancing by `stride` (the standard
+    * context-window chunking shape: every token is covered, consecutive
+    * chunks overlap by size - stride for boundary continuity). Emits one
+    * row per chunk with its token offsets and a content hash in the q47
+    * exact modular arithmetic, so the DuckDB oracle replicates the hash
+    * bit-for-bit.
+    *
+    * 100 TB shape: pure flatMap — each document is scanned once in a
+    * JIT kernel and emits O(n_tokens/stride) fixed-width rows (id,
+    * chunk_id, offsets, 8-byte hash); no shuffle at all before the
+    * output sort, no text in the output, nothing pairs. This is the
+    * shape that feeds embedding/indexing stages downstream (each chunk
+    * row is later joined back by (doc_id, start_tok) to slice the
+    * text), so keeping it shuffle-free keeps the whole ingest path
+    * scan-bound. */
+  def docChunks(documents: DataFrame, size: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride > 0 && size >= stride, "need 0 < stride <= size")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    graft.Tables.spread(documents.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val w = text.split(" ", -1)
+        val n = w.length
+        val nChunks = 1 + (if (n > size) (n - size + stride - 1) / stride else 0)
+        (0 until nChunks).iterator.map { ci =>
+          val start = ci * stride
+          val end = math.min(start + size, n)
+          var h = 0L
+          var j = start
+          while (j < end) {
+            val t = w(j)
+            val first = if (t.isEmpty) 0L else t.codePointAt(0).toLong
+            h = (h * 31 + (first * 131 + t.codePointCount(0, t.length))) % 1000000007L
+            j += 1
+          }
+          (id, ci.toLong, start.toLong, (end - start).toLong, h)
+        }
+      })
+      .toDF("doc_id", "chunk_id", "start_tok", "n_toks", "chash")
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val docChunksSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      |n AS (SELECT doc_id, w, len(w) AS n FROM t),
+      |c AS (SELECT doc_id, w, n, unnest(range(
+      |        1 + CASE WHEN n > 32 THEN (n - 32 + 23) // 24 ELSE 0 END)) AS chunk_id
+      |      FROM n)
+      |SELECT doc_id, chunk_id, chunk_id * 24 AS start_tok,
+      |  least(32::BIGINT, n - chunk_id * 24) AS n_toks,
+      |  list_reduce(list_prepend(0::BIGINT, list_transform(
+      |    list_slice(w, chunk_id * 24 + 1, chunk_id * 24 + least(32::BIGINT, n - chunk_id * 24)),
+      |    t -> CASE WHEN t = '' THEN 0::BIGINT
+      |              ELSE (ord(substring(t, 1, 1)) * 131 + length(t))::BIGINT END)),
+      |    (h, x) -> (h * 31 + x) % 1000000007) AS chash
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Canonical document fingerprint: md5 of the sorted distinct token
     * set — groups bag-of-words duplicates regardless of word order. */
   def fingerprint(documents: DataFrame): DataFrame =

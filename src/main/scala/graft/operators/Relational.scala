@@ -914,6 +914,35 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  /** q98: SCD2 / CDC interval modeling — each user's event stream becomes
+    * slowly-changing-dimension rows with [valid_from, valid_to) validity
+    * and a current-row flag (valid_to = next event's time, NULL while
+    * current). The standard warehouse historization shape for change
+    * streams.
+    *
+    * 100 TB shape: one shuffle on user_id, one window sort per user —
+    * the minimum any ordered-interval construction needs; no join, no
+    * second pass (lead() reads the same sorted run). State per key is
+    * one row. */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us"), col("event_id"))
+    events.select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("valid_from_us"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+  }
+
+  val scd2IntervalsSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |        epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us FROM events),
+      |i AS (SELECT *, lead(valid_from_us) OVER (PARTITION BY user_id
+      |        ORDER BY valid_from_us, event_id) AS valid_to_us FROM e)
+      |SELECT user_id, event_id, event_type, valid_from_us, valid_to_us,
+      |  valid_to_us IS NULL AS is_current
+      |FROM i ORDER BY user_id, valid_from_us, event_id""".stripMargin
+
   val bucketedJoinAggSql: String =
     """SELECT o_custkey, count(*) AS n_items,
       |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty

@@ -42,4 +42,77 @@ object TableIO {
               writeOptions: Map[String, String] = Map.empty): Unit =
     save(load(spark, srcFormat, srcPath), dstFormat, dstPath, writeOptions,
       mode = "overwrite")
+
+  /** q96: JSON round-trip fidelity through the format seam — write the
+    * documents metadata columns as JSON lines, read them back with
+    * schema inference, and aggregate. The oracle runs the same aggregate
+    * on the original parquet, so a green row proves the JSON sink+source
+    * preserve int64/string values exactly (the reference's convert job
+    * shape, `SparkUtils.scala:56-65`, with a correctness check attached).
+    *
+    * 100 TB shape: scan → write is shuffle-free (file-parallel on both
+    * sides, like [[convert]]); the verification aggregate is an ordinary
+    * partial+final hash agg on low-cardinality keys. Text/embedding
+    * columns stay in parquet — JSON is the interchange format for
+    * metadata-sized tables, which is exactly how a production pipeline
+    * uses it. */
+  def jsonRoundTripAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val dst = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_json_rt_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+    save(docs, "json", dst, mode = "overwrite")
+    load(spark, "json", dst)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val jsonRoundTripAggSql: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** q100: partition-pruned layout — write events hive-partitioned by
+    * event_type, then read back with a partition-key filter and
+    * aggregate. The oracle runs the same filtered aggregate on the
+    * unpartitioned original, so a green row proves the layout round-trip
+    * AND the pruned read return identical data.
+    *
+    * 100 TB shape: THE mechanism that turns a full-corpus scan into a
+    * directory listing — the filter is resolved against partition
+    * directories (`PartitionFilters` in the scan, plan-guarded in
+    * PlanShapeSpec), so non-matching partitions contribute zero I/O;
+    * only same-type files are opened. Partition count tracks the key's
+    * cardinality (here #event_types), not data volume. */
+  def partitionPruneAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    val dst = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_part_rt_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(dst)
+    prunedClickAgg(spark.read.parquet(dst))
+  }
+
+  /** The pruned read-side plan, split out so the plan guard can inspect
+    * it without re-running the layout write. */
+  def prunedClickAgg(partitioned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    partitioned
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val"))
+      .orderBy(col("user_id"))
+  }
+
+  val partitionPruneAggSql: String =
+    """SELECT user_id, count(*) AS n, round(sum(value), 2) AS val
+      |FROM events WHERE event_type = 'click'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
 }

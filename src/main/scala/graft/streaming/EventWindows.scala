@@ -75,6 +75,46 @@ object EventWindows {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** q97: time-series downsampling to OHLC bars — per (1-hour bucket,
+    * event_type): open/close (first/last value by event time, ties on
+    * event_id), low/high, count and volume. The standard raw-stream →
+    * dashboard/feature-store compaction.
+    *
+    * 100 TB shape: open/close are min/max over struct(ts, event_id,
+    * value) — MERGEABLE partial aggregates (O(1) map-side state per
+    * bar), not window first_value/last_value (which would sort every
+    * partition's full event stream before aggregating). One shuffle on
+    * the bar key, partial+final all the way; identical plan binds to
+    * readStream for incremental bars. */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        round(min(col("value")), 2).as("low"),
+        round(max(col("value")), 2).as("high"),
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("vol"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
+        round(col("o.value"), 2).as("open"), round(col("c.value"), 2).as("close"),
+        col("low"), col("high"), col("n"), col("vol"))
+      .orderBy(col("ws_us"), col("event_type"))
+
+  val ohlcBarsSql: String =
+    """WITH e AS (SELECT event_type, event_id, value, CAST(ts AS TIMESTAMP) t FROM events),
+      |b AS (SELECT *, date_trunc('hour', t) AS ws FROM e),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY ws, event_type ORDER BY t, event_id) ra,
+      |        row_number() OVER (PARTITION BY ws, event_type ORDER BY t DESC, event_id DESC) rd
+      |      FROM b)
+      |SELECT epoch_us(ws) AS ws_us, event_type,
+      |  round(max(CASE WHEN ra = 1 THEN value END), 2) AS open,
+      |  round(max(CASE WHEN rd = 1 THEN value END), 2) AS close,
+      |  round(min(value), 2) AS low, round(max(value), 2) AS high,
+      |  count(*) AS n, round(sum(value), 2) AS vol
+      |FROM r GROUP BY ws, event_type ORDER BY ws_us, event_type""".stripMargin
+
   /** The events schema as Spark reads it post nanos→micros conversion. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampType),

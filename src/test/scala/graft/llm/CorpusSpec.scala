@@ -179,6 +179,65 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 0L, 1L, 24L)))
   }
 
+  test("group sample returns exactly k per language, reproducibly") {
+    val docs = graft.Tables.documents(spark, sf)
+    val a = Corpus.groupSample(docs, k = 3).collect().map(_.toSeq)
+    val b = Corpus.groupSample(docs, k = 3).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq, "sample must be deterministic")
+    val perLang = a.groupBy(_(1)).values.map(_.length)
+    assert(perLang.forall(_ == 3), "every language contributes exactly k docs")
+  }
+
+  test("temperature sampling keeps all of the rarest source and flattens the rest") {
+    import spark.implicits._
+    // srcA: 16 docs, srcB: 4 docs -> rate_A = sqrt(4/16) = 0.5 (5000 bp),
+    // rate_B = 1.0 (10000 bp, every doc kept)
+    val docs = ((1L to 16L).map(i => (i, "srcA")) ++ (17L to 20L).map(i => (i, "srcB")))
+      .toDF("doc_id", "source")
+    val out = Corpus.temperatureSample(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val a = out.find(_._1 == "srcA").get
+    val b = out.find(_._1 == "srcB").get
+    assert(a._2 === 16L && a._3 === 5000L)
+    assert(b === (("srcB", 4L, 10000L, 4L))) // rarest source: all docs kept
+    assert(a._4 <= 16L) // sampled subset of srcA
+  }
+
+  test("cluster keep-best retains the highest-quality member, not the min id") {
+    import spark.implicits._
+    // d1/d2 differ in one token of 30 (J = 27/31 >= 0.8 on bigrams);
+    // d2 swaps the stopword "the" for a long rare token, so its
+    // quality_bp is strictly higher — the winner must be 2, not min-id 1
+    val toks = (1 to 30).map(i => f"t$i%02d")
+    val d1 = toks.updated(14, "the").mkString(" ")
+    val d2 = toks.updated(14, "zzzzzzzzzz").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, "lone unclustered document here"))
+      .toDF("doc_id", "text")
+    val out = Corpus.clusterKeepBest(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 2L, 2L))) // cluster 1, best doc 2, 2 members
+  }
+
+  test("doc chunks cover every token with the declared overlap and exact hashes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks
+      (2L, "a b c"),                                  // < size: one short chunk
+      (3L, (1 to 10).map(i => s"w$i").mkString(" "))) // identical to doc 1
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.docChunks(docs, size = 4, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val d1 = out.filter(_._1 == 1L)
+    // starts 0,3,6 each 4 tokens: [0,4) [3,7) [6,10) — full coverage, overlap 1
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq ===
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L)))
+    assert(out.filter(_._1 == 2L).map(c => (c._2, c._3, c._4)).toSeq ===
+      Seq((0L, 0L, 3L)))
+    // identical text -> identical chunk hashes, position by position
+    assert(out.filter(_._1 == 3L).map(c => (c._2, c._5)).toSeq ===
+      d1.map(c => (c._2, c._5)).toSeq)
+  }
+
   test("sequence packing assigns docs to the context window where they start") {
     import spark.implicits._
     // one shard, budget 5: token counts 3,3,4 concat-chunk as

@@ -40,6 +40,21 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 0.8)))
   }
 
+  test("containment flags a short doc embedded in a longer one, direction-sensitively") {
+    import spark.implicits._
+    val base = (1 to 6).map(i => s"c$i").mkString(" ")
+    val long = base + " " + (1 to 20).map(i => s"x$i").mkString(" ")
+    val d = Seq(
+      (1L, base),                      // 5 bigrams, all inside doc 2
+      (2L, long),                      // 25 bigrams: C(2→1) = 0.2, below t
+      (3L, "unrelated stuff entirely"),
+      (4L, "p q r s"), (5L, "p q r s")) // identical: both directions at 1.0
+      .toDF("doc_id", "text")
+    val got = Dedup.containment(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0), (4L, 5L, 1.0), (5L, 4L, 1.0)))
+  }
+
   test("simhash: identical texts get identical fingerprints") {
     import spark.implicits._
     val docs = Seq(

@@ -67,6 +67,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(agg === win)
   }
 
+  test("scd2 intervals chain per user: valid_to = next valid_from, last row current") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "b", 1.0, "{}"),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "c", 1.0, "{}"),
+      (4L, ts("2024-01-01 09:00:00"), 2L, "x", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.scd2Intervals(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5)))
+    val u1 = out.filter(_._1 == 1L)
+    // chained: each valid_to equals the next row's valid_from
+    assert(u1.init.map(_._4.get).toSeq === u1.tail.map(_._3).toSeq)
+    assert(u1.map(_._5).toSeq === Seq(false, false, true))
+    assert(out.filter(_._1 == 2L).map(_._5).toSeq === Seq(true))
+  }
+
   test("session/tumbling/topk sanity on fixtures") {
     val orders = graft.Tables.orders(spark, sf)
     assert(Relational.topK(orders, 5).count() === 5)

@@ -110,6 +110,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected window repetition count:\n$p")
   }
 
+  test("doc chunks (q91) are one kernel pass — no join, no aggregate, no Generate") {
+    val p = plan(graft.llm.TextAnalysis.docChunks(Tables.documents(spark, sf)))
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(!p.contains("HashAggregate"), s"unexpected aggregate:\n$p")
+    assert(!p.contains("Generate"), s"explode crept into the chunker:\n$p")
+    assert("MapPartitions".r.findAllIn(p).length === 1,
+      s"chunk kernel must run exactly once:\n$p")
+  }
+
+  test("containment dedup (q92) candidates come from an equi-join, never a cartesian") {
+    val p = plan(graft.llm.Dedup.containment(Tables.documents(spark, sf)))
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+  }
+
+  test("partition-key filter becomes PartitionFilters on the scan (q100)") {
+    import java.nio.file.Files
+    val dst = Files.createTempDirectory("graft-prune").toString + "/events"
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.partitionBy("event_type").parquet(dst)
+    val p = plan(graft.sources.TableIO.prunedClickAgg(spark.read.parquet(dst)))
+    // the event_type predicate must resolve against partition directories,
+    // not row-level data filters — zero I/O for non-click partitions
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      s"partition filter not pruned:\n$p")
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type"),
+      s"event_type degraded to a data filter:\n$p")
+  }
+
+  test("group sample (q99) gets WindowGroupLimit — at most k rows per group cross the shuffle") {
+    val p = plan(graft.llm.Corpus.groupSample(Tables.documents(spark, sf)))
+    assert(p.contains("WindowGroupLimit"), s"rank filter not pushed:\n$p")
+  }
+
+  test("temperature sampling (q95) broadcasts the rate table — doc rows never shuffle pre-agg") {
+    val p = plan(graft.llm.Corpus.temperatureSample(Tables.documents(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"), s"rate join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"rate join fell back to SMJ:\n$p")
+  }
+
   test("ann recall (q39) scores via equi-joins, never a cartesian") {
     val p = plan(graft.llm.Similarity.annRecall(Tables.embeddings(spark, sf)))
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")

@@ -133,4 +133,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() === batch.count())
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
+
+  test("ohlc bars pick open/close by event time with id tie-break; stream == batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mk = Seq(
+      (1L, "2024-01-01 10:05:00", 1L, "t", 5.0, "{}"),
+      (2L, "2024-01-01 10:30:00", 1L, "t", 1.0, "{}"),
+      (3L, "2024-01-01 10:30:00", 1L, "t", 7.0, "{}"), // same ts: id orders it
+      (4L, "2024-01-01 10:45:00", 1L, "t", 9.0, "{}"),
+      (5L, "2024-01-01 11:10:00", 1L, "t", 2.0, "{}"))
+      .toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val out = EventWindows.ohlcBars(mk).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    // hour 10: open = 5.0 (10:05), close = 9.0 (10:45), low 1, high 9, n 4
+    assert(out(0) === (("t", 5.0, 9.0, 1.0, 9.0, 4L)))
+    assert(out(1) === (("t", 2.0, 2.0, 2.0, 2.0, 1L)))
+
+    // the identical plan incrementalizes: memory-sink stream == batch
+    val dir = java.nio.file.Files.createTempDirectory("graft-ohlc").toString + "/events"
+    val ev = graft.Tables.events(spark, sf)
+    ev.write.parquet(dir)
+    val streamed = EventWindows.runStreaming(spark, dir, "ohlc_out",
+      df => EventWindows.ohlcBars(df))
+    val batch = EventWindows.ohlcBars(ev)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
 }
