@@ -144,7 +144,8 @@ object SparkEntry {
     "q98_scd2_intervals" -> ((s, d) => Relational.scd2Intervals(events(s, d))),
     "q99_group_sample" -> ((s, d) => Corpus.groupSample(documents(s, d))),
     "q100_partition_prune" -> ((s, d) =>
-      graft.sources.TableIO.partitionPruneAgg(s, d))
+      graft.sources.TableIO.partitionPruneAgg(s, d)),
+    "q101_dim_stats" -> ((s, d) => Similarity.dimStats(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -249,6 +250,7 @@ object SparkEntry {
     "q97_ohlc_bars" -> EventWindows.ohlcBarsSql,
     "q98_scd2_intervals" -> Relational.scd2IntervalsSql,
     "q99_group_sample" -> Corpus.groupSampleSql,
-    "q100_partition_prune" -> graft.sources.TableIO.partitionPruneAggSql
+    "q100_partition_prune" -> graft.sources.TableIO.partitionPruneAggSql,
+    "q101_dim_stats" -> Similarity.dimStatsSql
   )
 }

@@ -236,6 +236,55 @@ object Similarity {
           col(s"s$i").cast("double") / col("cnt")): _*).as("centroid"))
   }
 
+  /** q101: embedding-space dimension diagnostics — per-dimension count,
+    * mean, variance, min, max — the QA pass run before building an ANN
+    * index (dead dimensions show var≈0, scale-broken ones show outlier
+    * ranges; both poison IVF/PQ codebooks silently). Sums and
+    * sum-of-squares accumulate in exact DECIMAL(38,12) (order-independent,
+    * the q37 discipline), so the floor-quantized milli/micro outputs are
+    * bit-identical across engines and partitionings.
+    *
+    * 100 TB shape: ONE partial+final aggregate over the corpus with
+    * O(dim) state — 4 agg columns per dimension, no Generate/explode (a
+    * (vec, dim) unpivot would shuffle 64× the rows); the 64-way unpivot
+    * happens AFTER aggregation on a single 257-column row. */
+  def dimStats(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val aggs = (1 to dim).flatMap { i =>
+      val x = element_at(col("embedding"), i).cast("double")
+      Seq(sum(x.cast("decimal(38,12)")).as(s"s$i"),
+        sum((x * x).cast("decimal(38,12)")).as(s"q$i"),
+        min(x).as(s"mn$i"), max(x).as(s"mx$i"))
+    }
+    val all = count(lit(1)).as("n") +: aggs
+    val g = embeddings.agg(all.head, all.tail: _*)
+    val stackArgs = (1 to dim).map(i => s"${i - 1}L, s$i, q$i, mn$i, mx$i").mkString(", ")
+    g.selectExpr("n", s"stack($dim, $stackArgs) AS (dim, s, q, mn, mx)")
+      .select(col("dim"), col("n"),
+        floor(lit(1000.0) * col("s").cast("double") / col("n"))
+          .cast("long").as("mean_milli"),
+        floor(lit(1000000.0) * ((col("q").cast("double") / col("n")) -
+          (col("s").cast("double") / col("n")) * (col("s").cast("double") / col("n"))))
+          .cast("long").as("var_micro"),
+        floor(lit(1000.0) * col("mn")).cast("long").as("min_milli"),
+        floor(lit(1000.0) * col("mx")).cast("long").as("max_milli"))
+      .orderBy(col("dim"))
+  }
+
+  val dimStatsSql: String =
+    """WITH st AS (SELECT d.range AS dim, count(*) AS n,
+      |    sum(CAST(embedding[d.range + 1]::DOUBLE AS DECIMAL(38,12))) AS s,
+      |    sum(CAST(embedding[d.range + 1]::DOUBLE * embedding[d.range + 1]::DOUBLE
+      |        AS DECIMAL(38,12))) AS q,
+      |    min(embedding[d.range + 1]::DOUBLE) AS mn,
+      |    max(embedding[d.range + 1]::DOUBLE) AS mx
+      |  FROM embeddings, range(64) d GROUP BY d.range)
+      |SELECT dim, n,
+      |  CAST(floor(1000.0 * (s::DOUBLE) / n) AS BIGINT) AS mean_milli,
+      |  CAST(floor(1000000.0 * ((q::DOUBLE / n) - (s::DOUBLE / n) * (s::DOUBLE / n))) AS BIGINT) AS var_micro,
+      |  CAST(floor(1000.0 * mn) AS BIGINT) AS min_milli,
+      |  CAST(floor(1000.0 * mx) AS BIGINT) AS max_milli
+      |FROM st ORDER BY dim""".stripMargin
+
   def ivfTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
               nCells: Int = 3): DataFrame = {
     val v = embeddings.select(col("vec_id"), col("label"), col("embedding"),

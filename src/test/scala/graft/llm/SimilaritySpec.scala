@@ -29,6 +29,18 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1e-4)
   }
 
+  test("dim stats report exact mean/var/min/max per dimension; dead dims show var 0") {
+    import spark.implicits._
+    // dim0: values 1,3 -> mean 2.0, var 1.0; dim1 constant 2 -> var 0
+    val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.dimStats(df, dim = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out(0) === ((0L, 2L, 2000L, 1000000L, 1000L, 3000L)))
+    assert(out(1) === ((1L, 2L, 2000L, 0L, 2000L, 2000L)))
+  }
+
   test("cosine top-k neighbors are symmetric in similarity value") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
