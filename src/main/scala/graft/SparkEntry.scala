@@ -145,7 +145,10 @@ object SparkEntry {
     "q99_group_sample" -> ((s, d) => Corpus.groupSample(documents(s, d))),
     "q100_partition_prune" -> ((s, d) =>
       graft.sources.TableIO.partitionPruneAgg(s, d)),
-    "q101_dim_stats" -> ((s, d) => Similarity.dimStats(embeddings(s, d)))
+    "q101_dim_stats" -> ((s, d) => Similarity.dimStats(embeddings(s, d))),
+    "q102_schema_evolution" -> ((s, d) =>
+      graft.sources.TableIO.schemaEvolutionAgg(s, d)),
+    "q103_countmin_freq" -> ((s, d) => Corpus.countMinFreq(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -251,6 +254,8 @@ object SparkEntry {
     "q98_scd2_intervals" -> Relational.scd2IntervalsSql,
     "q99_group_sample" -> Corpus.groupSampleSql,
     "q100_partition_prune" -> graft.sources.TableIO.partitionPruneAggSql,
-    "q101_dim_stats" -> Similarity.dimStatsSql
+    "q101_dim_stats" -> Similarity.dimStatsSql,
+    "q102_schema_evolution" -> graft.sources.TableIO.schemaEvolutionAggSql,
+    "q103_countmin_freq" -> Corpus.countMinFreqSql
   )
 }

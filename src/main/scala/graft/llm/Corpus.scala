@@ -241,6 +241,88 @@ object Corpus {
       |SELECT lang, term, cnt, rnk FROM r WHERE rnk <= 5
       |ORDER BY lang, rnk""".stripMargin
 
+  /** q103: count-min sketch term frequencies — the mergeable
+    * fixed-memory frequency estimator that completes the sketch family
+    * (HLL q11, Misra-Gries q85, histogram q89, Bloom q87): depth 4 rows
+    * of 64 counters, bucket r = top 6 bits of (fnv1a64(term) · C_r)
+    * mod 2⁶⁴ for four public odd multipliers. The registered query
+    * scores the sketch against truth: for the exact top-20 terms it
+    * reports the exact count, the CMS estimate (min over rows), and the
+    * guaranteed-nonnegative overcount.
+    *
+    * 100 TB shape: the kernel keeps ONE 4×64 long array per partition
+    * (2 KiB, regardless of vocabulary size — the whole point vs the q67
+    * hashmap when the term domain explodes) and emits ≤256 pre-combined
+    * (row, bucket, count) partials; merging sketches is elementwise sum
+    * — an ordinary partial+final aggregate. Probing joins the ≤256-row
+    * sketch BROADCAST against k probe rows. Every hash is exact mod-2⁶⁴
+    * arithmetic, replicated bit-for-bit in the HUGEINT oracle (the
+    * simhash pattern; multipliers < 2⁶² keep h·C inside signed 128). */
+  private val cmsMultipliers: Array[Long] = Array(
+    3935559000370003845L, 2685821657736338717L,
+    1181783497276652981L, 2862933555777941757L)
+
+  private val DefaultCmsK = 20
+
+  def countMinFreq(documents: DataFrame, k: Int = 20): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val cs = cmsMultipliers
+    val counters = graft.Tables.spread(documents.select(col("text"))).as[String]
+      .mapPartitions { it =>
+        val c = Array.ofDim[Long](cs.length, 64)
+        it.foreach { text =>
+          text.split(" ", -1).foreach { t =>
+            val h = graft.functions.Hashing.fnv1a64(t)
+            var r = 0
+            while (r < cs.length) { c(r)(((h * cs(r)) >>> 58).toInt) += 1; r += 1 }
+          }
+        }
+        (for { r <- cs.indices; b <- 0 until 64 if c(r)(b) > 0 }
+          yield (r, b, c(r)(b))).iterator
+      }
+      .toDF("r", "b", "pc")
+    val cms = counters.groupBy(col("r"), col("b")).agg(sum(col("pc")).as("c"))
+    val probes = TextAnalysis.termFreq(documents, k).as[(String, Long)]
+      .mapPartitions(_.flatMap { case (t, n) =>
+        val h = graft.functions.Hashing.fnv1a64(t)
+        cs.indices.map(r => (t, n, r, ((h * cs(r)) >>> 58).toInt))
+      })
+      .toDF("term", "cnt", "r", "b")
+    probes.join(broadcast(cms), Seq("r", "b"))
+      .groupBy(col("term"), col("cnt"))
+      .agg(F.min(col("c")).as("est"))
+      .select(col("term"), col("cnt"), col("est"),
+        (col("est") - col("cnt")).as("overcount"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
+  val countMinFreqSql: String = {
+    val rowsValues = cmsMultipliers.zipWithIndex
+      .map { case (c, r) => s"($r, $c::HUGEINT)" }.mkString(", ")
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |h AS (SELECT t, list_reduce(
+      |    list_prepend(14695981039346656037::HUGEINT,
+      |      list_transform(range(length(t)), i -> ord(substring(t, (i+1)::INT, 1)))),
+      |    (h, b) -> ((h - h % 256 + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)
+      |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS hv
+      |  FROM toks),
+      |rws AS (SELECT * FROM (VALUES $rowsValues) v(r, c)),
+      |bk AS (SELECT h.t, rws.r,
+      |    ((h.hv * rws.c) % 18446744073709551616::HUGEINT)
+      |      // 288230376151711744::HUGEINT AS b
+      |  FROM h CROSS JOIN rws),
+      |cms AS (SELECT r, b, count(*) AS c FROM bk GROUP BY r, b),
+      |bkd AS (SELECT DISTINCT t, r, b FROM bk),
+      |top AS (SELECT t AS term, count(*) AS cnt FROM toks
+      |        GROUP BY t ORDER BY cnt DESC, term LIMIT $DefaultCmsK),
+      |est AS (SELECT top.term, top.cnt, min(cms.c) AS est
+      |        FROM top JOIN bkd ON bkd.t = top.term
+      |        JOIN cms USING (r, b) GROUP BY top.term, top.cnt)
+      |SELECT term, cnt, est, est - cnt AS overcount
+      |FROM est ORDER BY cnt DESC, term""".stripMargin
+  }
+
   /** Incremental dedup: which NEW documents (odd doc_id stands in for
     * "today's batch") are not normalized-duplicates of the existing
     * corpus (even doc_id)? The anti-join runs on the 16-byte md5

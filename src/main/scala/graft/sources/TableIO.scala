@@ -115,4 +115,42 @@ object TableIO {
     """SELECT user_id, count(*) AS n, round(sum(value), 2) AS val
       |FROM events WHERE event_type = 'click'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q102: schema evolution across file batches — a v1 batch (doc_id,
+    * lang) and a later v2 batch that added n_chars land in the same
+    * table directory; `mergeSchema` reconciles the footers and v1 rows
+    * surface NULL n_chars. The aggregate proves both the merge and the
+    * null semantics (count sees every row, sum skips v1 rows, the v1
+    * count is explicit). The oracle derives the same numbers from the
+    * unevolved original.
+    *
+    * 100 TB shape: schema drift is a FACT of long-lived lakes — new
+    * columns appear mid-corpus, and re-writing petabytes to backfill is
+    * not an option. Merged reads cost one footer pass (schema union),
+    * not a data pass; the scan stays file-parallel with per-file
+    * projection. */
+  def schemaEvolutionAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, dir)
+    val dst = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_evo_rt_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(dst)
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("append").parquet(dst)
+    spark.read.option("mergeSchema", "true").parquet(dst)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("v2_chars"),
+        sum(when(col("n_chars").isNull, lit(1L)).otherwise(lit(0L))).as("n_v1_rows"))
+      .orderBy(col("lang"))
+  }
+
+  val schemaEvolutionAggSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS v2_chars,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1_rows
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 }

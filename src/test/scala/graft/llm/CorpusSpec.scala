@@ -179,6 +179,24 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 0L, 1L, 24L)))
   }
 
+  test("count-min estimates dominate exact counts and are exact sans collisions") {
+    import spark.implicits._
+    // 3 distinct terms, far fewer than 64 buckets: overwhelmingly
+    // collision-free in at least one of the 4 rows -> est == cnt
+    val docs = Seq((1L, "aa aa aa bb"), (2L, "bb cc aa")).toDF("doc_id", "text")
+    val out = Corpus.countMinFreq(docs, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(t => t._1 -> t._2).toSeq === Seq("aa" -> 4L, "bb" -> 2L, "cc" -> 1L))
+    assert(out.forall(t => t._3 >= t._2), "CMS never underestimates")
+    assert(out.forall(t => t._4 === t._3 - t._2))
+    assert(out.forall(t => t._3 === t._2), "3 terms in 64 buckets: no collisions")
+
+    // on the real fixture the estimate still dominates for every top term
+    val fx = Corpus.countMinFreq(graft.Tables.documents(spark, sf)).collect()
+    assert(fx.length === 20)
+    assert(fx.forall(r => r.getLong(2) >= r.getLong(1)))
+  }
+
   test("group sample returns exactly k per language, reproducibly") {
     val docs = graft.Tables.documents(spark, sf)
     val a = Corpus.groupSample(docs, k = 3).collect().map(_.toSeq)

@@ -81,4 +81,18 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(p.contains("PartitionFilters") && p.contains("n_regionkey"),
       s"expected partition pruning on the scan:\n$p")
   }
+
+  test("mergeSchema read reconciles evolving file batches; v1 rows get NULLs") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-evo").toString + "/t"
+    Seq((1L, "en")).toDF("doc_id", "lang").write.parquet(out)
+    Seq((2L, "en", 40L)).toDF("doc_id", "lang", "n_chars")
+      .write.mode("append").parquet(out)
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.toSet === Set("doc_id", "lang", "n_chars"))
+    val rows = merged.orderBy(col("doc_id")).collect()
+    assert(rows.length === 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("n_chars")), "v1 row must read NULL")
+    assert(rows(1).getLong(rows(1).fieldIndex("n_chars")) === 40L)
+  }
 }
