@@ -148,7 +148,8 @@ object SparkEntry {
     "q101_dim_stats" -> ((s, d) => Similarity.dimStats(embeddings(s, d))),
     "q102_schema_evolution" -> ((s, d) =>
       graft.sources.TableIO.schemaEvolutionAgg(s, d)),
-    "q103_countmin_freq" -> ((s, d) => Corpus.countMinFreq(documents(s, d)))
+    "q103_countmin_freq" -> ((s, d) => Corpus.countMinFreq(documents(s, d))),
+    "q104_dynamic_prune" -> ((s, d) => graft.sources.TableIO.dynamicPruneAgg(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -256,6 +257,7 @@ object SparkEntry {
     "q100_partition_prune" -> graft.sources.TableIO.partitionPruneAggSql,
     "q101_dim_stats" -> Similarity.dimStatsSql,
     "q102_schema_evolution" -> graft.sources.TableIO.schemaEvolutionAggSql,
-    "q103_countmin_freq" -> Corpus.countMinFreqSql
+    "q103_countmin_freq" -> Corpus.countMinFreqSql,
+    "q104_dynamic_prune" -> graft.sources.TableIO.dynamicPruneAggSql
   )
 }

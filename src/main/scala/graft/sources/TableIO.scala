@@ -90,14 +90,20 @@ object TableIO {
     * PlanShapeSpec), so non-matching partitions contribute zero I/O;
     * only same-type files are opened. Partition count tracks the key's
     * cardinality (here #event_types), not data volume. */
-  def partitionPruneAgg(spark: SparkSession, dir: String): DataFrame = {
+  def partitionPruneAgg(spark: SparkSession, dir: String): DataFrame =
+    prunedClickAgg(eventsPartitioned(spark, dir))
+
+  /** The shared event_type-partitioned layout (written once per sf dir,
+    * overwritten on re-runs) backing q100 (static pruning) and q104
+    * (dynamic pruning). */
+  private def eventsPartitioned(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
     val dst = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_part_rt_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
     ev.write.mode("overwrite").partitionBy("event_type").parquet(dst)
-    prunedClickAgg(spark.read.parquet(dst))
+    spark.read.parquet(dst)
   }
 
   /** The pruned read-side plan, split out so the plan guard can inspect
@@ -115,6 +121,54 @@ object TableIO {
     """SELECT user_id, count(*) AS n, round(sum(value), 2) AS val
       |FROM events WHERE event_type = 'click'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q104: DYNAMIC partition pruning — the runtime counterpart of q100:
+    * the fact side is the event_type-partitioned layout, the dim side is
+    * a derived above-average-volume type list (not knowable at plan
+    * time), and Spark injects a dynamic-pruning subquery into the fact
+    * scan's PartitionFilters: the broadcast dim's key set decides WHICH
+    * partition directories are read, at runtime, before the fact scan
+    * starts. Oracle = the same join on the unpartitioned original.
+    *
+    * 100 TB shape: a selective dim-fact join over a partitioned fact is
+    * THE warehouse query; without DPP the fact scan reads every
+    * partition and the join discards most rows post-I/O. With it, I/O
+    * tracks the dim's selectivity. The dim filter here (total > corpus
+    * average) is scale-relative, so the query demonstrates pruning at
+    * any SF; the plan guard pins `dynamicpruning` on the scan. */
+  def dynamicPruneAgg(spark: SparkSession, dir: String): DataFrame = {
+    // cloned session (the q87 discipline): the DPP benefit heuristic
+    // estimates from file sizes, and KB-scale fixtures fail a gate that
+    // a TB-scale partition layout passes trivially — relaxing it here
+    // reproduces the at-scale plan without touching the suite session.
+    // The dim filter is a scalar-subquery comparison INSIDE a Filter
+    // node (the SQL formulation) — a crossJoin(broadcast(avg)) variant
+    // becomes a nested-loop join condition, which the pruning rule does
+    // not recognize as a selective dim predicate.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    s.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10.0")
+    eventsPartitioned(s, dir).createOrReplaceTempView("graft_events_part")
+    graft.Tables.events(s, dir).createOrReplaceTempView("graft_events_raw")
+    s.sql(
+      """WITH c AS (SELECT event_type, count(*) AS total
+        |           FROM graft_events_raw GROUP BY event_type)
+        |SELECT e.event_type, d.total, count(*) AS n, round(sum(e.value), 2) AS val
+        |FROM graft_events_part e
+        |JOIN (SELECT event_type, total FROM c
+        |      WHERE total > (SELECT avg(total) FROM c)) d
+        |  ON d.event_type = e.event_type
+        |GROUP BY e.event_type, d.total ORDER BY e.event_type""".stripMargin)
+  }
+
+  val dynamicPruneAggSql: String =
+    """WITH c AS (SELECT event_type, count(*) AS total FROM events GROUP BY event_type),
+      |d AS (SELECT event_type, total FROM c
+      |      WHERE total > (SELECT avg(total) FROM c))
+      |SELECT e.event_type, d.total, count(*) AS n, round(sum(e.value), 2) AS val
+      |FROM events e JOIN d ON d.event_type = e.event_type
+      |GROUP BY e.event_type, d.total ORDER BY e.event_type""".stripMargin
 
   /** q102: schema evolution across file batches — a v1 batch (doc_id,
     * lang) and a later v2 batch that added n_chars land in the same

@@ -140,6 +140,14 @@ class PlanShapeSpec extends SparkSpec {
       s"event_type degraded to a data filter:\n$p")
   }
 
+  test("dynamic partition pruning fires on the partitioned fact scan (q104)") {
+    val p = plan(graft.sources.TableIO.dynamicPruneAgg(spark, sf))
+    // the dim side's key set must reach the fact scan as a runtime
+    // partition filter — without it every partition is read and the join
+    // discards rows post-I/O
+    assert(p.contains("dynamicpruning"), s"DPP did not fire:\n$p")
+  }
+
   test("group sample (q99) gets WindowGroupLimit — at most k rows per group cross the shuffle") {
     val p = plan(graft.llm.Corpus.groupSample(Tables.documents(spark, sf)))
     assert(p.contains("WindowGroupLimit"), s"rank filter not pushed:\n$p")
