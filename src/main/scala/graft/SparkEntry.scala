@@ -149,7 +149,8 @@ object SparkEntry {
     "q102_schema_evolution" -> ((s, d) =>
       graft.sources.TableIO.schemaEvolutionAgg(s, d)),
     "q103_countmin_freq" -> ((s, d) => Corpus.countMinFreq(documents(s, d))),
-    "q104_dynamic_prune" -> ((s, d) => graft.sources.TableIO.dynamicPruneAgg(s, d))
+    "q104_dynamic_prune" -> ((s, d) => graft.sources.TableIO.dynamicPruneAgg(s, d)),
+    "q105_forward_fill" -> ((s, d) => Relational.forwardFill(events(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -258,6 +259,7 @@ object SparkEntry {
     "q101_dim_stats" -> Similarity.dimStatsSql,
     "q102_schema_evolution" -> graft.sources.TableIO.schemaEvolutionAggSql,
     "q103_countmin_freq" -> Corpus.countMinFreqSql,
-    "q104_dynamic_prune" -> graft.sources.TableIO.dynamicPruneAggSql
+    "q104_dynamic_prune" -> graft.sources.TableIO.dynamicPruneAggSql,
+    "q105_forward_fill" -> Relational.forwardFillSql
   )
 }

@@ -934,6 +934,51 @@ object Relational {
       .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
   }
 
+  /** q105: time-grid forward fill (gap filling) — resample each user's
+    * irregular event stream onto a regular 6-hour grid carrying the
+    * last-observed value forward (the kdb/Timescale `locf` shape that
+    * turns raw streams into aligned feature rows). Grid points before a
+    * user's first event stay NULL. Ties at a grid instant: the event
+    * sorts first (`<=` as-of), same-timestamp events resolve by highest
+    * event_id — both pinned in the oracle's ORDER BY.
+    *
+    * 100 TB shape: the grid is generated per user from its own span
+    * (sequence(), bounded by span/step — output-sized, not corpus-
+    * squared) and the fill is the q22 as-of pattern: union events+grid,
+    * ONE shuffle on user_id, one window sort, last(ignoreNulls) carried
+    * forward — never a per-grid-point join or correlated probe (that is
+    * the oracle's O(n²) formulation). */
+  def forwardFill(events: DataFrame): DataFrame = {
+    val spans = events.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("t0"), max(col("ts")).as("t1"))
+    val grid = spans.select(col("user_id"),
+      explode(expr("sequence(t0, t1, interval 6 hours)")).as("t"))
+      .select(col("user_id"), col("t"), lit(1).as("kind"),
+        lit(null).cast("double").as("v"), lit(Long.MaxValue).as("eid"))
+    val ev = events.select(col("user_id"), col("ts").as("t"), lit(0).as("kind"),
+      col("value").as("v"), col("event_id").as("eid"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(grid)
+      .withColumn("fill", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("user_id"), unix_micros(col("t")).as("grid_us"),
+        round(col("fill"), 2).as("fill_val"))
+      .orderBy(col("user_id"), col("grid_us"))
+  }
+
+  val forwardFillSql: String =
+    """WITH s AS (SELECT user_id, date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS t0,
+      |             max(CAST(ts AS TIMESTAMP)) AS t1
+      |           FROM events GROUP BY user_id),
+      |g AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS t FROM s)
+      |SELECT g.user_id, epoch_us(g.t) AS grid_us,
+      |  round((SELECT e.value FROM events e
+      |         WHERE e.user_id = g.user_id AND CAST(e.ts AS TIMESTAMP) <= g.t
+      |         ORDER BY e.ts DESC, e.event_id DESC LIMIT 1), 2) AS fill_val
+      |FROM g ORDER BY user_id, grid_us""".stripMargin
+
   val scd2IntervalsSql: String =
     """WITH e AS (SELECT user_id, event_id, event_type,
       |        epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us FROM events),

@@ -85,6 +85,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).map(_._5).toSeq === Seq(true))
   }
 
+  test("forward fill carries last value onto the 6h grid; pre-first-event is null") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 01:00:00"), 1L, "a", 5.0, "{}"),
+      (2L, ts("2024-01-01 13:00:00"), 1L, "a", 7.0, "{}"),
+      // user 2: single event mid-hour — its one grid point precedes it
+      (3L, ts("2024-01-01 02:30:00"), 2L, "a", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.forwardFill(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    val u1 = out.filter(_._1 == 1L).map(_._3)
+    assert(u1.toSeq === Seq(Some(5.0), Some(5.0), Some(7.0))) // 01:00, 07:00, 13:00
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq === Seq(None)) // 02:00 < first event
+  }
+
   test("session/tumbling/topk sanity on fixtures") {
     val orders = graft.Tables.orders(spark, sf)
     assert(Relational.topK(orders, 5).count() === 5)
