@@ -292,20 +292,20 @@ object Dedup {
     // pairs); slack only admits extra candidates, which verify re-checks.
     val prefixA = ranked
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-6)) + 1)
-      .select(col("s"), col("doc_id").as("doc_a"), col("sz").as("sz_a"),
-        col("rn").as("rn_a"))
-    val fullB = ranked.select(col("s"), col("doc_id").as("doc_b"),
-      col("sz").as("sz_b"), col("rn").as("rn_b"))
-    // positional filter (the q33 PPJoin bound, directional): a shared
-    // token at df-ranks (rn_a, rn_b) caps the achievable overlap at
-    // min(remaining_a, remaining_b) + 1; postings that cannot reach
-    // ceil(t·|A|) die before the distinct+verify stage. Same 1e-6 slack
-    // as every FP bound here — only ever ADMITS extra candidates.
-    val cand = prefixA.as("a").join(fullB.as("b"),
-        col("a.s") === col("b.s") && col("doc_a") =!= col("doc_b") &&
-          col("sz_b") >= lit(threshold) * col("sz_a") - lit(1e-6) &&
-          least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) + 1
-            >= ceil(lit(threshold) * col("sz_a") - lit(1e-6)))
+      .select(col("s"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    // NO positional (PPJoin) filter on the B side, deliberately — it was
+    // measured SLOWER here (8.4 s vs 6.2 s at sf0.1): requiring rn_b
+    // forces a second per-doc Window sort over the FULL posting list
+    // that column pruning otherwise deletes (only A's prefix needs
+    // ranks), and the bound prunes little for containment because A's
+    // prefix shingles are its globally RAREST — their ranks are low in
+    // B as well, so min(remaining) almost always clears ceil(t·|A|).
+    // q33 keeps the positional filter because BOTH sides are
+    // prefix-indexed there and pay the window anyway.
+    val fullB = ranked.select(col("s"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    val cand = prefixA.join(fullB, "s")
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("sz_b") >= lit(threshold) * col("sz_a") - lit(1e-6))
       .select(col("doc_a"), col("doc_b")).distinct()
     val a = toksH.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
     val b = toksH.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
