@@ -150,7 +150,9 @@ object SparkEntry {
       graft.sources.TableIO.schemaEvolutionAgg(s, d)),
     "q103_countmin_freq" -> ((s, d) => Corpus.countMinFreq(documents(s, d))),
     "q104_dynamic_prune" -> ((s, d) => graft.sources.TableIO.dynamicPruneAgg(s, d)),
-    "q105_forward_fill" -> ((s, d) => Relational.forwardFill(events(s, d)))
+    "q105_forward_fill" -> ((s, d) => Relational.forwardFill(events(s, d))),
+    "q106_session_funnel" -> ((s, d) => EventWindows.sessionFunnel(events(s, d))),
+    "q107_retention_cohorts" -> ((s, d) => Relational.retentionCohorts(events(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -260,6 +262,8 @@ object SparkEntry {
     "q102_schema_evolution" -> graft.sources.TableIO.schemaEvolutionAggSql,
     "q103_countmin_freq" -> Corpus.countMinFreqSql,
     "q104_dynamic_prune" -> graft.sources.TableIO.dynamicPruneAggSql,
-    "q105_forward_fill" -> Relational.forwardFillSql
+    "q105_forward_fill" -> Relational.forwardFillSql,
+    "q106_session_funnel" -> EventWindows.sessionFunnelSql,
+    "q107_retention_cohorts" -> Relational.retentionCohortsSql
   )
 }

@@ -934,6 +934,40 @@ object Relational {
       .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
   }
 
+  /** q107: retention cohorts — the warehouse staple: users grouped by
+    * first-seen day (cohort), counted on each subsequent active day as
+    * a day offset. Output (cohort_day, day_offset, n_users) is the
+    * retention matrix a product dashboard plots.
+    *
+    * 100 TB shape: two partial+final aggregates (first-seen per user;
+    * distinct active (user, day)) and one join on user_id — the
+    * first-seen side is |users| rows (small relative to events) and
+    * everything downstream of the join is integer date arithmetic +
+    * a low-cardinality (cohort, offset) aggregate. No window, no
+    * per-user sort. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firstSeen = events.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("cohort_day"))
+    val active = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    active.join(firstSeen, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+      |           FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      |SELECT f.cohort_day, CAST(datediff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+      |  count(*) AS n_users
+      |FROM a JOIN f ON a.user_id = f.user_id
+      |GROUP BY f.cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   /** q105: time-grid forward fill (gap filling) — resample each user's
     * irregular event stream onto a regular 6-hour grid carrying the
     * last-observed value forward (the kdb/Timescale `locf` shape that

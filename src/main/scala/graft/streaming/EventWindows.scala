@@ -75,6 +75,53 @@ object EventWindows {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** q106: sessionized conversion funnel — per (user, 10-min-gap
+    * session): did the session contain a click, a purchase, and a
+    * purchase at-or-after its first click (the conversion)? One summary
+    * row: session count, click/purchase session counts, conversions.
+    * The behavioral-analytics shape (funnel over sessionized streams)
+    * built from the q25 session machinery.
+    *
+    * 100 TB shape: ONE session_window aggregate (the same
+    * state-merging shuffle q25 pays) computing min-click-ts /
+    * max-purchase-ts per session via conditional min/max — mergeable
+    * partial aggs, no self-join of the event stream, no second pass —
+    * then a scalar roll-up. Same plan binds to readStream. */
+  def sessionFunnel(events: DataFrame): DataFrame = {
+    val click = when(col("event_type") === "click", col("ts"))
+    val purchase = when(col("event_type") === "purchase", col("ts"))
+    events
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(min(click).as("first_click"), max(purchase).as("last_purchase"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("first_click").isNotNull, 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("last_purchase").isNotNull, 1L).otherwise(0L)).as("n_purchase"),
+        sum(when(col("last_purchase") >= col("first_click"), 1L).otherwise(0L))
+          .as("n_converted"))
+  }
+
+  /** Oracle: q25's lag/gap/cumsum session formulation with the same
+    * conditional min/max per session. */
+  val sessionFunnelSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events),
+      |g AS (SELECT user_id, ts, event_type,
+      |        CASE WHEN lag(ts) OVER w IS NULL
+      |             OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts, event_type,
+      |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM g),
+      |per AS (SELECT user_id, sid,
+      |        min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+      |        max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+      |      FROM s GROUP BY user_id, sid)
+      |SELECT count(*) AS n_sessions,
+      |  CAST(sum(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(sum(CASE WHEN last_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(sum(CASE WHEN last_purchase >= first_click THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+      |FROM per""".stripMargin
+
   /** q97: time-series downsampling to OHLC bars — per (1-hour bucket,
     * event_type): open/close (first/last value by event time, ties on
     * event_id), low/high, count and volume. The standard raw-stream →

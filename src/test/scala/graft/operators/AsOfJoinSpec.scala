@@ -100,6 +100,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).map(_._3).toSeq === Seq(None)) // 02:00 < first event
   }
 
+  test("retention cohorts count users per (first-seen day, day offset)") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-02 09:00:00"), 1L, "a", 1.0, "{}"),
+      (3L, ts("2024-01-04 09:00:00"), 1L, "a", 1.0, "{}"),
+      (4L, ts("2024-01-02 08:00:00"), 2L, "a", 1.0, "{}"),
+      (5L, ts("2024-01-02 20:00:00"), 2L, "a", 1.0, "{}"), // same day: one active row
+      (6L, ts("2024-01-03 08:00:00"), 2L, "a", 1.0, "{}"),
+      (7L, ts("2024-01-01 23:00:00"), 3L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.retentionCohorts(events).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L), ("2024-01-01", 3L, 1L),
+      ("2024-01-02", 0L, 1L), ("2024-01-02", 1L, 1L)))
+  }
+
   test("session/tumbling/topk sanity on fixtures") {
     val orders = graft.Tables.orders(spark, sf)
     assert(Relational.topK(orders, 5).count() === 5)

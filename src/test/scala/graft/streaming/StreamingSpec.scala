@@ -134,6 +134,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("session funnel counts conversions only when a purchase follows the first click") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mk = Seq(
+      // user 1, session A: click then purchase -> converted
+      (1L, "2024-01-01 10:00:00", 1L, "click", 1.0, "{}"),
+      (2L, "2024-01-01 10:05:00", 1L, "purchase", 9.0, "{}"),
+      // user 1, session B (>=10 min gap): purchase BEFORE its only click
+      (3L, "2024-01-01 11:00:00", 1L, "purchase", 5.0, "{}"),
+      (4L, "2024-01-01 11:05:00", 1L, "click", 1.0, "{}"),
+      // user 2: view-only session
+      (5L, "2024-01-01 09:00:00", 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val r = EventWindows.sessionFunnel(mk).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((3L, 2L, 2L, 1L)))
+  }
+
   test("ohlc bars pick open/close by event time with id tie-break; stream == batch") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
