@@ -152,7 +152,9 @@ object SparkEntry {
     "q104_dynamic_prune" -> ((s, d) => graft.sources.TableIO.dynamicPruneAgg(s, d)),
     "q105_forward_fill" -> ((s, d) => Relational.forwardFill(events(s, d))),
     "q106_session_funnel" -> ((s, d) => EventWindows.sessionFunnel(events(s, d))),
-    "q107_retention_cohorts" -> ((s, d) => Relational.retentionCohorts(events(s, d)))
+    "q107_retention_cohorts" -> ((s, d) => Relational.retentionCohorts(events(s, d))),
+    "q108_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(documents(s, d))),
+    "q109_zorder_layout" -> ((s, d) => Relational.zorderLayout(orders(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -264,6 +266,8 @@ object SparkEntry {
     "q104_dynamic_prune" -> graft.sources.TableIO.dynamicPruneAggSql,
     "q105_forward_fill" -> Relational.forwardFillSql,
     "q106_session_funnel" -> EventWindows.sessionFunnelSql,
-    "q107_retention_cohorts" -> Relational.retentionCohortsSql
+    "q107_retention_cohorts" -> Relational.retentionCohortsSql,
+    "q108_vocab_coverage" -> TextAnalysis.vocabCoverageSql,
+    "q109_zorder_layout" -> Relational.zorderLayoutSql
   )
 }

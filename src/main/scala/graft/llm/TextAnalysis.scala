@@ -580,6 +580,43 @@ object TextAnalysis {
       |    (h, x) -> (h * 31 + x) % 1000000007) AS chash
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** q108: tokenizer vocabulary coverage — per document, the fraction of
+    * token OCCURRENCES whose term appears in at least `minDf` documents
+    * corpus-wide (the in-vocab rate a tokenizer/embedding table would
+    * achieve with a df-thresholded vocabulary; 10000 − coverage_bp is
+    * the OOV rate). The q42 tf×df machinery pointed at the coverage
+    * question.
+    *
+    * 100 TB shape: doc-term counts are one partial+final aggregate; the
+    * df table is vocabulary-sized and BROADCAST into the scoring join;
+    * the final per-doc roll-up is a second ordinary aggregate. Nothing
+    * pairs, nothing sorts globally. */
+  def vocabCoverage(documents: DataFrame, minDf: Long = 5): DataFrame = {
+    val dt = documents
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("n"))
+    val dfreq = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    dt.join(broadcast(dfreq), "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(when(col("df") >= minDf, col("n")).otherwise(lit(0L))).as("n_covered"))
+      .select(col("doc_id"), col("n_tokens"), col("n_covered"),
+        floor(lit(10000.0) * col("n_covered") / col("n_tokens"))
+          .cast("long").as("coverage_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val vocabCoverageSql: String =
+    """WITH dt AS (SELECT doc_id, t AS term, count(*) AS n
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |  GROUP BY doc_id, t),
+      |d AS (SELECT term, count(*) AS df FROM dt GROUP BY term)
+      |SELECT dt.doc_id, CAST(sum(dt.n) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN d.df >= 5 THEN dt.n ELSE 0 END) AS BIGINT) AS n_covered,
+      |  CAST(floor(10000.0 * sum(CASE WHEN d.df >= 5 THEN dt.n ELSE 0 END)
+      |    / sum(dt.n)) AS BIGINT) AS coverage_bp
+      |FROM dt JOIN d USING (term) GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin
+
   /** Canonical document fingerprint: md5 of the sorted distinct token
     * set — groups bag-of-words duplicates regardless of word order. */
   def fingerprint(documents: DataFrame): DataFrame =

@@ -934,6 +934,47 @@ object Relational {
       .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
   }
 
+  /** q109: Z-order clustering key — bit-interleave two quantized
+    * dimensions (customer bucket, price bucket) into a space-filling
+    * z-value, then report per-z-range row counts and the min/max of
+    * BOTH source dimensions. Tight per-range bounds on both columns are
+    * the point: data laid out in z order lets min/max file statistics
+    * prune selective predicates on EITHER dimension — the multi-column
+    * layout story (Delta/Iceberg OPTIMIZE ZORDER) that single-column
+    * sorting cannot give at 100 TB. The z expression is the reusable
+    * operator; the registered query is its locality evidence.
+    *
+    * Pure integer bit arithmetic ((x & 2^i) << i | (y & 2^i) << (i+1)
+    * summed over 8 bits) — bit-identical in the oracle. One partial+
+    * final aggregate over a 2-column scan; no shuffle beyond it. */
+  def zorderLayout(orders: DataFrame): DataFrame = {
+    val xb = (col("o_custkey") % 256).cast("long")
+    val yb = least(floor(col("o_totalprice") / 2000.0).cast("long"), lit(255L))
+    val z = (0 until 8).map { i =>
+      shiftleft(xb.bitwiseAND(lit(1L << i)), i) +
+        shiftleft(yb.bitwiseAND(lit(1L << i)), i + 1)
+    }.reduce(_ + _)
+    orders.select(xb.as("xb"), yb.as("yb"), z.as("z"))
+      .select(expr("z div 4096").as("z_range"), col("xb"), col("yb"))
+      .groupBy(col("z_range"))
+      .agg(count(lit(1)).as("n"),
+        min(col("xb")).as("x_min"), max(col("xb")).as("x_max"),
+        min(col("yb")).as("y_min"), max(col("yb")).as("y_max"))
+      .orderBy(col("z_range"))
+  }
+
+  val zorderLayoutSql: String = {
+    val zTerms = (0 until 8).map(i =>
+      s"((xb & ${1L << i}) << $i) + ((yb & ${1L << i}) << ${i + 1})").mkString(" + ")
+    s"""WITH b AS (SELECT o_custkey % 256 AS xb,
+      |    least(CAST(floor(o_totalprice / 2000.0) AS BIGINT), 255) AS yb
+      |  FROM orders),
+      |z AS (SELECT xb, yb, ($zTerms) // 4096 AS z_range FROM b)
+      |SELECT z_range, count(*) AS n,
+      |  min(xb) AS x_min, max(xb) AS x_max, min(yb) AS y_min, max(yb) AS y_max
+      |FROM z GROUP BY z_range ORDER BY z_range""".stripMargin
+  }
+
   /** q107: retention cohorts — the warehouse staple: users grouped by
     * first-seen day (cohort), counted on each subsequent active day as
     * a day offset. Output (cohort_day, day_offset, n_users) is the

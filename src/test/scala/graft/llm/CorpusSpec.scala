@@ -179,6 +179,17 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 0L, 1L, 24L)))
   }
 
+  test("vocab coverage counts occurrences of df-qualified terms only") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "a x"))
+      .toDF("doc_id", "text")
+    // df: a=3, b=2, c=1, x=1; minDf=2 -> vocab {a, b}
+    val out = TextAnalysis.vocabCoverage(docs, minDf = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 2L, 6666L), (2L, 2L, 2L, 10000L), (3L, 2L, 1L, 5000L)))
+  }
+
   test("count-min estimates dominate exact counts and are exact sans collisions") {
     import spark.implicits._
     // 3 distinct terms, far fewer than 64 buckets: overwhelmingly

@@ -118,6 +118,24 @@ class AsOfJoinSpec extends SparkSpec {
       ("2024-01-02", 0L, 1L), ("2024-01-02", 1L, 1L)))
   }
 
+  test("z-order interleaves bits and bounds both dims within every z range") {
+    import spark.implicits._
+    // x=3 (0b11), price 2500 -> y=1 (0b01): z = 1 + 2 + 4 = 7 -> range 0
+    val one = Seq((3L, 2500.0)).toDF("o_custkey", "o_totalprice")
+    val r = Relational.zorderLayout(one).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((0L, 1L, 3L, 3L, 1L, 1L)))
+
+    // locality: stripping 12 z-bits leaves the top 2 bits of each 8-bit
+    // dim -> every range spans < 64 in BOTH dimensions on the fixture
+    val out = Relational.zorderLayout(graft.Tables.orders(spark, sf)).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(row => row.getLong(3) - row.getLong(2) < 64),
+      "x span leaked across a z range")
+    assert(out.forall(row => row.getLong(5) - row.getLong(4) < 64),
+      "y span leaked across a z range")
+  }
+
   test("session/tumbling/topk sanity on fixtures") {
     val orders = graft.Tables.orders(spark, sf)
     assert(Relational.topK(orders, 5).count() === 5)
