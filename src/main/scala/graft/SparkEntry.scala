@@ -154,7 +154,9 @@ object SparkEntry {
     "q106_session_funnel" -> ((s, d) => EventWindows.sessionFunnel(events(s, d))),
     "q107_retention_cohorts" -> ((s, d) => Relational.retentionCohorts(events(s, d))),
     "q108_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(documents(s, d))),
-    "q109_zorder_layout" -> ((s, d) => Relational.zorderLayout(orders(s, d)))
+    "q109_zorder_layout" -> ((s, d) => Relational.zorderLayout(orders(s, d))),
+    "q110_value_anomalies" -> ((s, d) => Relational.valueAnomalies(events(s, d))),
+    "q111_tpch_q3" -> ((s, d) => Relational.tpchQ3(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -268,6 +270,8 @@ object SparkEntry {
     "q106_session_funnel" -> EventWindows.sessionFunnelSql,
     "q107_retention_cohorts" -> Relational.retentionCohortsSql,
     "q108_vocab_coverage" -> TextAnalysis.vocabCoverageSql,
-    "q109_zorder_layout" -> Relational.zorderLayoutSql
+    "q109_zorder_layout" -> Relational.zorderLayoutSql,
+    "q110_value_anomalies" -> Relational.valueAnomaliesSql,
+    "q111_tpch_q3" -> Relational.tpchQ3Sql
   )
 }

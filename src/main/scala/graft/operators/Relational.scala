@@ -632,6 +632,34 @@ object Relational {
   val tpchQ5Sql: String =
     tpchQ5Body.format("customer, orders, lineitem, supplier, nation, region")
 
+  /** q111: TPC-H Q3 (shipping-priority), adapted to the fixture schema
+    * (o_orderpriority stands in for the missing o_shippriority; date
+    * cutoff inside the fixture's 1995-2001 span). Classic selective
+    * 3-table star: segment-filtered customers broadcast into orders,
+    * the date filters push to both fact scans, revenue per open order,
+    * global top-10 via TakeOrderedAndProject. Same plan family as q58
+    * (Q5) — registered because Q3 adds the
+    * filter-both-facts + top-k composite Q5 lacks. */
+  private val tpchQ3Body: String =
+    """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  CAST(o_orderdate AS DATE) AS o_date, o_orderpriority
+      |FROM %s
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY l_orderkey, o_date, o_orderpriority
+      |ORDER BY revenue DESC, o_date, l_orderkey LIMIT 10""".stripMargin
+
+  def tpchQ3(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem")
+      .foreach(t => graft.Tables.load(spark, dir, t).createOrReplaceTempView(s"${t}_q3"))
+    spark.sql(tpchQ3Body.format("customer_q3, orders_q3, lineitem_q3"))
+  }
+
+  val tpchQ3Sql: String = tpchQ3Body.format("customer, orders, lineitem")
+
   // --------------------------------------------------------------------
   // q59: summary statistics (describe-style) — count/mean/stddev/min/max
   // per numeric column. stddev is sample stddev in both engines; means
@@ -933,6 +961,56 @@ object Relational {
       .withColumn("is_current", col("valid_to_us").isNull)
       .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
   }
+
+  /** q110: per-user value anomalies — events more than 3 sample
+    * standard deviations from their user's mean (the ops-monitoring /
+    * data-QA outlier gate). Mean and variance accumulate in exact
+    * DECIMAL sums (the q101 discipline: order-independent, so the
+    * derived double thresholds are bit-identical across engines and
+    * partitionings); users with < 2 events have no sample variance and
+    * report zero anomalies.
+    *
+    * 100 TB shape: one partial+final aggregate for the per-user moments
+    * (O(1) state per user), then the users-sized stats frame joins back
+    * on user_id for a single comparison pass — no window sort, no
+    * second global aggregate until the #users-row roll-up. */
+  def valueAnomalies(events: DataFrame): DataFrame = {
+    val v = col("value")
+    val stats = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(v.cast("decimal(38,12)")).as("s"),
+        sum((v * v).cast("decimal(38,12)")).as("q"))
+      .select(col("user_id"), col("n"),
+        (col("s").cast("double") / col("n")).as("mean"),
+        when(col("n") > 1,
+          sqrt(greatest((col("q").cast("double") -
+            col("s").cast("double") * col("s").cast("double") / col("n")) /
+            (col("n") - 1), lit(0.0)))).as("sd"))
+    events.select(col("user_id"), v.as("x"))
+      .join(stats, "user_id")
+      .groupBy(col("user_id"), col("n"))
+      .agg(sum(when(col("sd").isNotNull &&
+          abs(col("x") - col("mean")) > lit(3.0) * col("sd"), 1L)
+        .otherwise(0L)).as("n_anomalies"))
+      .select(col("user_id"), col("n").as("n_events"), col("n_anomalies"))
+      .orderBy(col("user_id"))
+  }
+
+  val valueAnomaliesSql: String =
+    """WITH st AS (SELECT user_id, count(*) AS n,
+      |    sum(CAST(value AS DECIMAL(38,12))) AS s,
+      |    sum(CAST(value * value AS DECIMAL(38,12))) AS q
+      |  FROM events GROUP BY user_id),
+      |m AS (SELECT user_id, n, (s::DOUBLE / n) AS mean,
+      |    CASE WHEN n > 1 THEN
+      |      sqrt(greatest((q::DOUBLE - s::DOUBLE * s::DOUBLE / n) / (n - 1), 0.0))
+      |    END AS sd
+      |  FROM st)
+      |SELECT e.user_id, m.n AS n_events,
+      |  CAST(sum(CASE WHEN m.sd IS NOT NULL AND abs(e.value - m.mean) > 3.0 * m.sd
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      |FROM events e JOIN m ON m.user_id = e.user_id
+      |GROUP BY e.user_id, m.n ORDER BY e.user_id""".stripMargin
 
   /** q109: Z-order clustering key — bit-interleave two quantized
     * dimensions (customer bucket, price bucket) into a space-filling

@@ -136,6 +136,20 @@ class AsOfJoinSpec extends SparkSpec {
       "y span leaked across a z range")
   }
 
+  test("value anomalies flag >3-sigma events; degenerate users report zero") {
+    import spark.implicits._
+    val rows =
+      (1 to 14).map(i => (i.toLong, ts(f"2024-01-01 10:$i%02d:00"), 1L, "a", 1.0, "{}")) ++
+        Seq((15L, ts("2024-01-01 11:00:00"), 1L, "a", 100.0, "{}"),  // the outlier
+          (16L, ts("2024-01-01 10:00:00"), 2L, "a", 5.0, "{}"),      // constant pair
+          (17L, ts("2024-01-01 10:01:00"), 2L, "a", 5.0, "{}"),
+          (18L, ts("2024-01-01 10:00:00"), 3L, "a", 7.0, "{}"))      // singleton
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.valueAnomalies(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 15L, 1L), (2L, 2L, 0L), (3L, 1L, 0L)))
+  }
+
   test("session/tumbling/topk sanity on fixtures") {
     val orders = graft.Tables.orders(spark, sf)
     assert(Relational.topK(orders, 5).count() === 5)

@@ -56,6 +56,13 @@ class PlanShapeSpec extends SparkSpec {
       s"more than one hash exchange:\n$p")
   }
 
+  test("TPC-H Q3 broadcasts the filtered customer leg; top-10 is TakeOrdered") {
+    val p = plan(Relational.tpchQ3(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"customer leg not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 not pushed:\n$p")
+    assert(p.contains("PushedFilters"), s"date filters not pushed:\n$p")
+  }
+
   test("TPC-H Q5 SQL path broadcasts every dimension join") {
     val p = plan(Relational.tpchQ5(spark, sf))
     // customer, supplier, nation, region are all dimension legs — each
