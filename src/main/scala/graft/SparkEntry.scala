@@ -156,7 +156,13 @@ object SparkEntry {
     "q108_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(documents(s, d))),
     "q109_zorder_layout" -> ((s, d) => Relational.zorderLayout(orders(s, d))),
     "q110_value_anomalies" -> ((s, d) => Relational.valueAnomalies(events(s, d))),
-    "q111_tpch_q3" -> ((s, d) => Relational.tpchQ3(s, d))
+    "q111_tpch_q3" -> ((s, d) => Relational.tpchQ3(s, d)),
+    "q112_tpch_q10" -> ((s, d) =>
+      Relational.tpchQ10(customer(s, d), orders(s, d), lineitem(s, d), nation(s, d))),
+    "q113_event_transitions" -> ((s, d) => Relational.eventTransitions(events(s, d))),
+    "q114_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(documents(s, d))),
+    "q115_weighted_sample" -> ((s, d) => Corpus.weightedSample(documents(s, d))),
+    "q116_basket_pairs" -> ((s, d) => Relational.basketPairs(lineitem(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -272,6 +278,11 @@ object SparkEntry {
     "q108_vocab_coverage" -> TextAnalysis.vocabCoverageSql,
     "q109_zorder_layout" -> Relational.zorderLayoutSql,
     "q110_value_anomalies" -> Relational.valueAnomaliesSql,
-    "q111_tpch_q3" -> Relational.tpchQ3Sql
+    "q111_tpch_q3" -> Relational.tpchQ3Sql,
+    "q112_tpch_q10" -> Relational.tpchQ10Sql,
+    "q113_event_transitions" -> Relational.eventTransitionsSql,
+    "q114_token_entropy" -> TextAnalysis.tokenEntropySql,
+    "q115_weighted_sample" -> Corpus.weightedSampleSql,
+    "q116_basket_pairs" -> Relational.basketPairsSql
   )
 }

@@ -902,6 +902,40 @@ object Corpus {
       |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
       |FROM cc GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
 
+  /** q115: deterministic weighted sample via exponential clocks
+    * (Efraimidis–Spirakis A-ES): each document draws u = (h + 0.5)/2³²
+    * from the md5 hash (the same reproducible-uniform the split/sample
+    * family uses — no RNG state, stable across engines, runs, and
+    * cluster layouts), gets clock −ln(u)/w with rate w = n_chars, and
+    * the k SMALLEST clocks win — selection probability proportional to
+    * the document's weight, exactly the size-biased sample a
+    * token-budgeted curation pass wants.
+    *
+    * 100 TB shape: the clock is a stateless codegen scalar over a
+    * 2-column projection; selection is a k-row TakeOrderedAndProject —
+    * per-partition top-k, only k rows ever reach the driver. The +0.5
+    * offset keeps u strictly inside (0,1) (no infinite clock at h=0);
+    * clocks are continuous so ties are measure-zero, with doc_id as the
+    * formal tiebreak. */
+  def weightedSample(documents: DataFrame, k: Int = 50): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val clock = -log((h.cast("double") + 0.5) / 4294967296.0) / col("n_chars")
+    documents
+      .select(col("doc_id"), col("n_chars"), clock.as("clock_raw"))
+      .orderBy(col("clock_raw"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_chars"), round(col("clock_raw"), 8).as("clock"))
+  }
+
+  val weightedSampleSql: String =
+    """WITH c AS (SELECT doc_id, n_chars,
+      |    -ln((CAST(concat('0x', substring(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) + 0.5)
+      |        / 4294967296.0) / n_chars AS clock_raw
+      |  FROM documents)
+      |SELECT doc_id, n_chars, round(clock_raw, 8) AS clock
+      |FROM c ORDER BY clock_raw, doc_id LIMIT 50""".stripMargin
+
   val mixtureWeightsSql: String =
     """WITH p AS (SELECT lang, count(*) AS n_docs,
       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens

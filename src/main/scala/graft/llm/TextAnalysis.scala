@@ -617,6 +617,61 @@ object TextAnalysis {
       |    / sum(dt.n)) AS BIGINT) AS coverage_bp
       |FROM dt JOIN d USING (term) GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin
 
+  /** q114: per-document unigram Shannon entropy (nats) — the
+    * vocabulary-diversity quality gate: near-zero entropy means the doc
+    * is a handful of tokens repeated (boilerplate, keyword stuffing).
+    * Complements q71's repetition score, which only sees ADJACENT
+    * repeats — entropy catches global degeneracy regardless of order.
+    *
+    * Entropy is computed as ln(n) − (Σ c·ln c)/n from exact integer
+    * token counts, so both engines sum the same ~vocab-sized series;
+    * rounding to 6 absorbs summation-order ulps.
+    *
+    * 100 TB shape: a single mapPartitions kernel — each document's
+    * distribution lives in one per-row hashmap, text never leaves the
+    * executor, and NOTHING shuffles but the 3-column result (the final
+    * orderBy is the presentation sort of a #docs-row frame). The
+    * explode-and-groupBy formulation the oracle uses would shuffle
+    * one row per token. */
+  def tokenEntropy(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    graft.Tables.spread(documents.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val w = text.split(" ", -1)
+        val counts = new java.util.HashMap[String, Long](w.length * 2)
+        var n = 0L
+        var i = 0
+        while (i < w.length) {
+          val t = w(i)
+          if (t.nonEmpty) { n += 1; counts.merge(t, 1L, _ + _) }
+          i += 1
+        }
+        var clnc = 0.0
+        val vals = counts.values().iterator()
+        while (vals.hasNext) { val c = vals.next().toDouble; clnc += c * math.log(c) }
+        val h = if (n == 0L) 0.0 else math.log(n.toDouble) - clnc / n
+        (id, n, h)
+      })
+      .toDF("doc_id", "n_tokens", "entropy")
+      .select(col("doc_id"), col("n_tokens"), round(col("entropy"), 6).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenEntropySql: String =
+    """WITH tok AS (SELECT doc_id, t AS term FROM
+      |    (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |  WHERE t <> ''),
+      |cnt AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+      |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    sum(c * ln(c)) AS clnc FROM cnt GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+      |  round(CASE WHEN a.n_tokens IS NULL THEN 0.0
+      |             ELSE ln(a.n_tokens) - a.clnc / a.n_tokens END, 6) AS entropy
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Canonical document fingerprint: md5 of the sorted distinct token
     * set — groups bag-of-words duplicates regardless of word order. */
   def fingerprint(documents: DataFrame): DataFrame =

@@ -1147,6 +1147,123 @@ object Relational {
       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** q112: TPC-H Q10 (returned-item revenue) adapted to the fixture —
+    * which customers returned the most revenue in H1-1996. The classic
+    * "filter both facts, join up the star, global top-k" report: the
+    * date filter pushes to the orders scan and the returnflag filter to
+    * the lineitem scan, nation broadcasts, and the answer is a 20-row
+    * TakeOrderedAndProject — per-partition top-20s reach the driver, the
+    * grouped frame never sorts globally.
+    *
+    * 100 TB shape: one fact-fact shuffle on the orderkey (AQE sort-merge
+    * with skew splitting), one shuffle on custkey into the bounded
+    * customer dim, nation broadcast. Aggregate state is O(matched
+    * customers), far below the fact cardinality after the R+date
+    * filters. */
+  def tpchQ10(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+              nation: DataFrame): DataFrame = {
+    val o = orders.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val l = lineitem.filter(col("l_returnflag") === "R")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .select(col("c_custkey"), col("c_name"), r2(col("c_acctbal")).as("acctbal"),
+        col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val tpchQ10Sql: String =
+    """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem, orders, customer, nation
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** q113: event-type transition matrix — the per-user Markov chain a
+    * product-analytics team fits over clickstreams: for every ordered
+    * adjacent event pair within a user, count (from, to) transitions
+    * and their conditional probability P(to | from).
+    *
+    * Ordering is (ts, event_id) — (user_id, ts) is unique in the
+    * fixture but the event_id tiebreak keeps the lead() deterministic
+    * under ties at scale. Probabilities divide exact integer counts
+    * (one IEEE division — bit-identical across engines), rounded only
+    * as presentation.
+    *
+    * 100 TB shape: one shuffle on user_id for the lead() window (the
+    * same partitioning sessionization uses — at scale these share one
+    * exchange), then a partial+final aggregate down to a #types² frame;
+    * the probability window runs on that tiny grouped frame, not on the
+    * events. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val wt = Window.partitionBy(col("event_type"))
+    pairs
+      .withColumn("p", round(col("n").cast("double") / sum(col("n")).over(wt), 6))
+      .select(col("event_type"), col("next_type"), col("n"), col("p"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  val eventTransitionsSql: String =
+    """WITH nxt AS (SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |cnt AS (SELECT event_type, next_type, count(*) AS n FROM nxt
+      |  WHERE next_type IS NOT NULL GROUP BY event_type, next_type)
+      |SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+      |  round(n::DOUBLE / (sum(n) OVER (PARTITION BY event_type))::DOUBLE, 6) AS p
+      |FROM cnt ORDER BY event_type, next_type""".stripMargin
+
+  /** q116: market-basket part pairs — which parts co-occur in the same
+    * order (the association-rule / recommender precursor). Baskets are
+    * built with one groupBy on the orderkey (collect_set state bounded
+    * by the per-order line cap, ≤13 in TPC-H), pairs are expanded
+    * executor-side with codegen'd array HOFs — no self-join, so the
+    * fact table is shuffled exactly once — then a partial+final count
+    * on the pair key and a k-row TakeOrderedAndProject.
+    *
+    * 100 TB shape: the expansion is O(basket²) per order with basket
+    * bounded by the schema (≤ C(13,2)=78 pairs/order), so the pair
+    * stream is a constant factor of the fact scan; the alternative
+    * distinct-self-join would shuffle the items projection twice and
+    * hit the same quadratic bound without the per-order cap being
+    * visible to the optimizer. */
+  def basketPairs(lineitem: DataFrame, k: Int = 40): DataFrame = {
+    val baskets = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    baskets
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
+          |            y -> named_struct('p1', x, 'p2', y))))""".stripMargin)).as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(k)
+  }
+
+  val basketPairsSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+      |SELECT a.pk AS p1, b.pk AS p2, count(*) AS n_orders
+      |FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |GROUP BY 1, 2 ORDER BY n_orders DESC, p1, p2 LIMIT 40""".stripMargin
+
   // Oracle: the O(n²) formulation — same answer, only viable at oracle SF.
   // `<=` matches the AsOf operator's right-sorts-first tie handling.
   val asofJoinSql: String =

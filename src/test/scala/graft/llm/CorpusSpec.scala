@@ -377,6 +377,42 @@ class CorpusSpec extends SparkSpec {
     assert(r.getDouble(3) === 2.0)              // avg_token_len = (2+2)/2
   }
 
+  test("token entropy: zero for degenerate docs, ln(n) for all-distinct docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a a", 7L),          // single token repeated: entropy 0
+      (2L, "a b c d", 7L),          // uniform over 4: entropy ln(4)
+      (3L, "a a b", 5L),            // 2/3,1/3 mix
+      (4L, "", 0L))                 // empty text: 0 tokens, entropy 0
+      .toDF("doc_id", "text", "n_chars")
+    val byId = TextAnalysis.tokenEntropy(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(byId(1L) === ((4L, 0.0)))
+    assert(byId(2L)._1 === 4L)
+    assert(math.abs(byId(2L)._2 - math.log(4.0)) < 1e-6)
+    val h3 = -(2.0 / 3) * math.log(2.0 / 3) - (1.0 / 3) * math.log(1.0 / 3)
+    assert(byId(3L)._1 === 3L)
+    assert(math.abs(byId(3L)._2 - h3) < 1e-6)
+    assert(byId(4L) === ((0L, 0.0)))
+  }
+
+  test("weighted sample: deterministic, k rows, clocks ascending, weight-biased") {
+    val out1 = Corpus.weightedSample(docs, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val out2 = Corpus.weightedSample(docs, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out1.toSeq === out2.toSeq, "sample must be reproducible")
+    assert(out1.length === 50)
+    assert(out1.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+      "winners must surface in clock order")
+    // size bias: exponential clocks with rate n_chars favor long docs —
+    // the sampled mean length must exceed the corpus mean
+    val corpusMean = docs.agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    val sampleMean = out1.map(_._2).sum.toDouble / out1.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample not size-biased: $sampleMean <= $corpusMean")
+  }
+
   test("stopword filter removes only marker tokens and hashes the remainder") {
     import spark.implicits._
     val d = Seq(

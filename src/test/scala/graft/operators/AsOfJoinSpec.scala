@@ -150,6 +150,42 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 15L, 1L), (2L, 2L, 0L), (3L, 1L, 0L)))
   }
 
+  test("event transitions count adjacent pairs per user with exact probabilities") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "b", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "a", 1.0, "{}"),
+      (4L, ts("2024-01-01 10:03:00"), 1L, "c", 1.0, "{}"),
+      (5L, ts("2024-01-01 10:00:00"), 2L, "a", 1.0, "{}"),
+      (6L, ts("2024-01-01 10:05:00"), 2L, "b", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // user1: a->b, b->a, a->c; user2: a->b  =>  a->b:2, a->c:1, b->a:1
+    val out = Relational.eventTransitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("a", "b", 2L, 0.666667), ("a", "c", 1L, 0.333333), ("b", "a", 1L, 1.0)))
+  }
+
+  test("basket pairs count co-occurrence once per order, including dup lines") {
+    import spark.implicits._
+    // order 10 lists part 2 twice: the pair (1,2) must still count once
+    val li = Seq((10L, 1L), (10L, 2L), (10L, 2L), (10L, 3L), (20L, 2L), (20L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Relational.basketPairs(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((2L, 3L, 2L), (1L, 2L, 1L), (1L, 3L, 1L)))
+  }
+
+  test("TPC-H Q10 returns top returned-revenue customers in rank order") {
+    val out = Relational.tpchQ10(graft.Tables.customer(spark, sf),
+      graft.Tables.orders(spark, sf), graft.Tables.lineitem(spark, sf),
+      graft.Tables.nation(spark, sf)).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val revs = out.map(_.getDouble(4))
+    assert(revs.sliding(2).forall(p => p(0) >= p(1)), "revenue not descending")
+  }
+
   test("session/tumbling/topk sanity on fixtures") {
     val orders = graft.Tables.orders(spark, sf)
     assert(Relational.topK(orders, 5).count() === 5)

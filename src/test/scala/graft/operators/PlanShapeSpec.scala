@@ -63,6 +63,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), s"date filters not pushed:\n$p")
   }
 
+  test("basket pairs expand executor-side: no self-join, top-k is TakeOrdered") {
+    val p = plan(Relational.basketPairs(Tables.lineitem(spark, sf)))
+    assert(!p.contains("Join"), s"basket expansion regressed to a self-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not pushed:\n$p")
+  }
+
+  test("token entropy is a kernel pass: no explode, no per-token aggregate") {
+    val p = plan(graft.llm.TextAnalysis.tokenEntropy(Tables.documents(spark, sf)))
+    assert(!p.contains("Generate"), s"entropy regressed to explode:\n$p")
+    assert(!p.contains("HashAggregate"), s"entropy regressed to per-token agg:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
+  test("weighted sample is exchange-free: stateless scalar + TakeOrdered") {
+    val p = plan(graft.llm.Corpus.weightedSample(Tables.documents(spark, sf)))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not pushed:\n$p")
+    assert(!p.contains("Exchange"), s"weighted sample should not shuffle:\n$p")
+  }
+
+  test("TPC-H Q10 broadcasts nation and plans the top-20 as TakeOrdered") {
+    val p = plan(Relational.tpchQ10(Tables.customer(spark, sf), Tables.orders(spark, sf),
+      Tables.lineitem(spark, sf), Tables.nation(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"), s"nation not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not pushed:\n$p")
+    assert(p.contains("PushedFilters"), s"filters not pushed to scans:\n$p")
+  }
+
   test("TPC-H Q5 SQL path broadcasts every dimension join") {
     val p = plan(Relational.tpchQ5(spark, sf))
     // customer, supplier, nation, region are all dimension legs — each
