@@ -77,6 +77,46 @@ object Graph {
     out
   }
 
+  /** q121: degree distribution of the purchase graph — the structural
+    * sanity check run before any iterative graph algorithm (q94, q68):
+    * how many customers buy from d suppliers, how many suppliers sell
+    * to d customers. Heavy-tailed in-degree is what motivates q94's
+    * map-side-combinable inflow and the CC engine's skewed-star
+    * handling — this query is the evidence pass.
+    *
+    * 100 TB shape: the edge list is the same one fact-fact join q94
+    * builds (distinct on two int keys); each side is then two nested
+    * partial+final aggregates (node→degree, degree→count) whose state
+    * collapses to |V| then |distinct degrees| — nothing larger than the
+    * edge list ever shuffles, and the two sides' pipelines share the
+    * one edge scan. */
+  def degreeDistribution(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val edges = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        col("l_suppkey").cast("long").as("dst"))
+      .distinct()
+    def hist(keyed: DataFrame, side: String): DataFrame =
+      keyed.groupBy(col("node")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .select(lit(side).as("side"), col("degree"), col("n_nodes"))
+    hist(edges.select(col("src").as("node")), "customer_out")
+      .unionAll(hist(edges.select(col("dst").as("node")), "supplier_in"))
+      .orderBy(col("side"), col("degree"))
+  }
+
+  val degreeDistributionSql: String =
+    """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+      |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |od AS (SELECT src, count(*) AS degree FROM e GROUP BY src),
+      |id AS (SELECT dst, count(*) AS degree FROM e GROUP BY dst)
+      |SELECT side, degree, n_nodes FROM (
+      |  SELECT 'customer_out' AS side, degree, count(*) AS n_nodes
+      |    FROM od GROUP BY degree
+      |  UNION ALL
+      |  SELECT 'supplier_in', degree, count(*) FROM id GROUP BY degree)
+      |ORDER BY side, degree""".stripMargin
+
   /** Bit-exact oracle at the registered defaults (3 iterations, top 20):
     * the rounds unrolled as CTEs in the same integer arithmetic. DuckDB
     * sum(BIGINT) widens to HUGEINT, so every inflow is cast back before

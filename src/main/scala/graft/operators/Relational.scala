@@ -1264,6 +1264,181 @@ object Relational {
       |FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
       |GROUP BY 1, 2 ORDER BY n_orders DESC, p1, p2 LIMIT 40""".stripMargin
 
+  /** q117: activity streaks (gaps-and-islands) — per user, the classic
+    * consecutive-active-days report: distinct active days, number of
+    * maximal runs, and the longest run. The island key is pure integer
+    * date arithmetic (day − row_number is constant within a run), so
+    * both engines group identically — no floats anywhere.
+    *
+    * 100 TB shape: distinct (user, day) is a partial+final aggregate
+    * that collapses the event stream to ≤ users×days rows BEFORE the
+    * window; the row_number window shuffles once on user_id; the two
+    * downstream aggregates run on run-sized then user-sized frames. */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val runs = days
+      .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+    runs.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("max_streak"))
+      .orderBy(col("user_id"))
+  }
+
+  val activityStreaksSql: String =
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |r AS (SELECT user_id, day,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM days),
+      |g AS (SELECT user_id, day - CAST(rn AS INTEGER) AS anchor, count(*) AS len
+      |  FROM r GROUP BY user_id, day - CAST(rn AS INTEGER))
+      |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+      |  count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS max_streak
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q118: bounded-horizon exponential smoothing — per-user EWMA of the
+    * event value with α = 0.25 truncated to the last 8 observations (a
+    * FIR approximation of the IIR recurrence; the tail weight below the
+    * cutoff is (1−α)⁸ ≈ 10%, renormalized over the weights actually
+    * present so early events aren't biased toward zero).
+    *
+    * The kernel is 8 lag() reads and a fixed left-to-right weighted sum
+    * — both engines evaluate the IDENTICAL float expression in the same
+    * order, so results are bit-exact before the presentation rounding.
+    *
+    * 100 TB shape: one shuffle on user_id, one window sort, all 8 lags
+    * read the same sorted run (a single Window node) — never a
+    * self-join; state per row is O(horizon). */
+  def ewmaSmooth(events: DataFrame, alpha: Double = 0.25, horizon: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val weights = (0 until horizon).map(j => alpha * math.pow(1 - alpha, j))
+    val terms = weights.zipWithIndex.map { case (wt, j) =>
+      (lag(col("value"), j).over(w) * lit(wt),
+        when(lag(col("value"), j).over(w).isNotNull, lit(wt)).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).map(c => coalesce(c, lit(0.0))).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    events
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("ewma", round(num / den, 6))
+      .select(col("event_id"), col("user_id"), round(col("value"), 6).as("value"),
+        col("ewma"))
+      .orderBy(col("event_id"))
+  }
+
+  val ewmaSmoothSql: String = {
+    val weights = (0 until 8).map(j => 0.25 * math.pow(0.75, j))
+    val num = weights.zipWithIndex.map { case (w, j) =>
+      s"coalesce(lag(value, $j) OVER win * $w, 0.0)"
+    }.mkString(" + ")
+    val den = weights.zipWithIndex.map { case (w, j) =>
+      s"CASE WHEN lag(value, $j) OVER win IS NOT NULL THEN $w ELSE 0.0 END"
+    }.mkString(" + ")
+    s"""SELECT event_id, user_id, round(value, 6) AS value,
+      |  round(($num) / ($den), 6) AS ewma
+      |FROM events
+      |WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+  }
+
+  /** q119: ABC / Pareto classification — parts ranked by revenue,
+    * cumulative-share classes A (top 70% of revenue), B (next 20%),
+    * C (tail). Every quantity is integer cents (per-line floor
+    * quantization — one double multiply evaluated identically in both
+    * engines, then exact int64 sums), and the class boundaries are
+    * cross-multiplied integer comparisons — no float cumulative shares,
+    * so the classification is bit-exact.
+    *
+    * 100 TB shape: revenue-per-part is a partial+final aggregate down
+    * to the bounded part dimension; the cumulative window sorts that
+    * dim-sized frame once (documented single-partition window over
+    * #parts rows — the fact table never sorts); output is 3 rows. */
+  def abcClassification(lineitem: DataFrame): DataFrame = {
+    val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+      .cast("long")
+    val perPart = lineitem
+      .select(col("l_partkey"), cents.as("c"))
+      .groupBy(col("l_partkey")).agg(sum(col("c")).as("rev_c"))
+    val w = Window.orderBy(col("rev_c").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // total via agg + broadcast crossJoin, not an unordered global window
+    // (the r4 #6 discipline); the ordered cum window over the dim-sized
+    // frame is the one global sort Pareto inherently needs
+    val total = broadcast(perPart.agg(sum(col("rev_c")).as("total")))
+    perPart.crossJoin(total)
+      .withColumn("cum", sum(col("rev_c")).over(w))
+      .withColumn("cls",
+        when(col("cum") * 10 <= col("total") * 7, "A")
+          .when(col("cum") * 10 <= col("total") * 9, "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev_c")).as("class_cents"))
+      .orderBy(col("cls"))
+  }
+
+  val abcClassificationSql: String =
+    """WITH pp AS (SELECT l_partkey,
+      |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+      |      AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY l_partkey),
+      |c AS (SELECT l_partkey, rev_c,
+      |    CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(sum(rev_c) OVER () AS BIGINT) AS total FROM pp)
+      |SELECT CASE WHEN cum * 10 <= total * 7 THEN 'A'
+      |            WHEN cum * 10 <= total * 9 THEN 'B' ELSE 'C' END AS cls,
+      |  count(*) AS n_parts, CAST(sum(rev_c) AS BIGINT) AS class_cents
+      |FROM c GROUP BY 1 ORDER BY cls""".stripMargin
+
+  /** q120: TPC-H Q7 (volume shipping) adapted to the fixture — revenue
+    * between two trading nations by direction and ship year. The
+    * supplier and customer legs each resolve their nation through a
+    * BROADCAST of the 25-row dim (joined twice under different aliases);
+    * the nation-pair predicate filters after both resolutions; the
+    * two fact-fact joins shuffle on their natural keys.
+    *
+    * 100 TB shape: nation broadcasts twice (never shuffles a fact for a
+    * 25-row dim); supplier/customer are bounded dims; the only big
+    * exchanges are lineitem⋈orders on the orderkey — the same single
+    * fact-fact shuffle every Q-family query pays. */
+  def tpchQ7(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+             supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val n1 = nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val tpchQ7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND l_suppkey = s_suppkey AND s_nationkey = n1.n_nationkey
+      |  AND c_nationkey = n2.n_nationkey
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |GROUP BY n1.n_name, n2.n_name, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   // Oracle: the O(n²) formulation — same answer, only viable at oracle SF.
   // `<=` matches the AsOf operator's right-sorts-first tie handling.
   val asofJoinSql: String =

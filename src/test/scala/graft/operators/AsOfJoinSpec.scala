@@ -186,6 +186,65 @@ class AsOfJoinSpec extends SparkSpec {
     assert(revs.sliding(2).forall(p => p(0) >= p(1)), "revenue not descending")
   }
 
+  test("activity streaks split on gaps and count runs exactly") {
+    import spark.implicits._
+    // user 1: Jan 1,2,3 + Jan 5,6 -> runs of 3 and 2; user 2: Jan 1 only
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-02 09:00:00")),
+      (3L, ts("2024-01-02 20:00:00")), // same day, must not split the run
+      (4L, ts("2024-01-03 09:00:00")), (5L, ts("2024-01-05 09:00:00")),
+      (6L, ts("2024-01-06 09:00:00"))).map { case (id, t) => (id, t, 1L, "a", 1.0, "{}") } ++
+      Seq((7L, ts("2024-01-01 09:00:00"), 2L, "a", 1.0, "{}"))
+    val df = events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.activityStreaks(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 5L, 2L, 3L), (2L, 1L, 1L, 1L)))
+  }
+
+  test("ewma equals the value at the first event and blends the horizon after") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 10.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "a", 20.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.ewmaSmooth(events).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(out(0) === ((1L, 10.0))) // lone observation: renormalized to itself
+    // second: (0.25*20 + 0.1875*10) / (0.25 + 0.1875)
+    val expect = (0.25 * 20 + 0.1875 * 10) / 0.4375
+    assert(math.abs(out(1)._2 - expect) < 1e-6)
+  }
+
+  test("abc classification boundaries are exact integer comparisons") {
+    import spark.implicits._
+    // revenues 70/20/10 cents: part 1 cum=70 -> A (70*10 <= 100*7),
+    // part 2 cum=90 -> B, part 3 cum=100 -> C
+    val li = Seq((1L, 0.70, 0.0), (2L, 0.20, 0.0), (3L, 0.10, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val out = Relational.abcClassification(li).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("A", 1L, 70L), ("B", 1L, 20L), ("C", 1L, 10L)))
+  }
+
+  test("TPC-H Q7 splits revenue by trade direction and ship year") {
+    import spark.implicits._
+    val t96 = ts("1996-06-01 00:00:00"); val t97 = ts("1997-06-01 00:00:00")
+    val lineitem = Seq(
+      (1L, 10L, 100.0, 0.0, t96),  // order 1: N1 supp -> N2 cust, 1996
+      (2L, 20L, 50.0, 0.0, t97),   // order 2: N2 supp -> N1 cust, 1997
+      (3L, 30L, 999.0, 0.0, t96))  // order 3: N3 supp, filtered out
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val orders = Seq((1L, 1L), (2L, 2L), (3L, 2L)).toDF("o_orderkey", "o_custkey")
+    val customer = Seq((1L, 2L), (2L, 1L)).toDF("c_custkey", "c_nationkey")
+    val supplier = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((1L, "NATION_1"), (2L, "NATION_2"), (3L, "NATION_3"))
+      .toDF("n_nationkey", "n_name")
+    val out = Relational.tpchQ7(lineitem, orders, customer, supplier, nation)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("NATION_1", "NATION_2", 1996L, 100.0), ("NATION_2", "NATION_1", 1997L, 50.0)))
+  }
+
   test("session/tumbling/topk sanity on fixtures") {
     val orders = graft.Tables.orders(spark, sf)
     assert(Relational.topK(orders, 5).count() === 5)

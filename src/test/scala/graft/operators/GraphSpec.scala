@@ -47,4 +47,19 @@ class GraphSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("node", "rank_u"))
     assert(out.count() === 2)
   }
+
+  test("degree distribution counts distinct neighbors per side, dup lines once") {
+    import spark.implicits._
+    // cust 1 -> supp {10, 20} (supp 10 via two orders: one distinct edge)
+    // cust 2 -> supp {10}; so out-degrees {2:1, 1:1}; in: supp10 deg 2, supp20 deg 1
+    val orders = Seq((100L, 1L), (101L, 1L), (102L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((100L, 10L), (100L, 20L), (101L, 10L), (102L, 10L))
+      .toDF("l_orderkey", "l_suppkey")
+    val out = Graph.degreeDistribution(orders, lineitem).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("customer_out", 1L, 1L), ("customer_out", 2L, 1L),
+      ("supplier_in", 1L, 1L), ("supplier_in", 2L, 1L)))
+  }
 }

@@ -90,6 +90,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), s"filters not pushed to scans:\n$p")
   }
 
+  test("ewma reads all lags from ONE window sort — no self-join, single Window") {
+    val p = plan(Relational.ewmaSmooth(Tables.events(spark, sf)))
+    assert(!p.contains("Join"), s"ewma regressed to a self-join:\n$p")
+    assert("\\bWindow\\b".r.findAllIn(p).length === 1,
+      s"expected exactly one Window node:\n$p")
+  }
+
+  test("TPC-H Q7 broadcasts the nation dim on both legs") {
+    val p = plan(Relational.tpchQ7(Tables.lineitem(spark, sf), Tables.orders(spark, sf),
+      Tables.customer(spark, sf), Tables.supplier(spark, sf), Tables.nation(spark, sf)))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"nation legs not broadcast:\n$p")
+    assert(p.contains("PushedFilters"), s"shipdate filter not pushed:\n$p")
+  }
+
   test("TPC-H Q5 SQL path broadcasts every dimension join") {
     val p = plan(Relational.tpchQ5(spark, sf))
     // customer, supplier, nation, region are all dimension legs — each
