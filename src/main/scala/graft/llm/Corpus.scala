@@ -936,6 +936,37 @@ object Corpus {
       |SELECT doc_id, n_chars, round(clock_raw, 8) AS clock
       |FROM c ORDER BY clock_raw, doc_id LIMIT 50""".stripMargin
 
+  /** q124: cross-source contamination matrix — for every pair of
+    * sources, how many distinct bag-of-words fingerprints (q45's md5 of
+    * the sorted distinct token set) appear in BOTH. The provenance
+    * audit run before mixing corpora: heavy overlap means two "sources"
+    * are mirrors and their mixture weights (q73) double-count.
+    *
+    * 100 TB shape: distinct (source, fp) collapses each source to its
+    * fingerprint set first (partial+final agg), THEN the fp-keyed
+    * equi-join pairs only docs with identical fingerprints — never a
+    * source × source cross product; output is the #sources² matrix. */
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    val fp = documents.select(col("source"),
+      md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")
+        .cast("binary")).as("fp"))
+      .distinct()
+    val a = fp.select(col("source").as("src_a"), col("fp"))
+    val b = fp.select(col("source").as("src_b"), col("fp"))
+    a.join(b, "fp").filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceOverlapSql: String =
+    """WITH f AS (SELECT DISTINCT source,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      |  FROM documents)
+      |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+
   val mixtureWeightsSql: String =
     """WITH p AS (SELECT lang, count(*) AS n_docs,
       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens

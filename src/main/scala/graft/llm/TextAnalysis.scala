@@ -672,6 +672,101 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q122: bigram-LM perplexity scoring — the CCNet-style quality
+    * filter with a REAL n-gram language model: train add-1-smoothed
+    * bigram conditionals over the corpus itself, then score every
+    * document by its mean negative log-likelihood. High mean_nll =
+    * improbable token sequences (noise, shuffled text); low = fluent
+    * under the corpus distribution. This is the principled upgrade of
+    * q44's heuristic quality score.
+    *
+    * P(cur|prev) = (c(prev,cur) + 1) / (c_prefix(prev) + V); every
+    * count is an exact int64 and each doc's NLL sums ~distinct-bigram
+    * terms, so round(·, 6) absorbs summation-order ulps.
+    *
+    * 100 TB shape: the LM is built with the q67 pre-combine kernel
+    * (per-partition hashmaps emit (bigram, partial) — vocab²-bounded
+    * rows per partition, never one row per token); per-doc bigram
+    * multisets come out of the same kernel shape compressed to
+    * (doc_id, bigram, n); scoring joins BROADCAST the vocab²-bounded
+    * LM and context tables, so document rows never shuffle to score.
+    * Docs with < 2 tokens surface with n_bigrams = 0 via the left
+    * join, not silently dropped. */
+  def bigramPerplexity(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val base = documents.select(col("doc_id"), col("text"))
+    def bigramMap(w: Array[String]): java.util.HashMap[String, Long] = {
+      val m = new java.util.HashMap[String, Long]()
+      var i = 0
+      while (i < w.length - 1) { m.merge(w(i) + " " + w(i + 1), 1L, _ + _); i += 1 }
+      m
+    }
+    val lm = graft.Tables.spread(base.select(col("text"))).as[String]
+      .mapPartitions { it =>
+        val counts = new java.util.HashMap[String, Long]()
+        it.foreach { text =>
+          bigramMap(text.split(" ", -1)).forEach((k, v) => counts.merge(k, v, _ + _))
+        }
+        import scala.jdk.CollectionConverters._
+        counts.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue.toLong))
+      }
+      .toDF("bigram", "pc").groupBy(col("bigram")).agg(sum(col("pc")).as("c_bg"))
+    val ctx = lm.groupBy(substring_index(col("bigram"), " ", 1).as("prev"))
+      .agg(sum(col("c_bg")).as("c_prev"))
+    val vocabV = broadcast(
+      graft.Tables.spread(base.select(col("text"))).as[String]
+        .mapPartitions { it =>
+          val s = new java.util.HashSet[String]()
+          it.foreach(t => t.split(" ", -1).foreach(s.add(_)))
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+        }.toDF("tok").distinct().agg(count(lit(1)).as("vocab")))
+    val docBg = graft.Tables.spread(base).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        import scala.jdk.CollectionConverters._
+        bigramMap(text.split(" ", -1)).entrySet().iterator().asScala
+          .map(e => (id, e.getKey, e.getValue.toLong))
+      })
+      .toDF("doc_id", "bigram", "n")
+    val scored = docBg
+      .join(broadcast(lm), "bigram")
+      .join(broadcast(ctx),
+        substring_index(col("bigram"), " ", 1) === col("prev"))
+      .crossJoin(vocabV)
+      .select(col("doc_id"), col("n"),
+        (col("n") * -log((col("c_bg") + 1).cast("double") /
+          (col("c_prev") + col("vocab")))).as("wnll"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"), sum(col("wnll")).as("s"))
+    base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("s") / col("n_bigrams"), lit(0.0)), 6).as("mean_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramPerplexitySql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(len(w) - 1),
+      |    j -> w[j+1] || ' ' || w[j+2])) AS bigram FROM w),
+      |lm AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY bigram),
+      |ctx AS (SELECT string_split(bigram, ' ')[1] AS prev,
+      |    CAST(sum(c_bg) AS BIGINT) AS c_prev FROM lm GROUP BY 1),
+      |v AS (SELECT count(DISTINCT t) AS vocab FROM
+      |    (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+      |db AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY doc_id, bigram),
+      |sc AS (SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS n_bigrams,
+      |    sum(d.n * -ln((lm.c_bg + 1)::DOUBLE /
+      |      (ctx.c_prev + (SELECT vocab FROM v)))) AS s
+      |  FROM db d JOIN lm USING (bigram)
+      |  JOIN ctx ON ctx.prev = string_split(d.bigram, ' ')[1]
+      |  GROUP BY d.doc_id)
+      |SELECT doc.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+      |  round(COALESCE(sc.s / sc.n_bigrams, 0.0), 6) AS mean_nll
+      |FROM documents doc LEFT JOIN sc ON doc.doc_id = sc.doc_id
+      |ORDER BY doc.doc_id""".stripMargin
+
   /** Canonical document fingerprint: md5 of the sorted distinct token
     * set — groups bag-of-words duplicates regardless of word order. */
   def fingerprint(documents: DataFrame): DataFrame =

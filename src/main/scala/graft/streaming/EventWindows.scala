@@ -185,4 +185,36 @@ object EventWindows {
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
+
+  /** q123: stream-static enrichment — the standard Structured Streaming
+    * lookup pattern: a stream of events joins a STATIC dimension (here
+    * customer, on user_id = c_custkey) to attach the market segment,
+    * then aggregates revenue per (segment, event_type). Stream-static
+    * inner joins are STATELESS in Structured Streaming (each micro-batch
+    * probes the static side; no watermark, no join state), which is why
+    * the dim side must broadcast — re-shuffling the stream every batch
+    * would serialize the pipeline.
+    *
+    * The registered query is the batch binding (oracle-checkable); the
+    * identical plan binds to readStream (StreamingSpec asserts
+    * stream ≡ batch on the join). 100 TB/day shape: dim broadcast, one
+    * shuffle of pre-aggregated (segment, type) partials. */
+  def enrichedSegments(events: DataFrame, customer: DataFrame): DataFrame =
+    enrichJoin(events, customer)
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val"))
+      .select(col("c_mktsegment").as("segment"), col("event_type"), col("n"), col("val"))
+      .orderBy(col("segment"), col("event_type"))
+
+  /** The stream-bindable join stage of q123 (no agg — append-mode legal). */
+  def enrichJoin(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+      broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+      col("user_id") === col("c_custkey"))
+
+  val enrichedSegmentsSql: String =
+    """SELECT c_mktsegment AS segment, event_type, count(*) AS n,
+      |  round(sum(value), 2) AS val
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin
 }

@@ -413,6 +413,30 @@ class CorpusSpec extends SparkSpec {
       s"weighted sample not size-biased: $sampleMean <= $corpusMean")
   }
 
+  test("bigram perplexity scores add-1-smoothed NLL; short docs surface with 0") {
+    import spark.implicits._
+    val d = Seq((1L, "a b", 3L), (2L, "a b", 3L), (3L, "a c", 3L), (4L, "a", 1L))
+      .toDF("doc_id", "text", "n_chars")
+    // LM: c(a b)=2, c(a c)=1; c_prev(a)=3; V={a,b,c}=3
+    val byId = TextAnalysis.bigramPerplexity(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(byId(1L)._1 === 1L)
+    assert(math.abs(byId(1L)._2 - math.log(2.0)) < 1e-6)   // P=3/6
+    assert(math.abs(byId(3L)._2 - math.log(3.0)) < 1e-6)   // P=2/6
+    assert(byId(4L) === ((0L, 0.0)))                       // no bigrams
+  }
+
+  test("source overlap counts shared fingerprints per source pair, order-blind") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b", "s1", 3L), (2L, "b a", "s2", 3L),  // same bag-of-words fp
+      (3L, "c", "s1", 1L), (4L, "c", "s3", 1L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = Corpus.sourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("s1", "s2", 1L), ("s1", "s3", 1L)))
+  }
+
   test("stopword filter removes only marker tokens and hashes the remainder") {
     import spark.implicits._
     val d = Seq(

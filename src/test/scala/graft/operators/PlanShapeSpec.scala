@@ -105,6 +105,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), s"shipdate filter not pushed:\n$p")
   }
 
+  test("bigram perplexity broadcasts the LM — doc rows never shuffle to score") {
+    val p = plan(graft.llm.TextAnalysis.bigramPerplexity(Tables.documents(spark, sf)))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"LM/context joins not broadcast:\n$p")
+    assert(!p.contains("Generate"), s"bigrams regressed to explode:\n$p")
+  }
+
+  test("stream enrichment broadcasts the static dim") {
+    val p = plan(graft.streaming.EventWindows.enrichedSegments(
+      Tables.events(spark, sf), Tables.customer(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"), s"dim not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stream side would re-shuffle per batch:\n$p")
+  }
+
   test("TPC-H Q5 SQL path broadcasts every dimension join") {
     val p = plan(Relational.tpchQ5(spark, sf))
     // customer, supplier, nation, region are all dimension legs — each

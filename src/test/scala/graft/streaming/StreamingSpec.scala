@@ -21,6 +21,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("stream-static enrichment join equals the batch join (append mode)") {
+    val dir = Files.createTempDirectory("graft-enrich").toString + "/events"
+    val ev = Tables.events(spark, sf)
+    ev.write.parquet(dir)
+    val dim = Tables.customer(spark, sf)
+
+    val src = spark.readStream.schema(EventWindows.eventsSchema).parquet(dir)
+    val q = EventWindows.enrichJoin(src, dim)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enrich_out")
+    val batch = EventWindows.enrichJoin(ev, dim)
+
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("watermark drops late data across micro-batches") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
