@@ -767,6 +767,68 @@ object TextAnalysis {
       |FROM documents doc LEFT JOIN sc ON doc.doc_id = sc.doc_id
       |ORDER BY doc.doc_id""".stripMargin
 
+  /** q126: PMI phrase-merge scoring — the statistic behind BPE/wordpiece
+    * merge selection and word2vec phrase detection: for adjacent token
+    * pairs with support ≥ minCount, PMI = ln(N·c(a,b) / (c(a)·c(b)))
+    * where N is the total bigram count and c(a)/c(b) are the tokens'
+    * occurrence counts AS bigram members (left resp. right position).
+    * Top pairs by PMI are the candidates a tokenizer build merges next.
+    *
+    * All counts are exact int64; the single ln per pair is evaluated on
+    * an integer-derived ratio — round 6 is presentation only.
+    *
+    * 100 TB shape: bigram counts come from the q67 pre-combine kernel
+    * (vocab²-bounded rows per partition); the unigram margins are
+    * GROUP-BYs OF THE BIGRAM TABLE (no second corpus pass); margins
+    * broadcast back into the vocab²-bounded pair table; top-k is
+    * TakeOrderedAndProject. */
+  def pmiPhrases(documents: DataFrame, minCount: Int = 5, k: Int = 30): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bg = graft.Tables.spread(documents.select(col("text"))).as[String]
+      .mapPartitions { it =>
+        val counts = new java.util.HashMap[String, Long]()
+        it.foreach { text =>
+          val w = text.split(" ", -1)
+          var i = 0
+          while (i < w.length - 1) { counts.merge(w(i) + " " + w(i + 1), 1L, _ + _); i += 1 }
+        }
+        import scala.jdk.CollectionConverters._
+        counts.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue.toLong))
+      }
+      .toDF("bigram", "pc").groupBy(col("bigram")).agg(sum(col("pc")).as("c_ab"))
+      .select(substring_index(col("bigram"), " ", 1).as("a"),
+        substring_index(col("bigram"), " ", -1).as("b"), col("c_ab"))
+    val left = bg.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+    val right = bg.groupBy(col("b")).agg(sum(col("c_ab")).as("c_b"))
+    val total = broadcast(bg.agg(sum(col("c_ab")).as("n_total")))
+    bg.filter(col("c_ab") >= minCount)
+      .join(broadcast(left), "a")
+      .join(broadcast(right), "b")
+      .crossJoin(total)
+      .select(col("a"), col("b"), col("c_ab"),
+        round(log((col("n_total") * col("c_ab")).cast("double") /
+          (col("c_a") * col("c_b"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  val pmiPhrasesSql: String =
+    """WITH bg AS (SELECT string_split(bigram, ' ')[1] AS a,
+      |    string_split(bigram, ' ')[2] AS b, CAST(count(*) AS BIGINT) AS c_ab
+      |  FROM (SELECT unnest(list_transform(range(len(w) - 1),
+      |      j -> w[j+1] || ' ' || w[j+2])) AS bigram
+      |    FROM (SELECT string_split(text, ' ') AS w FROM documents))
+      |  GROUP BY 1, 2),
+      |l AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM bg GROUP BY a),
+      |r AS (SELECT b, CAST(sum(c_ab) AS BIGINT) AS c_b FROM bg GROUP BY b),
+      |t AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_total FROM bg)
+      |SELECT bg.a, bg.b, bg.c_ab,
+      |  round(ln(((SELECT n_total FROM t) * bg.c_ab)::DOUBLE / (l.c_a * r.c_b)), 6) AS pmi
+      |FROM bg JOIN l USING (a) JOIN r USING (b)
+      |WHERE bg.c_ab >= 5
+      |ORDER BY pmi DESC, a, b LIMIT 30""".stripMargin
+
   /** Canonical document fingerprint: md5 of the sorted distinct token
     * set — groups bag-of-words duplicates regardless of word order. */
   def fingerprint(documents: DataFrame): DataFrame =

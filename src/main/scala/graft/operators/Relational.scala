@@ -1439,6 +1439,79 @@ object Relational {
       |GROUP BY n1.n_name, n2.n_name, l_year
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
+  /** q125: latest-wins compaction — the CDC / merge-on-read staple:
+    * collapse an event log to the most recent record per (user_id,
+    * event_type) key. Implemented as a max-of-struct aggregate
+    * (ts, event_id ordered lexicographically inside the struct), NOT a
+    * row_number window: max() is partially aggregable, so each map task
+    * forwards ONE candidate per key and the shuffle carries |keys|
+    * rows — the window formulation would shuffle the whole log and
+    * sort it per key.
+    *
+    * 100 TB shape: partial+final max per key, O(1) state per key per
+    * task; the winner's payload rides inside the struct so no join-back
+    * pass is needed. */
+  def latestCompaction(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("event_type"),
+        struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("value")).as("rec"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("rec")).as("latest"))
+      .select(col("user_id"), col("event_type"),
+        col("latest.ts_us").as("ts_us"), col("latest.event_id").as("event_id"),
+        round(col("latest.value"), 6).as("value"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  val latestCompactionSql: String =
+    """WITH r AS (SELECT user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_type, ts_us, event_id, round(value, 6) AS value
+      |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  /** q127: out-of-order arrival rate — the event-time-disorder QA pass
+    * a streaming deployment runs to size its watermark: per user, the
+    * fraction of events whose event time is EARLIER than an
+    * already-seen event (arrival order = event_id). One running-max
+    * window per user; the comparison and the rate are exact integer
+    * arithmetic (basis points by integer division).
+    *
+    * 100 TB shape: one shuffle on user_id, one window sort by arrival
+    * id; running max is O(1) state per row; the roll-up aggregates to
+    * |users| rows. */
+  def outOfOrderRate(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prior_max", max(col("ts_us")).over(w))
+      .select(col("user_id"),
+        when(col("prior_max").isNotNull && col("ts_us") < col("prior_max"), 1L)
+          .otherwise(0L).as("late"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("late")).as("n_late"))
+      .select(col("user_id"), col("n_events"), col("n_late"),
+        expr("(10000 * n_late) div n_events").as("late_bp"))
+      .orderBy(col("user_id"))
+  }
+
+  val outOfOrderRateSql: String =
+    """WITH m AS (SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    max(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id
+      |      ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS prior_max
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN prior_max IS NOT NULL AND ts_us < prior_max
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  (10000 * CAST(sum(CASE WHEN prior_max IS NOT NULL AND ts_us < prior_max
+      |    THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS late_bp
+      |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // Oracle: the O(n²) formulation — same answer, only viable at oracle SF.
   // `<=` matches the AsOf operator's right-sorts-first tie handling.
   val asofJoinSql: String =

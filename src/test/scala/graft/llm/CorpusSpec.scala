@@ -437,6 +437,20 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq === Seq(("s1", "s2", 1L), ("s1", "s3", 1L)))
   }
 
+  test("pmi ranks exclusive pairs above promiscuous ones") {
+    import spark.implicits._
+    // "x y" always co-occur exclusively; "a" pairs with many partners
+    val rows = (1 to 5).map(i => (i.toLong, "x y", 3L)) ++
+      Seq((6L, "a b a c a d a e a b a c a d a e", 31L))
+    val d = rows.toDF("doc_id", "text", "n_chars")
+    val out = TextAnalysis.pmiPhrases(d, minCount = 5, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(out.head._1 === "x" && out.head._2 === "y",
+      s"exclusive pair must rank first: ${out.toSeq}")
+    assert(out.map(_._4).sliding(2).filter(_.length == 2).forall(p => p(0) >= p(1)))
+  }
+
   test("stopword filter removes only marker tokens and hashes the remainder") {
     import spark.implicits._
     val d = Seq(

@@ -245,6 +245,35 @@ class AsOfJoinSpec extends SparkSpec {
       ("NATION_1", "NATION_2", 1996L, 100.0), ("NATION_2", "NATION_1", 1997L, 50.0)))
   }
 
+  test("latest compaction keeps the newest record per key with id tiebreak") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "a", 2.0, "{}"),  // newest for (1, a)
+      (3L, ts("2024-01-01 11:00:00"), 1L, "b", 3.0, "{}"),
+      (4L, ts("2024-01-01 11:00:00"), 1L, "b", 4.0, "{}"),  // same ts: id wins
+      (5L, ts("2024-01-01 09:00:00"), 2L, "a", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.latestCompaction(events).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq === Seq((1L, "a", 2L, 2.0), (1L, "b", 4L, 4.0), (2L, "a", 5L, 5.0)))
+  }
+
+  test("out-of-order rate counts event-time regressions in arrival order") {
+    import spark.implicits._
+    // arrival (event_id) order, event times: 10:00, 12:00, 11:00, 13:00
+    // -> the 11:00 arrival is late (prior max 12:00): 1 of 4 = 2500bp
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 12:00:00"), 1L, "a", 1.0, "{}"),
+      (3L, ts("2024-01-01 11:00:00"), 1L, "a", 1.0, "{}"),
+      (4L, ts("2024-01-01 13:00:00"), 1L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.outOfOrderRate(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 4L, 1L, 2500L)))
+  }
+
   test("session/tumbling/topk sanity on fixtures") {
     val orders = graft.Tables.orders(spark, sf)
     assert(Relational.topK(orders, 5).count() === 5)

@@ -119,6 +119,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"stream side would re-shuffle per batch:\n$p")
   }
 
+  test("latest compaction is a partial+final max — no window sort of the log") {
+    val p = plan(Relational.latestCompaction(Tables.events(spark, sf)))
+    assert(!p.contains("Window"), s"compaction regressed to row_number:\n$p")
+    // struct max plans as SortAggregate — the point is the partial phase:
+    // each map task forwards one candidate per key before the exchange
+    assert(p.contains("partial_max"), s"expected partial max-of-struct:\n$p")
+  }
+
+  test("pmi phrases broadcast the margins; top-k is TakeOrdered; no explode") {
+    val p = plan(graft.llm.TextAnalysis.pmiPhrases(Tables.documents(spark, sf)))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"margin joins not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not pushed:\n$p")
+    assert(!p.contains("Generate"), s"bigrams regressed to explode:\n$p")
+  }
+
   test("TPC-H Q5 SQL path broadcasts every dimension join") {
     val p = plan(Relational.tpchQ5(spark, sf))
     // customer, supplier, nation, region are all dimension legs — each
