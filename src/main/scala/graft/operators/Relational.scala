@@ -1512,6 +1512,120 @@ object Relational {
       |    THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS late_bp
       |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q128: TPC-H Q18 (large-volume orders) — orders whose total line
+    * quantity exceeds the threshold, with their customer, ranked by
+    * volume. The interesting shape is AGG-THEN-JOIN: the lineitem
+    * aggregate collapses the big fact to |orders| rows and the filter
+    * collapses THAT to the rare big-basket keys BEFORE any join — the
+    * join inputs are orders ⋈ a tiny filtered set, so AQE broadcasts
+    * the survivors' side at runtime.
+    *
+    * Quantities are small integers stored as doubles; per-order sums
+    * are exact in IEEE (≪ 2⁵³), so the threshold compare is exact in
+    * both engines. 100 TB shape: one partial+final sum on the orderkey,
+    * selective filter, then dim-sized joins; top-20 is
+    * TakeOrderedAndProject. */
+  def tpchQ18(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+              threshold: Int = 300): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > threshold)
+    orders.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_date"),
+        r2(col("o_totalprice")).as("o_totalprice"),
+        r2(col("total_qty")).as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val tpchQ18Sql: String =
+    """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+      |SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+      |  round(o_totalprice, 2) AS o_totalprice, round(total_qty, 2) AS total_qty
+      |FROM big JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** q129: cumulative unique users by day — the growth curve every
+    * product dashboard opens with. Each user contributes exactly once
+    * (at their first-seen day), so the cumulative sum of per-day
+    * first-seens IS the distinct-to-date count — no cumulative DISTINCT
+    * state, which is the trap formulation (a sliding distinct over an
+    * ever-growing set).
+    *
+    * 100 TB shape: first-seen is one partial+final min per user;
+    * per-day news is a second agg down to |days| rows; the cumulative
+    * window runs on that bounded calendar-sized frame (documented
+    * single-partition window, q119 discipline). */
+  def cumulativeUsers(events: DataFrame): DataFrame = {
+    val firstSeen = events.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("day"))
+    val perDay = firstSeen.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay.withColumn("cum_users", sum(col("n_new")).over(w))
+      .orderBy(col("day"))
+  }
+
+  val cumulativeUsersSql: String =
+    """WITH fs AS (SELECT user_id, CAST(min(ts) AS DATE) AS day
+      |  FROM events GROUP BY user_id),
+      |pd AS (SELECT day, count(*) AS n_new FROM fs GROUP BY day)
+      |SELECT day, n_new,
+      |  CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS cum_users
+      |FROM pd ORDER BY day""".stripMargin
+
+  /** q130: Benford leading-digit profile — the classic numeric-QA /
+    * fraud screen: the distribution of first significant digits of
+    * order totals. The digit is extracted through exact integer cents
+    * and decimal string formatting (identical in both engines), never
+    * through float log₁₀ — log-based extraction misclassifies exact
+    * powers of ten by one ulp.
+    *
+    * 100 TB shape: stateless per-row arithmetic, one partial+final
+    * count to ≤9 rows, total via agg + broadcast. */
+  def benfordDigits(orders: DataFrame): DataFrame = {
+    val cents = floor(col("o_totalprice") * 100).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("long")
+    val total = broadcast(orders.agg(count(lit(1)).as("total")))
+    orders.select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(total)
+      .select(col("digit"), col("n"), expr("(10000 * n) div total").as("share_bp"))
+      .orderBy(col("digit"))
+  }
+
+  val benfordDigitsSql: String =
+    """WITH d AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders)
+      |SELECT digit, count(*) AS n,
+      |  (10000 * count(*)) // (SELECT count(*) FROM orders) AS share_bp
+      |FROM d GROUP BY digit ORDER BY digit""".stripMargin
+
+  /** q131: weekday × hour activity profile — the seasonality heat-map
+    * behind capacity planning and anomaly baselines. ISO weekday
+    * (Mon=1) via weekday()+1 so both engines agree on week start.
+    *
+    * 100 TB shape: stateless datetime projection, one partial+final
+    * aggregate to a ≤ 7×24-row frame. */
+  def weekdayProfile(events: DataFrame): DataFrame =
+    events
+      .select((weekday(col("ts")) + 1).cast("long").as("isodow"),
+        hour(col("ts")).cast("long").as("hr"), col("value"))
+      .groupBy(col("isodow"), col("hr"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("val"))
+      .orderBy(col("isodow"), col("hr"))
+
+  val weekdayProfileSql: String =
+    """SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT) AS isodow,
+      |  CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+      |  count(*) AS n, round(sum(value), 2) AS val
+      |FROM events GROUP BY 1, 2 ORDER BY isodow, hr""".stripMargin
+
   // Oracle: the O(n²) formulation — same answer, only viable at oracle SF.
   // `<=` matches the AsOf operator's right-sorts-first tie handling.
   val asofJoinSql: String =

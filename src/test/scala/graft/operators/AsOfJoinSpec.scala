@@ -274,6 +274,51 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 4L, 1L, 2500L)))
   }
 
+  test("TPC-H Q18 keeps only orders above the quantity threshold") {
+    import spark.implicits._
+    val lineitem = ((1 to 7).map(_ => (100L, 50.0)) :+ ((200L, 50.0)))
+      .toDF("l_orderkey", "l_quantity")
+    val orders = Seq((100L, 1L, ts("2024-01-01 00:00:00"), 1000.0),
+      (200L, 2L, ts("2024-01-02 00:00:00"), 50.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val customer = Seq((1L, "alice"), (2L, "bob")).toDF("c_custkey", "c_name")
+    val out = Relational.tpchQ18(customer, orders, lineitem).collect()
+    assert(out.length === 1) // 350 > 300; 50 filtered
+    assert(out(0).getLong(2) === 100L && out(0).getDouble(5) === 350.0)
+  }
+
+  test("cumulative users counts each user once, at first appearance") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L), (2L, ts("2024-01-02 10:00:00"), 1L),
+      (3L, ts("2024-01-01 11:00:00"), 2L), (4L, ts("2024-01-03 10:00:00"), 3L))
+      .map { case (id, t, u) => (id, t, u, "a", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.cumulativeUsers(events).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("2024-01-01", 2L, 2L), ("2024-01-03", 1L, 3L)))
+  }
+
+  test("benford digit extraction goes through exact integer cents") {
+    import spark.implicits._
+    val orders = Seq(123.45, 9.99, 50.0, 100.0).map(Tuple1(_)).toDF("o_totalprice")
+    val out = Relational.benfordDigits(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 12345->1, 999->9, 5000->5, 10000->1
+    assert(out.toSeq === Seq((1L, 2L, 5000L), (5L, 1L, 2500L), (9L, 1L, 2500L)))
+  }
+
+  test("weekday profile uses ISO weekday numbering (2024-01-01 is a Monday)") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 05:00:00"), 1L, "a", 1.0, "{}"),   // Monday
+      (2L, ts("2024-01-07 23:00:00"), 1L, "a", 2.0, "{}"))   // Sunday
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.weekdayProfile(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 5L, 1L), (7L, 23L, 1L)))
+  }
+
   test("session/tumbling/topk sanity on fixtures") {
     val orders = graft.Tables.orders(spark, sf)
     assert(Relational.topK(orders, 5).count() === 5)

@@ -135,6 +135,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"bigrams regressed to explode:\n$p")
   }
 
+  test("TPC-H Q18 aggregates before joining; top-20 is TakeOrdered") {
+    val p = plan(Relational.tpchQ18(Tables.customer(spark, sf),
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf)))
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not pushed:\n$p")
+    // the quantity filter must run on the aggregate, upstream of the joins
+    assert("Filter [^\\n]*total_qty".r.findFirstIn(p).isDefined,
+      s"agg-then-filter shape missing:\n$p")
+  }
+
   test("TPC-H Q5 SQL path broadcasts every dimension join") {
     val p = plan(Relational.tpchQ5(spark, sf))
     // customer, supplier, nation, region are all dimension legs — each
