@@ -967,6 +967,62 @@ object Corpus {
       |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
 
+  /** q132: hash-ring contrastive negative pairing — for every anchor
+    * document, two deterministic in-batch negatives drawn from the next
+    * two md5 buckets on a ring of `nBuckets`, position-matched by the
+    * anchor's rank within its own bucket (mod the target bucket's
+    * size). The reproducible stand-in for random negative sampling a
+    * contrastive-embedding data build needs: re-runs, engines, and
+    * cluster layouts all pick the SAME negatives, and every doc gets
+    * negatives (no rejection loop).
+    *
+    * 100 TB shape: one window over the (doc_id, bucket) projection
+    * (md5 buckets are uniform, so no skewed partition), bucket sizes
+    * broadcast, and the candidate join keys on (bucket, position) —
+    * each anchor matches exactly one candidate per ring step, so the
+    * join output is 2 rows per doc, never a bucket × bucket blow-up. */
+  def contrastivePairs(documents: DataFrame, nBuckets: Int = 32): DataFrame = {
+    val b = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % nBuckets
+    val base = documents.select(col("doc_id"), b.as("bucket"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val ranked = base
+      .withColumn("rn", (row_number().over(w) - 1).cast("long"))
+    val sizes = ranked.groupBy(col("bucket")).agg(count(F.lit(1)).as("bsize"))
+    val cand = ranked
+      .select(col("bucket").as("cb"), col("rn").as("crn"), col("doc_id").as("neg_id"))
+    val steps = ranked
+      .select(col("doc_id"), col("bucket"), col("rn"),
+        explode(array(F.lit(1L), F.lit(2L))).as("step"))
+      .withColumn("tb", (col("bucket") + col("step")) % nBuckets)
+      .join(broadcast(sizes.select(col("bucket").as("tb"), col("bsize"))), "tb")
+      .withColumn("crn", col("rn") % col("bsize"))
+    steps.join(cand, steps("tb") === cand("cb") && steps("crn") === cand("crn"))
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("step") === 1L, col("neg_id"))).as("neg1"),
+        max(when(col("step") === 2L, col("neg_id"))).as("neg2"))
+      .orderBy(col("doc_id"))
+  }
+
+  val contrastivePairsSql: String =
+    """WITH base AS (SELECT doc_id,
+      |    CAST(concat('0x', substring(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) % 32
+      |      AS bucket
+      |  FROM documents),
+      |ranked AS (SELECT doc_id, bucket,
+      |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1 AS rn
+      |  FROM base),
+      |sz AS (SELECT bucket, count(*) AS bsize FROM ranked GROUP BY bucket),
+      |steps AS (SELECT r.doc_id, r.rn, s.step, (r.bucket + s.step) % 32 AS tb
+      |  FROM ranked r, (SELECT unnest([1, 2]) AS step) s),
+      |keyed AS (SELECT st.doc_id, st.step, st.tb, st.rn % sz.bsize AS crn
+      |  FROM steps st JOIN sz ON sz.bucket = st.tb)
+      |SELECT k.doc_id,
+      |  CAST(max(CASE WHEN k.step = 1 THEN c.doc_id END) AS BIGINT) AS neg1,
+      |  CAST(max(CASE WHEN k.step = 2 THEN c.doc_id END) AS BIGINT) AS neg2
+      |FROM keyed k JOIN ranked c ON c.bucket = k.tb AND c.rn = k.crn
+      |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin
+
   val mixtureWeightsSql: String =
     """WITH p AS (SELECT lang, count(*) AS n_docs,
       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens

@@ -829,6 +829,92 @@ object TextAnalysis {
       |WHERE bg.c_ab >= 5
       |ORDER BY pmi DESC, a, b LIMIT 30""".stripMargin
 
+  /** q133: Gopher rep-n family — per document, the fraction of
+    * duplicate n-grams for n = 2 and 3 in basis points (exact integer
+    * flooring). Complements q49 (which gates on scalar token stats) and
+    * q71 (adjacent-repeat score): rep-n catches looping generation /
+    * boilerplate that repeats whole phrases non-adjacently — the
+    * actual Gopher §A1 repetition table.
+    *
+    * 100 TB shape: one mapPartitions kernel, both n computed in a
+    * single token pass with per-doc hash sets; only four longs per doc
+    * leave the executor. */
+  def repNgramStats(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    graft.Tables.spread(documents.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val w = text.split(" ", -1)
+        def repBp(n: Int): (Long, Long) = {
+          val total = math.max(w.length - n + 1, 0)
+          if (total == 0) (0L, 0L)
+          else {
+            val seen = new java.util.HashSet[String](total * 2)
+            var i = 0
+            while (i <= w.length - n) {
+              val sb = new StringBuilder(w(i))
+              var j = 1
+              while (j < n) { sb.append(' ').append(w(i + j)); j += 1 }
+              seen.add(sb.toString)
+              i += 1
+            }
+            (total.toLong, 10000L * (total - seen.size) / total)
+          }
+        }
+        val (t2, r2bp) = repBp(2)
+        val (t3, r3bp) = repBp(3)
+        (id, t2, r2bp, t3, r3bp)
+      })
+      .toDF("doc_id", "n_2grams", "rep2_bp", "n_3grams", "rep3_bp")
+      .orderBy(col("doc_id"))
+  }
+
+  val repNgramStatsSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |    greatest(len(w) - 1, 0) AS t2,
+      |    len(list_distinct(list_transform(range(greatest(len(w) - 1, 0)),
+      |      j -> w[j+1] || ' ' || w[j+2]))) AS d2,
+      |    greatest(len(w) - 2, 0) AS t3,
+      |    len(list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
+      |      j -> w[j+1] || ' ' || w[j+2] || ' ' || w[j+3]))) AS d3
+      |  FROM t)
+      |SELECT doc_id, CAST(t2 AS BIGINT) AS n_2grams,
+      |  CASE WHEN t2 = 0 THEN 0 ELSE (10000 * (t2 - d2)) // t2 END AS rep2_bp,
+      |  CAST(t3 AS BIGINT) AS n_3grams,
+      |  CASE WHEN t3 = 0 THEN 0 ELSE (10000 * (t3 - d3)) // t3 END AS rep3_bp
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  /** q134: language-ID confusion matrix — q43's n-gram-marker
+    * classifier evaluated against the declared language label: counts
+    * per (actual, predicted) pair. The eval summary a pipeline tracks
+    * to decide whether the cheap classifier is good enough to gate on.
+    *
+    * 100 TB shape: the q43 kernel (one scan pass) followed by a
+    * partial+final count to a #langs² frame. */
+  def langConfusion(documents: DataFrame): DataFrame =
+    langId(documents)
+      .groupBy(col("actual_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("actual_lang"), col("pred_lang"))
+
+  val langConfusionSql: String = {
+    val langs = markers.keys.toSeq.sorted
+    val scoreCols = langs.map { l =>
+      val in = markers(l).map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($in))) AS s_$l"
+    }.mkString(",\n  ")
+    val m = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val pred = "CASE " + langs.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ") + " END"
+    s"""WITH s AS (SELECT doc_id, lang AS actual_lang,
+       |  $scoreCols
+       |FROM documents),
+       |p AS (SELECT actual_lang, $pred AS pred_lang FROM s)
+       |SELECT actual_lang, pred_lang, count(*) AS n
+       |FROM p GROUP BY 1, 2 ORDER BY actual_lang, pred_lang""".stripMargin
+  }
+
   /** Canonical document fingerprint: md5 of the sorted distinct token
     * set — groups bag-of-words duplicates regardless of word order. */
   def fingerprint(documents: DataFrame): DataFrame =

@@ -451,6 +451,39 @@ class CorpusSpec extends SparkSpec {
     assert(out.map(_._4).sliding(2).filter(_.length == 2).forall(p => p(0) >= p(1)))
   }
 
+  test("contrastive pairs: every doc gets two deterministic negatives, never itself") {
+    val out1 = Corpus.contrastivePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val out2 = Corpus.contrastivePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out1.toSeq === out2.toSeq, "negative choice must be reproducible")
+    assert(out1.length === docs.count())
+    assert(out1.forall { case (id, n1, n2) => n1 != id && n2 != id },
+      "anchor must never be its own negative")
+  }
+
+  test("rep-n stats count duplicate n-gram fractions exactly") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a b a b", 11L), (2L, "a b c", 5L), (3L, "a", 1L))
+      .toDF("doc_id", "text", "n_chars")
+    val byId = TextAnalysis.repNgramStats(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // doc1 2-grams: ab,ba,ab,ba,ab -> 5 total / 2 distinct -> 6000bp;
+    //      3-grams: aba,bab,aba,bab -> 4 total / 2 distinct -> 5000bp
+    assert(byId(1L) === ((5L, 6000L, 4L, 5000L)))
+    assert(byId(2L) === ((2L, 0L, 1L, 0L)))    // all distinct
+    assert(byId(3L) === ((0L, 0L, 0L, 0L)))    // too short for any n-gram
+  }
+
+  test("lang confusion matrix partitions the corpus and stays in the lang set") {
+    val out = TextAnalysis.langConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.map(_._3).sum === docs.count())
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(out.forall { case (a, p, _) => langs.contains(a) && langs.contains(p) })
+  }
+
   test("stopword filter removes only marker tokens and hashes the remainder") {
     import spark.implicits._
     val d = Seq(
