@@ -1626,6 +1626,139 @@ object Relational {
       |  count(*) AS n, round(sum(value), 2) AS val
       |FROM events GROUP BY 1, 2 ORDER BY isodow, hr""".stripMargin
 
+  /** q135: TPC-H Q4 (order-priority checking), adapted to this schema —
+    * orders placed in a quarter that had at least one line shipped
+    * AFTER the order date (the schema has no commit/receipt dates;
+    * ship-after-order is the late-fulfilment predicate), counted by
+    * priority. The shape is the EXISTS semi-join: lineitem matches are
+    * detected, never multiplied — a plain inner join would double-count
+    * orders with several late lines and force a distinct.
+    *
+    * 100 TB shape: the quarter filter pushes to the orders scan and
+    * collapses the probe side before the join; the semi-join shuffles
+    * both sides on orderkey and emits each order at most once. */
+  def tpchQ4(orders: DataFrame, lineitem: DataFrame,
+             quarterStart: String = "1995-01-01",
+             quarterEnd: String = "1995-04-01"): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(quarterStart) &&
+        col("o_orderdate") < lit(quarterEnd))
+      .join(lineitem,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  val tpchQ4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q136: TPC-H Q13 (customer order-count distribution) — how many
+    * customers placed 0, 1, 2, … orders. The LEFT OUTER join is the
+    * point: customers with no orders must survive to the 0 bucket, so
+    * an inner join (or a groupBy of orders alone) is wrong by
+    * construction; count(o_orderkey) ignores the null-extended rows.
+    *
+    * 100 TB shape: both sides shuffle once on custkey and the first
+    * aggregate reuses that partitioning (no second exchange — it groups
+    * by the join key); the distribution agg runs on the ≤ max-orders
+    * distinct-count frame. */
+  def orderCountDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val orderCountDistributionSql: String =
+    """WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |SELECT CAST(c_count AS BIGINT) AS c_count, count(*) AS custdist
+      |FROM pc GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** q137: TPC-H Q19 (disjunctive predicate revenue) — revenue from
+    * lines matching an OR of three (brand, size-range, quantity-range)
+    * conjunctions. The interesting behavior is OPTIMIZER predicate
+    * decomposition: the filter references both join sides, but Catalyst
+    * (PushExtraPredicateThroughJoin) derives the side-local weakenings
+    * — the brand/size disjunction reaches the part SCAN as a pushed
+    * filter and the quantity disjunction reaches the lineitem scan —
+    * so non-qualifying rows of BOTH tables die before the join even
+    * though no single conjunct is side-local.
+    *
+    * 100 TB shape: part is a broadcast dim; lineitem is scanned once
+    * with the derived quantity bound pushed; output is one row. */
+  def tpchQ19(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    def branch(brand: String, sizeHi: Int, qLo: Int, qHi: Int): Column =
+      col("p_brand") === brand &&
+        col("p_size").between(1, sizeHi) && col("l_quantity").between(qLo, qHi)
+    lineitem.join(part, col("l_partkey") === col("p_partkey"))
+      .filter(branch("Brand#12", 5, 1, 11) ||
+        branch("Brand#23", 10, 10, 20) || branch("Brand#34", 15, 20, 30))
+      .agg(count(lit(1)).as("n_lines"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+  }
+
+  val tpchQ19Sql: String =
+    """SELECT count(*) AS n_lines,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** q138: TPC-H Q22 (global sales opportunity), adapted — customers
+    * whose balance beats the positive-balance average but who placed
+    * no order since the recency cutoff, counted per nation. Two
+    * classic shapes in one: a scalar aggregate threshold (computed in
+    * exact integer cents and broadcast — a float average's value is
+    * summation-order-dependent, so a float threshold could flip
+    * boundary rows between engines) and a LEFT ANTI join against the
+    * date-filtered orders ("has no recent order" is non-existence —
+    * NOT IN/NOT EXISTS territory, not an outer-join-then-null-check).
+    *
+    * 100 TB shape: the threshold is one partial+final agg broadcast to
+    * the customer scan; the anti-join shuffles on custkey with the
+    * date filter pushed to the orders scan; output is |nations| rows. */
+  def inactiveHighBalance(customer: DataFrame, orders: DataFrame,
+                          cutoff: String = "2001-01-01"): DataFrame = {
+    val cents = floor(col("c_acctbal") * 100).cast("long")
+    val thr = broadcast(customer.filter(col("c_acctbal") > 0)
+      .select(floor(col("c_acctbal") * 100).cast("long").as("c"))
+      .agg(expr("sum(c) div count(1)").as("thr")))
+    customer
+      .crossJoin(thr)
+      .filter(cents > col("thr"))
+      .join(orders.filter(col("o_orderdate") >= lit(cutoff)),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), sum(cents).as("bal_cents"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val inactiveHighBalanceSql: String =
+    """WITH thr AS (SELECT CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT))
+      |    AS BIGINT) // count(*) AS t
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT c_nationkey, count(*) AS n_cust,
+      |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+      |FROM customer c
+      |WHERE CAST(floor(c_acctbal * 100) AS BIGINT) > (SELECT t FROM thr)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= '2001-01-01')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   // Oracle: the O(n²) formulation — same answer, only viable at oracle SF.
   // `<=` matches the AsOf operator's right-sorts-first tie handling.
   val asofJoinSql: String =

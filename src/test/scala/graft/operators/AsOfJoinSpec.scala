@@ -325,4 +325,63 @@ class AsOfJoinSpec extends SparkSpec {
     val ranked = Relational.windowRank(orders)
     assert(ranked.filter(ranked("rn") > 3).isEmpty)
   }
+
+  test("TPC-H Q4 counts each late order once, inside the quarter only") {
+    import spark.implicits._
+    val orders = Seq(
+      (100L, 1L, ts("1995-02-01 00:00:00"), "1-URGENT"),  // late twice → 1
+      (101L, 1L, ts("1995-02-01 00:00:00"), "1-URGENT"),  // same-day ship: not late
+      (102L, 2L, ts("1996-01-01 00:00:00"), "2-HIGH"))    // late, but out of quarter
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val lineitem = Seq(
+      (100L, ts("1995-03-01 00:00:00")), (100L, ts("1995-03-02 00:00:00")),
+      (101L, ts("1995-02-01 00:00:00")), (102L, ts("1996-02-01 00:00:00")))
+      .toDF("l_orderkey", "l_shipdate")
+    val out = Relational.tpchQ4(orders, lineitem).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("1-URGENT", 1L)))
+  }
+
+  test("order-count distribution keeps zero-order customers") {
+    import spark.implicits._
+    val customer = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val orders = Seq((10L, 1L), (11L, 1L), (12L, 2L)).toDF("o_orderkey", "o_custkey")
+    val out = Relational.orderCountDistribution(customer, orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // all custdist = 1 → ordered by c_count desc
+    assert(out.toSeq === Seq((2L, 1L), (1L, 1L), (0L, 1L)))
+  }
+
+  test("TPC-H Q19 matches each (brand, size, quantity) branch independently") {
+    import spark.implicits._
+    val part = Seq((10L, "Brand#12", 3), (11L, "Brand#23", 8), (12L, "Brand#12", 20))
+      .toDF("p_partkey", "p_brand", "p_size")
+    val lineitem = Seq(
+      (10L, 5.0, 100.0, 0.1),   // branch 1: revenue 90
+      (11L, 15.0, 200.0, 0.0),  // branch 2: revenue 200
+      (10L, 20.0, 100.0, 0.0),  // quantity outside branch 1
+      (12L, 5.0, 100.0, 0.0))   // size outside every branch
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val out = Relational.tpchQ19(lineitem, part).collect()
+    assert(out(0).getLong(0) === 2L && out(0).getDouble(1) === 290.0)
+  }
+
+  test("inactive-high-balance excludes boundary balances and recent orderers") {
+    import spark.implicits._
+    val customer = Seq(
+      (1L, 1L, 100.0),   // below threshold
+      (2L, 1L, 300.0),   // AT threshold (32500 cents): excluded — strict >
+      (3L, 2L, 500.0),   // above, only an old order → kept
+      (4L, 1L, -50.0),   // negative: out of the average, below threshold
+      (5L, 2L, 400.0))   // above, but ordered recently → anti-joined away
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    // positive-balance mean: (10000+30000+50000+40000)/4 = 32500 cents
+    val orders = Seq(
+      (20L, 3L, ts("2000-12-31 00:00:00")),
+      (21L, 5L, ts("2001-02-01 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val out = Relational.inactiveHighBalance(customer, orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((2L, 1L, 50000L)))
+  }
 }

@@ -376,4 +376,28 @@ class PlanShapeSpec extends SparkSpec {
       .select(Codec.bytesToStringCol(Codec.stringToBytesCol(col("t"))).as("rt"))
     assert(df.head.getString(0) === s)
   }
+
+  test("TPC-H Q4 is a semi-join with the quarter filter pushed to the scan") {
+    val p = plan(Relational.tpchQ4(Tables.orders(spark, sf), Tables.lineitem(spark, sf)))
+    assert(p.contains("LeftSemi"), s"EXISTS did not plan as a semi-join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"quarter filter not pushed to the orders scan:\n$p")
+  }
+
+  test("TPC-H Q19 pushes the derived disjunction to the part scan and broadcasts it") {
+    val p = plan(Relational.tpchQ19(Tables.lineitem(spark, sf), Tables.part(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
+    // PushExtraPredicateThroughJoin must derive the side-local weakening
+    // of the cross-side OR and push it into the part scan
+    assert("PushedFilters: \\[[^\\]]*Or\\(".r.findFirstIn(p).isDefined,
+      s"disjunctive predicate not decomposed to the part scan:\n$p")
+  }
+
+  test("inactive-high-balance is an anti-join with the cutoff pushed to orders") {
+    val p = plan(Relational.inactiveHighBalance(Tables.customer(spark, sf),
+      Tables.orders(spark, sf)))
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not plan as an anti-join:\n$p")
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate".r.findFirstIn(p).isDefined,
+      s"cutoff not pushed to the orders scan:\n$p")
+  }
 }
