@@ -1759,6 +1759,66 @@ object Relational {
       |    WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= '2001-01-01')
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** q139: correlated scalar subquery — lines priced more than 20%
+    * above their OWN part's average, counted per brand. Written as the
+    * declarative correlated form (the way an analyst writes it) and
+    * left to Catalyst's RewriteCorrelatedScalarSubquery, which
+    * DECORRELATES it into one per-partkey aggregate left-joined back —
+    * the same plan a manual rewrite would build, from the readable
+    * query. The threshold compares in cross-multiplied integer cents
+    * (cents > (120·Σcents) div (100·n)) — a float average is
+    * summation-order-dependent across engines, and `x > 1.2·avg` with
+    * `avg` non-integer is equivalent to `x > floor(1.2·avg)` in
+    * integers, so the integer form is exact, not an approximation.
+    *
+    * 100 TB shape: one partial+final agg over lineitem on partkey, one
+    * partkey-shuffled join back (no per-row re-aggregation), part dim
+    * broadcast into the survivors. */
+  private val correlatedPremiumBody: String =
+    """SELECT p_brand, count(*) AS n_premium,
+      |  round(sum(l.l_extendedprice), 2) AS premium_value
+      |FROM %s l JOIN %s p ON p.p_partkey = l.l_partkey
+      |WHERE CAST(floor(l.l_extendedprice * 100) AS BIGINT) >
+      |  (SELECT (120 * CAST(sum(CAST(floor(l2.l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT)) %s (100 * count(*))
+      |   FROM %s l2 WHERE l2.l_partkey = l.l_partkey)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  def correlatedPremium(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part")
+      .foreach(t => graft.Tables.load(spark, dir, t).createOrReplaceTempView(s"${t}_q139"))
+    spark.sql(correlatedPremiumBody.format(
+      "lineitem_q139", "part_q139", "div", "lineitem_q139"))
+  }
+
+  val correlatedPremiumSql: String =
+    correlatedPremiumBody.format("lineitem", "part", "//", "lineitem")
+
+  /** q140: deterministic ordered string aggregation — per market
+    * segment, the sorted distinct nation keys of its customers as one
+    * comma-joined string. collect_set/collect_list output order is
+    * partition-arrival-dependent (nondeterministic across runs and
+    * cluster layouts), so any string aggregation MUST sort before
+    * joining — sort_array(collect_set(…)) here, string_agg(DISTINCT …
+    * ORDER BY) in the oracle. The reporting/export shape (labels,
+    * tags, member lists) that silently flakes when left unsorted.
+    *
+    * 100 TB shape: partial+final set-union agg whose state is bounded
+    * by |nations| per segment, never by customer count. */
+  def orderedStringAgg(customer: DataFrame): DataFrame =
+    customer
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        concat_ws(",", sort_array(collect_set(col("c_nationkey").cast("string"))))
+          .as("nations"))
+      .orderBy(col("c_mktsegment"))
+
+  val orderedStringAggSql: String =
+    """SELECT c_mktsegment, count(*) AS n_cust,
+      |  string_agg(DISTINCT CAST(c_nationkey AS VARCHAR), ','
+      |    ORDER BY CAST(c_nationkey AS VARCHAR)) AS nations
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // Oracle: the O(n²) formulation — same answer, only viable at oracle SF.
   // `<=` matches the AsOf operator's right-sorts-first tie handling.
   val asofJoinSql: String =

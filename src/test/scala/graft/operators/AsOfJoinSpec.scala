@@ -366,6 +366,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(0).getLong(0) === 2L && out(0).getDouble(1) === 290.0)
   }
 
+  test("ordered string agg emits sorted, run-stable member lists") {
+    import spark.implicits._
+    val customer = Seq(
+      (1L, 10L, "BUILDING"), (2L, 2L, "BUILDING"), (3L, 10L, "BUILDING"),
+      (4L, 1L, "AUTO"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val out = Relational.orderedStringAgg(customer).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // lexicographic on the string form: "10" < "2"
+    assert(out.toSeq === Seq(("AUTO", 1L, "1"), ("BUILDING", 3L, "10,2")))
+  }
+
   test("inactive-high-balance excludes boundary balances and recent orderers") {
     import spark.implicits._
     val customer = Seq(

@@ -393,6 +393,16 @@ class PlanShapeSpec extends SparkSpec {
       s"disjunctive predicate not decomposed to the part scan:\n$p")
   }
 
+  test("correlated premium decorrelates to one aggregate, no per-row subquery") {
+    val p = plan(Relational.correlatedPremium(spark, sf))
+    // RewriteCorrelatedScalarSubquery must turn the subquery into a
+    // single per-partkey aggregate joined back — if decorrelation
+    // failed, the plan would carry a nested Subquery per row
+    assert(!p.contains("Subquery subquery"), s"subquery survived per-row:\n$p")
+    assert("partial_sum".r.findAllIn(p).nonEmpty, s"expected decorrelated agg:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian from decorrelation:\n$p")
+  }
+
   test("inactive-high-balance is an anti-join with the cutoff pushed to orders") {
     val p = plan(Relational.inactiveHighBalance(Tables.customer(spark, sf),
       Tables.orders(spark, sf)))
