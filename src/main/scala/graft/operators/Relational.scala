@@ -1362,11 +1362,14 @@ object Relational {
     val perPart = lineitem
       .select(col("l_partkey"), cents.as("c"))
       .groupBy(col("l_partkey")).agg(sum(col("c")).as("rev_c"))
+    // the ordered cum window over the dim-sized frame is the one global
+    // sort Pareto inherently needs (WindowExec's single-partition WARN is
+    // expected here and bounded: the frame is |parts|, post-aggregation —
+    // a constant partition key doesn't silence it, the optimizer folds it)
     val w = Window.orderBy(col("rev_c").desc, col("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // total via agg + broadcast crossJoin, not an unordered global window
-    // (the r4 #6 discipline); the ordered cum window over the dim-sized
-    // frame is the one global sort Pareto inherently needs
+    // (the r4 #6 discipline)
     val total = broadcast(perPart.agg(sum(col("rev_c")).as("total")))
     perPart.crossJoin(total)
       .withColumn("cum", sum(col("rev_c")).over(w))
@@ -1564,6 +1567,8 @@ object Relational {
     val firstSeen = events.groupBy(col("user_id"))
       .agg(to_date(min(col("ts"))).as("day"))
     val perDay = firstSeen.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    // single-partition cum window over the calendar-sized frame — the
+    // WindowExec WARN is expected and bounded (q119 discipline)
     val w = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perDay.withColumn("cum_users", sum(col("n_new")).over(w))
