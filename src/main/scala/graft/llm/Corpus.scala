@@ -1023,6 +1023,46 @@ object Corpus {
       |FROM keyed k JOIN ranked c ON c.bucket = k.tb AND c.rn = k.crn
       |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin
 
+  /** q141: embedding referential-integrity audit — per-source coverage
+    * of documents by embedding vectors, plus the orphan-vector count as
+    * a sentinel row. The check every training pipeline runs BEFORE a
+    * join-heavy stage: a silent doc→vector mismatch either drops
+    * training data (inner joins) or poisons batches with nulls (outer
+    * joins), and per-source breakdown localizes which ingest leg broke.
+    *
+    * 100 TB shape: both audit joins ship only the 8-byte ids — the
+    * embedding ARRAYS never shuffle (vec_id projected before the join);
+    * coverage aggregates to |sources| rows, orphans to one. */
+  def embeddingCoverage(documents: DataFrame, embeddings: DataFrame): DataFrame = {
+    val vecIds = embeddings.select(col("vec_id"))
+    val cov = documents.select(col("doc_id"), col("source"))
+      .join(vecIds, col("doc_id") === col("vec_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), count(col("vec_id")).as("n_with_vec"))
+      .select(col("source"), col("n_docs"), col("n_with_vec"),
+        expr("(10000 * n_with_vec) div n_docs").as("coverage_bp"))
+    val orphans = vecIds
+      .join(documents.select(col("doc_id")), col("vec_id") === col("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("__vectors_without_doc__").as("source"), col("n").as("n_docs"),
+        lit(0L).as("n_with_vec"), lit(0L).as("coverage_bp"))
+    cov.unionByName(orphans).orderBy(col("source"))
+  }
+
+  val embeddingCoverageSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(count(vec_id) AS BIGINT) AS n_with_vec,
+      |  (10000 * CAST(count(vec_id) AS BIGINT)) // count(*) AS coverage_bp
+      |FROM documents d LEFT JOIN (SELECT vec_id FROM embeddings) e
+      |  ON d.doc_id = e.vec_id
+      |GROUP BY source
+      |UNION ALL
+      |SELECT '__vectors_without_doc__',
+      |  (SELECT count(*) FROM embeddings e2 WHERE NOT EXISTS
+      |    (SELECT 1 FROM documents d2 WHERE d2.doc_id = e2.vec_id)),
+      |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |ORDER BY source""".stripMargin
+
   val mixtureWeightsSql: String =
     """WITH p AS (SELECT lang, count(*) AS n_docs,
       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens

@@ -544,4 +544,26 @@ class CorpusSpec extends SparkSpec {
     // "a b" twice in doc1; "b a" once in doc1 (positions 2-3) + once in doc2
     assert(counts === Map("a b" -> 2L, "b a" -> 2L))
   }
+
+  test("embedding coverage reports per-source holes and orphan vectors") {
+    import spark.implicits._
+    val documents = Seq(
+      (1L, "web"), (2L, "web"), (3L, "books"))
+      .toDF("doc_id", "source")
+    val embeddings = Seq(1L, 3L, 9L).toDF("vec_id")  // 2 covered, 9 is orphan
+    val out = Corpus.embeddingCoverage(documents, embeddings).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("__vectors_without_doc__", 1L, 0L, 0L),
+      ("books", 1L, 1L, 10000L),
+      ("web", 2L, 1L, 5000L)))
+  }
+
+  test("embedding coverage never shuffles the vector arrays") {
+    val p = Corpus.embeddingCoverage(docs, Tables.embeddings(spark, sf))
+      .queryExecution.executedPlan.toString
+    // column pruning must reduce the embeddings scan to the 8-byte id
+    assert(p.contains("ReadSchema: struct<vec_id:bigint>"),
+      s"embedding arrays read into the audit join:\n$p")
+  }
 }
