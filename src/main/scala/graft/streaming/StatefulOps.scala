@@ -148,6 +148,49 @@ object StatefulOps {
       |WHERE c.event_type = 'click'
       |ORDER BY 1, 2, 3, 4""".stripMargin
 
+  /** Stream-stream LEFT OUTER interval join — every click with its
+    * follow-up events, null-extended when none arrives in the window.
+    * The semantics the inner join ([[streamIntervalJoin]]) cannot
+    * express: "clicks that never converted". In append-mode streaming
+    * an outer result can only be emitted once the WATERMARK proves no
+    * match can still arrive, so unmatched left rows are held in join
+    * state until the horizon (interval + delay) expires and then emit
+    * null-extended — state stays O(watermark horizon), never O(stream),
+    * exactly as for the inner form. */
+  def streamIntervalJoinOuter(clicks: DataFrame, followups: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+      .withWatermark("cts", "10 minutes")
+    val f = followups
+      .select(col("user_id").as("fu"), col("ts").as("fts"),
+        col("event_type").as("ftype"))
+      .withWatermark("fts", "10 minutes")
+    c.join(f,
+      col("cu") === col("fu") && col("fts") > col("cts") &&
+        col("fts") <= col("cts") + expr("INTERVAL 5 MINUTES"),
+      "left_outer")
+  }
+
+  /** Batch-shaped registration of [[streamIntervalJoinOuter]] (q142) —
+    * the same plan builder over batch frames, ordered with the null
+    * follow-ups FIRST on both engines (Spark's ASC default; DuckDB
+    * needs it spelled out). StreamingSpec asserts batch ≡ streaming
+    * including the watermark-flushed unmatched rows. */
+  def intervalJoinOuterBatch(events: DataFrame): DataFrame =
+    streamIntervalJoinOuter(events, events)
+      .select(col("cu").as("user_id"), unix_micros(col("cts")).as("click_us"),
+        unix_micros(col("fts")).as("follow_us"), col("ftype"))
+      .orderBy(col("user_id"), col("click_us"), col("follow_us"), col("ftype"))
+
+  val intervalJoinOuterBatchSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events)
+      |SELECT c.user_id AS user_id, epoch_us(c.ts) AS click_us,
+      |  epoch_us(f.ts) AS follow_us, f.event_type AS ftype
+      |FROM (SELECT * FROM e WHERE event_type = 'click') c
+      |LEFT JOIN e f ON c.user_id = f.user_id
+      |  AND f.ts > c.ts AND f.ts <= c.ts + INTERVAL 5 MINUTE
+      |ORDER BY user_id, click_us, follow_us NULLS FIRST, ftype NULLS FIRST""".stripMargin
+
   /** Batch counterpart of [[dedupWithinWatermark]] (q28). Streaming keeps
     * each key's first ARRIVAL, which is only deterministic given an
     * ordered source; the batch shape pins the same semantics to event

@@ -152,6 +152,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("outer interval join flushes unmatched clicks after the watermark passes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ssjo").toString + "/events"
+    val ev = Tables.events(spark, sf)
+    ev.write.parquet(dir)
+
+    val c = spark.readStream.schema(EventWindows.eventsSchema).parquet(dir)
+    val f = spark.readStream.schema(EventWindows.eventsSchema).parquet(dir)
+    val q = StatefulOps.streamIntervalJoinOuter(c, f)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjo_out").start()
+    try {
+      q.processAllAvailable()
+      // unmatched rows are held in state until the watermark proves no
+      // match can come: append a far-future sentinel as a SECOND batch
+      // so the next micro-batch's watermark evicts and null-extends them
+      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+      Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 3600L * 1000), -1L,
+        "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ssjo_out").filter(col("cu") =!= -1L)
+
+    val batch = StatefulOps.streamIntervalJoinOuter(ev, ev)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    // and the outer join genuinely adds null-extended rows
+    assert(streamed.filter(col("fts").isNull).count() > 0,
+      "no unmatched clicks flushed — watermark never advanced")
+  }
+
   test("session funnel counts conversions only when a purchase follows the first click") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
