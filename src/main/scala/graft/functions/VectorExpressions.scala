@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for vector dot products over
   * array<float> / array<double> columns.
@@ -99,6 +99,79 @@ case class VectorDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact squared-L2 distance over array<long> columns — the Lloyd
+  * assignment kernel. Bit-identical to the interpreted idiom
+  * `aggregate(zip_with(a, b, (x, y) -> (x−y)*(x−y)), 0L, acc + v)` (and
+  * to the DuckDB oracle's list_sum over the same integer math): int64
+  * arithmetic end to end, accumulation order i = 0..n−1, NULL on length
+  * mismatch or any null element. Values are milli-quantized embedding
+  * coordinates, so each term ≤ ~4e6 and a 64-d sum ≤ ~2.6e8 — far from
+  * overflow. The k-means assignment evaluates this N×k times per round;
+  * staying inside whole-stage codegen (tight primitive loop) instead of
+  * the ~1 µs/element lambda fold is what keeps dynamic-k blocking
+  * (k ∝ N/128, q77) viable as N grows. */
+case class LongVectorSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullable: Boolean = true
+
+  private def isLongArr(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArr(left) && isLongArr(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vector_sqdist_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $s += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Dot product of two array<float|double> columns, in double. */
   def floatDot(a: Column, b: Column): Column =
@@ -108,4 +181,9 @@ object VectorFunctions {
   /** L2 norm of an array<float|double> column. */
   def floatNorm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(floatDot(a, a))
+
+  /** Exact int64 squared-L2 distance of two array<bigint> columns. */
+  def longSqDist(a: Column, b: Column): Column =
+    GraftShims.column(LongVectorSqDist(
+      GraftShims.expression(a), GraftShims.expression(b)))
 }

@@ -297,6 +297,12 @@ object Corpus {
       .orderBy(col("cnt").desc, col("term"))
   }
 
+  // ASCII-only oracle replication (ADVICE r5, same limitation as the
+  // simhash oracle): the engine's Hashing.fnv1a64 iterates UTF-8 BYTES,
+  // while this SQL replicates it per CHARACTER via ord()/range(length) —
+  // identical for single-byte (ASCII) tokens, divergent hashes/buckets
+  // for any multi-byte codepoint. The fixture corpus is ASCII; a
+  // non-ASCII fixture would need a UTF-8 byte expansion here.
   val countMinFreqSql: String = {
     val rowsValues = cmsMultipliers.zipWithIndex
       .map { case (c, r) => s"($r, $c::HUGEINT)" }.mkString(", ")
@@ -991,12 +997,32 @@ object Corpus {
     val sizes = ranked.groupBy(col("bucket")).agg(count(F.lit(1)).as("bsize"))
     val cand = ranked
       .select(col("bucket").as("cb"), col("rn").as("crn"), col("doc_id").as("neg_id"))
+    // Ring steps walk the POPULATED bucket list, not the nominal 0..31
+    // ring (ADVICE r5): if a target bucket is empty (corpus < nBuckets,
+    // or hash skew), stepping `(bucket + step) % nBuckets` would drop
+    // the step row in the size join — an anchor silently losing one or
+    // both negatives. Indexing the non-empty buckets 0..P−1 and stepping
+    // `(pi + step) % P` always lands on a bucket with candidates, so
+    // "every doc gets negatives" holds for any corpus with ≥ 1 doc.
+    // When the ring wraps back to the anchor's own bucket (P ≤ 2), the
+    // row offset shifts by `step` so the negative isn't the anchor
+    // itself (unless the bucket is a singleton — a 1-doc corpus has no
+    // other doc to offer). On a corpus filling every bucket, pi == bucket
+    // and P == nBuckets, so the pairing is unchanged.
+    val wp = Window.orderBy(col("bucket"))
+    val pops = sizes.withColumn("pi", (row_number().over(wp) - 1).cast("long"))
+    val pcnt = broadcast(sizes.agg(count(F.lit(1)).cast("long").as("pc")))
     val steps = ranked
       .select(col("doc_id"), col("bucket"), col("rn"),
         explode(array(F.lit(1L), F.lit(2L))).as("step"))
-      .withColumn("tb", (col("bucket") + col("step")) % nBuckets)
-      .join(broadcast(sizes.select(col("bucket").as("tb"), col("bsize"))), "tb")
-      .withColumn("crn", col("rn") % col("bsize"))
+      .join(broadcast(pops.select(col("bucket"), col("pi"))), "bucket")
+      .crossJoin(pcnt)
+      .withColumn("tpi", (col("pi") + col("step")) % col("pc"))
+      .join(broadcast(pops.select(col("pi").as("tpi"), col("bucket").as("tb"),
+        col("bsize"))), "tpi")
+      .withColumn("crn",
+        (col("rn") + when(col("tb") === col("bucket"), col("step"))
+          .otherwise(F.lit(0L))) % col("bsize"))
     steps.join(cand, steps("tb") === cand("cb") && steps("crn") === cand("crn"))
       .groupBy(col("doc_id"))
       .agg(max(when(col("step") === 1L, col("neg_id"))).as("neg1"),
@@ -1013,10 +1039,18 @@ object Corpus {
       |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1 AS rn
       |  FROM base),
       |sz AS (SELECT bucket, count(*) AS bsize FROM ranked GROUP BY bucket),
-      |steps AS (SELECT r.doc_id, r.rn, s.step, (r.bucket + s.step) % 32 AS tb
+      |pop AS (SELECT bucket, bsize,
+      |    row_number() OVER (ORDER BY bucket) - 1 AS pi FROM sz),
+      |pc AS (SELECT count(*) AS pc FROM pop),
+      |steps AS (SELECT r.doc_id, r.rn, r.bucket, s.step
       |  FROM ranked r, (SELECT unnest([1, 2]) AS step) s),
-      |keyed AS (SELECT st.doc_id, st.step, st.tb, st.rn % sz.bsize AS crn
-      |  FROM steps st JOIN sz ON sz.bucket = st.tb)
+      |keyed AS (SELECT st.doc_id, st.step, p2.bucket AS tb,
+      |    (st.rn + CASE WHEN p2.bucket = st.bucket THEN st.step ELSE 0 END)
+      |      % p2.bsize AS crn
+      |  FROM steps st
+      |  JOIN pop p1 ON p1.bucket = st.bucket
+      |  CROSS JOIN pc
+      |  JOIN pop p2 ON p2.pi = (p1.pi + st.step) % pc.pc)
       |SELECT k.doc_id,
       |  CAST(max(CASE WHEN k.step = 1 THEN c.doc_id END) AS BIGINT) AS neg1,
       |  CAST(max(CASE WHEN k.step = 2 THEN c.doc_id END) AS BIGINT) AS neg2

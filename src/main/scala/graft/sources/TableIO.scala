@@ -43,6 +43,21 @@ object TableIO {
     save(load(spark, srcFormat, srcPath), dstFormat, dstPath, writeOptions,
       mode = "overwrite")
 
+  /** Per-JVM scratch-path nonce (ADVICE r5): round-trip layouts are
+    * keyed by (operator, dataset, THIS process), so two concurrent
+    * sessions over the same fixture can never race on an overwrite or
+    * observe each other's half-written directory — each process owns
+    * its paths outright. Stable within the JVM so bench iterations
+    * overwrite their own layout instead of leaking a directory per
+    * iteration. */
+  private val runNonce: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
+  private def scratchDir(tag: String, dir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_" + tag + "_" + runNonce + "_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+
   /** q96: JSON round-trip fidelity through the format seam — write the
     * documents metadata columns as JSON lines, read them back with
     * schema inference, and aggregate. The oracle runs the same aggregate
@@ -60,8 +75,7 @@ object TableIO {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-    val dst = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_json_rt_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+    val dst = scratchDir("json_rt", dir)
     save(docs, "json", dst, mode = "overwrite")
     load(spark, "json", dst)
       .groupBy(col("lang"), col("source"))
@@ -100,8 +114,7 @@ object TableIO {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
-    val dst = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_part_rt_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+    val dst = scratchDir("part_rt", dir)
     ev.write.mode("overwrite").partitionBy("event_type").parquet(dst)
     spark.read.parquet(dst)
   }
@@ -186,8 +199,12 @@ object TableIO {
   def schemaEvolutionAgg(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, dir)
-    val dst = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_evo_rt_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+    // Per-process path (scratchDir): the overwrite-then-append batch
+    // pair below is only observed by THIS process, so no concurrent
+    // reader can see the directory between the two writes; within the
+    // process the read runs strictly after both writes, and a crash
+    // between them is healed by the next invocation's overwrite.
+    val dst = scratchDir("evo_rt", dir)
     docs.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("lang"))
       .write.mode("overwrite").parquet(dst)

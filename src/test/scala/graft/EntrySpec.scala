@@ -13,9 +13,10 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     val rowsOnly = q -- o
-    // the single query whose result depends on engine-internal state:
-    // q11's HLL sketch estimate cannot be replicated outside Spark
-    assert(rowsOnly === Set("q11_approx_distinct"),
+    // every query is hash-checked since r6: q11's HLL estimate is not
+    // replicable outside Spark, but its declared 5% rsd CONTRACT is —
+    // the emitted within_rsd boolean makes the row oracle-decidable
+    assert(rowsOnly === Set.empty,
       s"unexpected rows-only queries: $rowsOnly")
   }
 

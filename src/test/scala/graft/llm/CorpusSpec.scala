@@ -462,6 +462,23 @@ class CorpusSpec extends SparkSpec {
       "anchor must never be its own negative")
   }
 
+  test("contrastive pairs: corpus smaller than the bucket ring still gives every doc negatives") {
+    import spark.implicits._
+    // 5 docs over a 32-bucket ring → ≥ 27 empty buckets; the nominal
+    // (bucket + step) % 32 walk would drop steps landing on them
+    // (ADVICE r5). The populated-bucket ring must keep 2 negatives per
+    // doc, deterministic, never the anchor itself.
+    val tiny = (1L to 5L).map(i => (i, s"doc number $i text")).toDF("doc_id", "text")
+    val out = Corpus.contrastivePairs(tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 5, s"every doc must survive: ${out.toSeq}")
+    assert(out.forall { case (id, n1, n2) => n1 != id && n2 != id },
+      s"anchor as its own negative: ${out.toSeq}")
+    val again = Corpus.contrastivePairs(tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === again.toSeq, "negative choice must be reproducible")
+  }
+
   test("rep-n stats count duplicate n-gram fractions exactly") {
     import spark.implicits._
     val d = Seq((1L, "a b a b a b", 11L), (2L, "a b c", 5L), (3L, "a", 1L))

@@ -40,7 +40,7 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 0.8)))
   }
 
-  test("containment flags a short doc embedded in a longer one, direction-sensitively") {
+  test("containmentExact flags a short doc embedded in a longer one, direction-sensitively") {
     import spark.implicits._
     val base = (1 to 6).map(i => s"c$i").mkString(" ")
     val long = base + " " + (1 to 20).map(i => s"x$i").mkString(" ")
@@ -50,9 +50,37 @@ class DedupSpec extends SparkSpec {
       (3L, "unrelated stuff entirely"),
       (4L, "p q r s"), (5L, "p q r s")) // identical: both directions at 1.0
       .toDF("doc_id", "text")
-    val got = Dedup.containment(d).collect()
+    // the prefix-filter harness catches the short-in-long direction that
+    // symmetric banding structurally under-weights (J = 5/25 here)
+    val got = Dedup.containmentExact(d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq === Seq((1L, 2L, 1.0), (4L, 5L, 1.0), (5L, 4L, 1.0)))
+    // the banded registered path still finds every symmetric near-dup
+    val banded = Dedup.containment(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(banded.toSet.subsetOf(got.toSet), "banding may only drop, never invent")
+    assert(banded.toSet.contains((4L, 5L, 1.0)) && banded.toSet.contains((5L, 4L, 1.0)))
+  }
+
+  test("containment: banded path ≡ exact prefix-filter path on the fixture corpus") {
+    val docs = Tables.documents(spark, sf)
+    val banded = Dedup.containment(docs).collect().map(_.toSeq).toSet
+    val exact = Dedup.containmentExact(docs).collect().map(_.toSeq).toSet
+    assert(banded === exact,
+      "LSH-banded candidates must reach every planted containment pair")
+    assert(exact.nonEmpty, "fixture should contain planted containment pairs")
+  }
+
+  test("containmentExact: df-cutoff is recall-free (cutoff ≡ no-cutoff ≡ hot-everything)") {
+    val docs = Tables.documents(spark, sf)
+    val none = Dedup.containmentExact(docs, dfCutoff = 0L).collect().map(_.toSeq).toSet
+    // cutoff 2: on this dense fixture nearly every shingle is hot → the
+    // hot-saturated fallback must carry the recall
+    val tiny = Dedup.containmentExact(docs, dfCutoff = 2L).collect().map(_.toSeq).toSet
+    // cutoff 25: mixes the non-hot main path and the fallback
+    val mid = Dedup.containmentExact(docs, dfCutoff = 25L).collect().map(_.toSeq).toSet
+    assert(tiny === none, "df-cutoff=2 changed the answer")
+    assert(mid === none, "df-cutoff=25 changed the answer")
   }
 
   test("simhash: identical texts get identical fingerprints") {

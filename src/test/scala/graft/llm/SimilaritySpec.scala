@@ -82,9 +82,12 @@ class SimilaritySpec extends SparkSpec {
 
   test("semantic dedup clusters near-identical embeddings transitively") {
     import spark.implicits._
-    // label 1: v1≈v2≈v3 chain (cos ≈ 1), v7 orthogonal; label 2: v8≈v9.
-    // v4 matches v1 in direction but sits in label 2 — blocking keeps
-    // them apart, mirroring the IVF-cell blocking of the pair stage.
+    // v1≈v2≈v3≈v4 chain (cos ≈ 1), v8≈v9; v7 orthogonal to everything.
+    // SemDeDup blocking is k-means in EMBEDDING space (label-free, the
+    // paper's shape): 7 vectors → dynamic k = 1 → a single block, so the
+    // pair stage sees every cosine ≥ 0.9 pair regardless of label.
+    // vec_ids deliberately NOT dense from 0: the mod-k seeding must not
+    // depend on id layout (a prefix-seeded init would be EMPTY here).
     val d = Seq(
       (1L, Array(1f, 0f, 0f), 1),
       (2L, Array(0.99f, 0.01f, 0f), 1),
@@ -94,10 +97,10 @@ class SimilaritySpec extends SparkSpec {
       (8L, Array(0f, 1f, 0f), 2),
       (9L, Array(0f, 0.99f, 0.01f), 2))
       .toDF("vec_id", "embedding", "label")
-    val out = Similarity.semanticDedup(d, threshold = 0.9).collect()
+    val out = Similarity.semanticDedup(d, threshold = 0.9, dim = 3).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // {1,2,3} one cluster; {8,9} one cluster; 4 and 7 pair with nothing
-    assert(out === Map(1L -> 3L, 8L -> 2L))
+    // {1,2,3,4} one component (keeper = min id); {8,9} one component
+    assert(out === Map(1L -> 4L, 8L -> 2L))
   }
 
   test("PQ ADC (q82): k rows per probe, deterministic under repartitioning") {
