@@ -341,31 +341,7 @@ object Similarity {
   def semanticDedup(embeddings: DataFrame, threshold: Double = 0.4,
                     targetBlock: Int = 128, iters: Int = 2,
                     dim: Int = 64): DataFrame = {
-    val q = quantized(embeddings, 1000)
-    // k = ceil(N / targetBlock) as a 1-row broadcast — N never reaches
-    // the driver. Seeding is LAYOUT-INDEPENDENT (unlike q88's documented
-    // dense-from-0 prefix seeds): round 0 buckets vectors by vec_id mod k
-    // and seeds each cluster with that bucket's quantized mean — one
-    // O(N·dim) map-side-combinable agg, valid for any id distribution
-    // (sparse, offset, hashed), then Lloyd refines.
-    val kk = broadcast(embeddings.agg(
-      ceil(count(lit(1)).cast("double") / lit(targetBlock.toDouble))
-        .cast("long").as("kdyn")))
-    val a0 = q.crossJoin(kk)
-      .select(col("vec_id"), pmod(col("vec_id"), col("kdyn")).as("cluster"))
-    val init = recomputeCentroids(a0, q, dim)
-    // localCheckpoint (same loop discipline as the CC/PageRank engines):
-    // the assignment is a tiny (vec_id, cluster) frame, but its LINEAGE
-    // is the whole 2-round Lloyd DAG with 64-column centroid aggregates —
-    // the self-join below would duplicate that subtree and hand Catalyst
-    // a plan that costs more to analyze than to run (measured 55 s for
-    // 2000 vectors at sf0.1; ~2 s checkpointed)
-    val asg = lloydAssign(q, init, iters, dim)
-      .select(col("vec_id"), col("cluster"))
-      .localCheckpoint()
-    val v = embeddings.select(col("vec_id"), col("embedding"),
-        l2norm(col("embedding")).as("nrm"))
-      .join(asg, "vec_id")
+    val v = dynamicKBlocked(embeddings, targetBlock, iters, dim)
     val pairs = v.as("a").join(v.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", round(dot(col("a.embedding"), col("b.embedding")) /
@@ -377,11 +353,44 @@ object Similarity {
       .orderBy(col("keeper"))
   }
 
-  /** Oracle: the q88 unrolled-CTE Lloyd rounds with DYNAMIC k
-    * (ceil(N/128) via a scalar subquery) and the same mod-k-seeded
-    * round-0 centroids, then the same cluster-blocked cosine pairs and
-    * the transitive closure (recursive CTE). */
-  val semanticDedupSql: String = {
+  /** Dynamic-k k-means blocking, shared by [[semanticDedup]] (q77) and
+    * [[knnJoin]] (q147): returns (vec_id, embedding, nrm, cluster) with
+    * cluster from the mod-k-seeded Lloyd assignment.
+    *
+    * k = ceil(N / targetBlock) as a 1-row broadcast — N never reaches
+    * the driver. Seeding is LAYOUT-INDEPENDENT (unlike q88's documented
+    * dense-from-0 prefix seeds): round 0 buckets vectors by vec_id mod k
+    * and seeds each cluster with that bucket's quantized mean — one
+    * O(N·dim) map-side-combinable agg, valid for any id distribution
+    * (sparse, offset, hashed), then Lloyd refines.
+    *
+    * The assignment is localCheckpoint'd (same loop discipline as the
+    * CC/PageRank engines): it is a tiny (vec_id, cluster) frame, but its
+    * LINEAGE is the whole 2-round Lloyd DAG with 64-column centroid
+    * aggregates — the self-joins consumers run would duplicate that
+    * subtree and hand Catalyst a plan that costs more to analyze than to
+    * run (measured 55 s for 2000 vectors at sf0.1; ~2 s checkpointed). */
+  private def dynamicKBlocked(embeddings: DataFrame, targetBlock: Int,
+                              iters: Int, dim: Int): DataFrame = {
+    val q = quantized(embeddings, 1000)
+    val kk = broadcast(embeddings.agg(
+      ceil(count(lit(1)).cast("double") / lit(targetBlock.toDouble))
+        .cast("long").as("kdyn")))
+    val a0 = q.crossJoin(kk)
+      .select(col("vec_id"), pmod(col("vec_id"), col("kdyn")).as("cluster"))
+    val init = recomputeCentroids(a0, q, dim)
+    val asg = lloydAssign(q, init, iters, dim)
+      .select(col("vec_id"), col("cluster"))
+      .localCheckpoint()
+    embeddings.select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      .join(asg, "vec_id")
+  }
+
+  /** Shared oracle prefix: the unrolled-CTE Lloyd rounds with DYNAMIC k
+    * (ceil(N/128) via a scalar subquery) and the mod-k-seeded round-0
+    * centroids, ending in `v(vec_id, cluster, embedding, nrm)`. */
+  private val dynamicKBlockedCteSql: String = {
     def assign(c: String, p: String, a: String) =
       s"""$p AS (SELECT q.vec_id, $c.cluster,
          |    CAST(list_sum(list_transform(range(64), i ->
@@ -409,7 +418,14 @@ object Similarity {
       |${assign("c1", "p2", "a2")},
       |v AS (SELECT e.vec_id, a2.cluster, e.embedding,
       |        sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
-      |      FROM embeddings e JOIN a2 USING (vec_id)),
+      |      FROM embeddings e JOIN a2 USING (vec_id))""".stripMargin
+  }
+
+  /** Oracle: the shared Lloyd-blocking CTE, then the same
+    * cluster-blocked cosine pairs and the transitive closure
+    * (recursive CTE). */
+  val semanticDedupSql: String =
+    s"""$dynamicKBlockedCteSql,
       |pr AS (SELECT a.vec_id vec_a, b.vec_id vec_b
       |       FROM v a JOIN v b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
       |       WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -424,7 +440,52 @@ object Similarity {
       |        FROM reach GROUP BY src)
       |SELECT label AS keeper, count(*) AS n_vecs
       |FROM lab GROUP BY label ORDER BY keeper""".stripMargin
+
+  /** q147: k-nearest-neighbor JOIN — every vector's top-k cosine
+    * neighbors, the retrieval primitive under kNN-graph dedup,
+    * kNN classification, and RAG index audits. Unlike q35/q37/q38
+    * (probe-SET searches: a small query batch against the corpus), this
+    * materializes the neighbor list for the WHOLE corpus — the shape
+    * that is quadratic done naively. Blocking is the shared dynamic-k
+    * k-means ([[dynamicKBlocked]], q77's machinery): expected block size
+    * stays ~targetBlock at any corpus size, so the self-join emits
+    * ~N·targetBlock candidate rows — row-linear — and WindowGroupLimit
+    * keeps top-k per vector without a full sort. Within-block search is
+    * nprobe=1 IVF semantics: neighbors in OTHER cells are unseen (the
+    * measured-recall tradeoff q39 quantifies for the probe-set case);
+    * vectors alone in their cell emit no rows (inner-join semantics,
+    * mirrored by the oracle). */
+  def knnJoin(embeddings: DataFrame, k: Int = 3, targetBlock: Int = 128,
+              iters: Int = 2, dim: Int = 64): DataFrame = {
+    val v = dynamicKBlocked(embeddings, targetBlock, iters, dim)
+    val w = Window.partitionBy(col("a.vec_id"))
+      .orderBy(col("cos").desc, col("b.vec_id"))
+    v.as("a").join(v.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos", round(dot(col("a.embedding"), col("b.embedding")) /
+        (col("a.nrm") * col("b.nrm")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        col("cos"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("vec_id"), col("rnk"))
   }
+
+  /** Oracle: the shared Lloyd-blocking CTE, then per-vector top-k over
+    * the same within-cluster cosine, same (cos DESC, neighbor) ties. */
+  val knnJoinSql: String =
+    s"""$dynamicKBlockedCteSql,
+      |cand AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |        z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (a.nrm * b.nrm), 4) AS cos
+      |  FROM v a JOIN v b ON a.cluster = b.cluster AND a.vec_id != b.vec_id),
+      |rk AS (SELECT vec_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, neighbor_id) AS rnk
+      |  FROM cand)
+      |SELECT vec_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk
+      |FROM rk WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
 
   /** ANN quality as a measured query: recall@k of the two approximate
     * indexes (IVF cells, SRP-LSH buckets) against the brute-force cosine
