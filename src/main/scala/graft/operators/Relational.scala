@@ -1852,6 +1852,219 @@ object Relational {
       |    ORDER BY CAST(c_nationkey AS VARCHAR)) AS nations
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** q145: trailing 7-day rolling revenue per order priority — the
+    * time-series rolling metric (daily revenue, 7-day trailing sum and
+    * order count). Distinct from q14's numeric RANGE frame: the frame is
+    * an INTERVAL over calendar days, and sparse days must NOT be
+    * back-filled — a day whose trailing week has gaps aggregates only
+    * the days that exist (`days_present` exposes exactly that), which is
+    * what RANGE semantics over a day-number ordering give and ROWS
+    * semantics would get wrong.
+    *
+    * 100 TB shape: the order scan collapses to a |priorities|×|days|
+    * daily grid FIRST (partial+final hash agg — the only pass over the
+    * fact table), then the window runs on the tiny grid, partitioned by
+    * priority. Revenue accumulates in exact integer cents. */
+  def rolling7Day(orders: DataFrame): DataFrame = {
+    val epoch = lit("1992-01-01").cast("date")
+    val daily = orders
+      .groupBy(col("o_orderpriority").as("prio"),
+        datediff(col("o_orderdate").cast("date"), epoch).cast("long").as("dnum"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+    val w = Window.partitionBy(col("prio")).orderBy(col("dnum"))
+      .rangeBetween(-6L, 0L)
+    daily
+      .select(col("prio"),
+        date_add(epoch, col("dnum").cast("int")).as("odate"),
+        col("dnum"), col("n_orders"), col("rev_cents"),
+        sum(col("n_orders")).over(w).as("n_7d"),
+        sum(col("rev_cents")).over(w).as("rev_7d_cents"),
+        count(lit(1)).over(w).as("days_present"))
+      .orderBy(col("prio"), col("dnum"))
+  }
+
+  // DATE − DATE is an integer day count in DuckDB but the result of
+  // DATE + BIGINT is an error — the reconstruction add needs the
+  // explicit INTEGER cast.
+  val rolling7DaySql: String =
+    """WITH daily AS (SELECT o_orderpriority AS prio,
+      |    CAST(o_orderdate::DATE - DATE '1992-01-01' AS BIGINT) AS dnum,
+      |    count(*) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT prio, DATE '1992-01-01' + CAST(dnum AS INTEGER) AS odate,
+      |  dnum, n_orders, rev_cents,
+      |  CAST(sum(n_orders) OVER w AS BIGINT) AS n_7d,
+      |  CAST(sum(rev_cents) OVER w AS BIGINT) AS rev_7d_cents,
+      |  count(*) OVER w AS days_present
+      |FROM daily
+      |WINDOW w AS (PARTITION BY prio ORDER BY dnum
+      |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY prio, dnum""".stripMargin
+
+  /** q146: t-digest-style approximate percentile with a HASH-CHECKED
+    * accuracy contract (the q11 pattern applied to quantiles): the
+    * engine-internal `approx_percentile` sketch value is never emitted —
+    * what is emitted is whether it lands inside the exact rank-error
+    * band [percentile(q−2ε), percentile(q+2ε)] its contract promises
+    * (ε = 1/accuracy). The 2ε band is not generosity — it is the exact
+    * slack arithmetic: the sketch guarantees rank error ≤ εn against
+    * RANK qn, while `percentile` interpolates at POSITION q(n−1)+1,
+    * a convention gap of up to 1 rank; 2εn ≥ εn + 1 must hold at the
+    * smallest group this runs on (n = 300 at sf0.001 ⇒ accuracy ≤ 150;
+    * 100 keeps the margin while the sketch stays ~100 centroids). The
+    * oracle recomputes the exact percentiles and asserts the booleans
+    * TRUE.
+    *
+    * 100 TB shape: THIS is why the query exists — exact `percentile`
+    * buffers every group value (a sort's worth of state per group);
+    * the sketch is a bounded-size mergeable partial+final aggregate, the
+    * only viable quantile path over a 100 TB fact table. The query makes
+    * the approximation's contract a regression-testable fact rather than
+    * a hope. */
+  def quantileContract(orders: DataFrame, accuracy: Int = 100): DataFrame = {
+    val eps = 2.0 / accuracy
+    def exact(q: Double) = expr(s"percentile(o_totalprice, $q)")
+    def approx(q: Double) = expr(s"approx_percentile(o_totalprice, $q, $accuracy)")
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        r2(exact(0.5)).as("median_exact"),
+        r2(exact(0.9)).as("p90_exact"),
+        approx(0.5).between(exact(0.5 - eps), exact(0.5 + eps)).as("median_ok"),
+        approx(0.9).between(exact(0.9 - eps), exact(0.9 + eps)).as("p90_ok"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val quantileContractSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_exact,
+      |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90_exact,
+      |  TRUE AS median_ok, TRUE AS p90_ok
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q148: CDC upsert-merge — apply a change batch (inserts / updates /
+    * deletes) to a snapshot in ONE full-outer join, the MERGE INTO shape
+    * every lakehouse implements. The change batch is derived
+    * deterministically from the same table (keys ≡ 0 mod 3: deletes at
+    * mod 12, updates at mod 6, inserts on the odd mod-3 keys, which are
+    * absent from the mod-2 snapshot by construction), so both engines
+    * see identical input without a fixture write.
+    *
+    * 100 TB shape: one shuffle of snapshot+batch on the merge key into a
+    * sort-merge full-outer join — never a per-op pass (three separate
+    * anti/semi/union passes would scan the snapshot three times). The
+    * change batch is normally ≪ snapshot, so AQE plans it broadcast and
+    * the snapshot is not shuffled at all; row-level delta encoding
+    * (status column) falls out of the same join. */
+  def cdcMerge(orders: DataFrame): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val snap = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), cents.as("cents"),
+        col("o_orderpriority").as("prio"))
+    val cdc = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), cents.as("cents"),
+        col("o_orderpriority").as("prio"),
+        when(col("o_orderkey") % 12 === 0, lit("D"))
+          .when(col("o_orderkey") % 6 === 0, lit("U"))
+          .otherwise(lit("I")).as("op"))
+    snap.as("b").join(cdc.as("c"), Seq("o_orderkey"), "full_outer")
+      .filter(col("c.op").isNull || col("c.op") =!= "D")
+      .select(col("o_orderkey"),
+        when(col("c.op") === "U", col("c.cents") + 100)
+          .when(col("c.op") === "I", col("c.cents"))
+          .otherwise(col("b.cents")).as("cents"),
+        coalesce(col("b.prio"), col("c.prio")).as("prio"),
+        when(col("c.op") === "U", lit("updated"))
+          .when(col("c.op") === "I", lit("inserted"))
+          .otherwise(lit("kept")).as("status"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val cdcMergeSql: String =
+    """WITH base AS (SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderpriority AS prio
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |cdc AS (SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderpriority AS prio,
+      |    CASE WHEN o_orderkey % 12 = 0 THEN 'D'
+      |         WHEN o_orderkey % 6 = 0 THEN 'U' ELSE 'I' END AS op
+      |  FROM orders WHERE o_orderkey % 3 = 0)
+      |SELECT o_orderkey, cents + 100 AS cents, prio, 'updated' AS status
+      |FROM cdc WHERE op = 'U'
+      |UNION ALL
+      |SELECT o_orderkey, cents, prio, 'inserted' FROM cdc WHERE op = 'I'
+      |UNION ALL
+      |SELECT b.o_orderkey, b.cents, b.prio, 'kept'
+      |FROM base b LEFT JOIN cdc c ON b.o_orderkey = c.o_orderkey
+      |WHERE c.o_orderkey IS NULL
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q149: replica fingerprint diff — the anti-entropy digest behind
+    * repair in replicated stores (the reference's Cassandra domain: a
+    * Merkle-tree leaf is exactly "hash digest of a key bucket"): rows
+    * canonicalize to an ASCII image, md5 to a 60-bit key, and each of
+    * the 16 key buckets reduces to (count, XOR of hashes) — an
+    * order-independent, mergeable digest, so two replicas compare 16
+    * rows instead of the table. Replica B is replica A with keys
+    * ≡ 7 mod 1000 price-bumped, so the diff must flag exactly the
+    * buckets holding those keys (bucket = key mod 16) and clear the
+    * rest.
+    *
+    * 100 TB shape: two scans (replicas live on different clusters in
+    * production), each collapsing to |buckets| rows of partial+final
+    * agg state — no shuffle of row data, no sort; XOR is commutative so
+    * partition layout is irrelevant. Bucket count scales to millions
+    * (Merkle depth) without changing the plan. */
+  def replicaFingerprint(orders: DataFrame, nBuckets: Int = 16): DataFrame = {
+    def digest(rows: DataFrame): DataFrame = {
+      val img = concat_ws("|", col("o_orderkey"), col("cents"),
+        col("o_orderdate").cast("date").cast("string"), col("o_orderpriority"))
+      val h = conv(substring(md5(img.cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+      rows.select(pmod(col("o_orderkey"), lit(nBuckets.toLong)).as("bucket"),
+          h.as("h"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("sig"))
+    }
+    val a = orders.select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderdate"), col("o_orderpriority"))
+    val b = a.withColumn("cents",
+      when(col("o_orderkey") % 1000 === 7, col("cents") + 1L)
+        .otherwise(col("cents")))
+    digest(a).as("a").join(digest(b).as("b"), Seq("bucket"), "full_outer")
+      .select(col("bucket"), col("a.n").as("n_a"), col("b.n").as("n_b"),
+        (col("a.n") === col("b.n") && col("a.sig") === col("b.sig"))
+          .as("in_sync"))
+      .orderBy(col("bucket"))
+  }
+
+  val replicaFingerprintSql: String =
+    """WITH rows_a AS (SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderdate::DATE::VARCHAR AS od, o_orderpriority AS prio
+      |  FROM orders),
+      |rows_b AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 1000 = 7 THEN cents + 1 ELSE cents END AS cents,
+      |    od, prio FROM rows_a),
+      |da AS (SELECT o_orderkey % 16 AS bucket, count(*) AS n,
+      |    bit_xor(CAST(concat('0x', substring(md5(
+      |      o_orderkey::VARCHAR || '|' || cents::VARCHAR || '|' || od || '|' || prio
+      |    ), 1, 15)) AS BIGINT)) AS sig
+      |  FROM rows_a GROUP BY 1),
+      |db AS (SELECT o_orderkey % 16 AS bucket, count(*) AS n,
+      |    bit_xor(CAST(concat('0x', substring(md5(
+      |      o_orderkey::VARCHAR || '|' || cents::VARCHAR || '|' || od || '|' || prio
+      |    ), 1, 15)) AS BIGINT)) AS sig
+      |  FROM rows_b GROUP BY 1)
+      |SELECT da.bucket, da.n AS n_a, db.n AS n_b,
+      |  (da.n = db.n AND da.sig = db.sig) AS in_sync
+      |FROM da JOIN db USING (bucket) ORDER BY bucket""".stripMargin
+
   // Oracle: the O(n²) formulation — same answer, only viable at oracle SF.
   // `<=` matches the AsOf operator's right-sorts-first tie handling.
   val asofJoinSql: String =

@@ -120,7 +120,10 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.nearDupComponents(d).collect().isEmpty)
     val e = Seq((1L, Array(1f, 0f), 1), (2L, Array(0f, 1f), 1))
       .toDF("vec_id", "embedding", "label")
-    assert(Similarity.semanticDedup(e, threshold = 0.9).collect().isEmpty)
+    // dim must match the fixture vectors: the Lloyd blocking kernel
+    // reads element_at(embedding, 1..dim) and ANSI faults past the end
+    assert(Similarity.semanticDedup(e, threshold = 0.9, dim = 2)
+      .collect().isEmpty)
   }
 
   test("large-star/small-star engine matches union-find on raw pair graphs") {

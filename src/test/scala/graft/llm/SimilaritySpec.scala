@@ -103,6 +103,38 @@ class SimilaritySpec extends SparkSpec {
     assert(out === Map(1L -> 4L, 8L -> 2L))
   }
 
+  test("kNN join (q147): within-block top-k, no self-pairs, layout-invariant") {
+    import spark.implicits._
+    // 7 vectors → dynamic k = ceil(7/128) = 1 block, so every vector sees
+    // all 6 others and the top-3 list is the EXACT cosine top-3. Sparse,
+    // non-dense vec_ids exercise the layout-independent mod-k seeding.
+    val d = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.99f, 0.01f, 0f)),
+      (3L, Array(0.98f, 0.02f, 0f)),
+      (7L, Array(0f, 0f, 1f)),
+      (4L, Array(1f, 0f, 0f)),
+      (8L, Array(0f, 1f, 0f)),
+      (9L, Array(0f, 0.99f, 0.01f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnJoin(d, k = 3, dim = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // every vector emits exactly k rows, ranked 1..k, never itself
+    val byVec = out.groupBy(_._1)
+    assert(byVec.keySet === Set(1L, 2L, 3L, 4L, 7L, 8L, 9L))
+    byVec.values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq === Seq(1L, 2L, 3L))
+      assert(rows.forall(r => r._1 != r._2))
+    }
+    // v1's exact top-3 is its duplicate v4 (cos 1.0) then v2, v3;
+    // ties broken by neighbor id (v4 before v2 needs cos order only)
+    assert(byVec(1L).sortBy(_._4).map(_._2).toSeq === Seq(4L, 2L, 3L))
+    // neighbor lists don't depend on physical layout
+    val out2 = Similarity.knnJoin(d.repartition(5), k = 3, dim = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq === out2.toSeq)
+  }
+
   test("PQ ADC (q82): k rows per probe, deterministic under repartitioning") {
     val emb = Tables.embeddings(spark, sf)
     val pq = Similarity.pqTopK(emb)
