@@ -30,7 +30,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    /** One timed run; Left(error) on failure. */
+    /** One timed run; Left(error) on failure. After each run, release
+      * every still-persisted RDD: iterative operators (CC loops, Lloyd
+      * blocking) return localCheckpoint'd frames whose blocks no caller
+      * can release once the result is consumed, and a fresh run builds
+      * fresh RDD ids so cross-run reuse is impossible — without the
+      * sweep ~450 runs of a 150-query suite pin thousands of blocks,
+      * storage fills, and the LOOP frames of later iterative queries get
+      * evicted mid-loop, re-deriving their whole upstream per round
+      * (measured: q93 6 s standalone → 125 s late in the r6 driver
+      * suite). Production jobs never see this — a job's JVM exits —
+      * it is purely a shared-session harness hazard. */
     def once(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
       try {
@@ -39,6 +49,9 @@ object Bench {
         Right((System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      } finally {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
 
@@ -54,8 +67,12 @@ object Bench {
       "q144_containment_exact")
     val sfValue = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).toDouble).getOrElse(0.0)
+    // Optional regex restriction for targeted perf work (not set by the
+    // driver): SPARK_GRAFT_BENCH_ONLY=q93|q77 times just those queries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => sfValue >= 1.0 && validationOnly(n))
+      .filter(n => only.forall(_.findFirstIn(n).isDefined))
     // iteration-major: whole suite per pass, so a contention burst lands on
     // different queries in different passes instead of all samples of one.
     val samples: Seq[(String, Either[String, Double])] =
