@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.Generator
 import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.operators.Relational
+import graft.operators.{Relational, TpchSuite}
 import graft.streaming.EventWindows
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -207,7 +207,36 @@ object SparkEntry {
     "q147_knn_join" -> ((s, d) => Similarity.knnJoin(embeddings(s, d))),
     "q148_cdc_merge" -> ((s, d) => Relational.cdcMerge(orders(s, d))),
     "q149_replica_fingerprint" -> ((s, d) =>
-      Relational.replicaFingerprint(orders(s, d)))
+      Relational.replicaFingerprint(orders(s, d))),
+    "q150_tpch_q6" -> ((s, d) => TpchSuite.tpchQ6(lineitem(s, d))),
+    "q151_tpch_q2" -> ((s, d) =>
+      TpchSuite.minCostSupplier(lineitem(s, d), part(s, d), supplier(s, d))),
+    "q152_tpch_q8" -> ((s, d) =>
+      TpchSuite.marketShare(lineitem(s, d), orders(s, d), customer(s, d),
+        supplier(s, d), nation(s, d), region(s, d), part(s, d))),
+    "q153_tpch_q9" -> ((s, d) =>
+      TpchSuite.productProfit(lineitem(s, d), orders(s, d), supplier(s, d),
+        nation(s, d), part(s, d))),
+    "q154_tpch_q11" -> ((s, d) => TpchSuite.valueConcentration(lineitem(s, d))),
+    "q155_tpch_q12" -> ((s, d) =>
+      TpchSuite.latePriority(lineitem(s, d), orders(s, d))),
+    "q156_tpch_q14" -> ((s, d) =>
+      TpchSuite.promoShare(lineitem(s, d), part(s, d))),
+    "q157_tpch_q15" -> ((s, d) =>
+      TpchSuite.topSupplier(lineitem(s, d), supplier(s, d))),
+    "q158_tpch_q16" -> ((s, d) =>
+      TpchSuite.supplierCountByPart(lineitem(s, d), part(s, d), supplier(s, d))),
+    "q159_tpch_q17" -> ((s, d) =>
+      TpchSuite.smallQuantityRevenue(lineitem(s, d), part(s, d))),
+    "q160_tpch_q20" -> ((s, d) =>
+      TpchSuite.dominantSuppliers(lineitem(s, d), part(s, d), supplier(s, d),
+        nation(s, d))),
+    "q161_tpch_q21" -> ((s, d) =>
+      TpchSuite.waitingOrders(lineitem(s, d), orders(s, d), supplier(s, d))),
+    "q162_bm25_topk" -> ((s, d) => graft.llm.Retrieval.bm25TopK(documents(s, d))),
+    "q163_hash_classifier" -> ((s, d) =>
+      graft.llm.Retrieval.hashClassifier(documents(s, d))),
+    "q164_domain_cap" -> ((s, d) => graft.llm.Retrieval.domainCap(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -365,6 +394,22 @@ object SparkEntry {
     "q146_quantile_contract" -> Relational.quantileContractSql,
     "q147_knn_join" -> Similarity.knnJoinSql,
     "q148_cdc_merge" -> Relational.cdcMergeSql,
-    "q149_replica_fingerprint" -> Relational.replicaFingerprintSql
+    "q149_replica_fingerprint" -> Relational.replicaFingerprintSql,
+    "q150_tpch_q6" -> TpchSuite.tpchQ6Sql,
+    "q151_tpch_q2" -> TpchSuite.minCostSupplierSql,
+    "q152_tpch_q8" -> TpchSuite.marketShareSql,
+    "q153_tpch_q9" -> TpchSuite.productProfitSql,
+    "q154_tpch_q11" -> TpchSuite.valueConcentrationSql,
+    "q155_tpch_q12" -> TpchSuite.latePrioritySql,
+    "q156_tpch_q14" -> TpchSuite.promoShareSql,
+    "q157_tpch_q15" -> TpchSuite.topSupplierSql,
+    "q158_tpch_q16" -> TpchSuite.supplierCountByPartSql,
+    "q159_tpch_q17" -> TpchSuite.smallQuantityRevenueSql,
+    "q160_tpch_q20" -> TpchSuite.dominantSuppliersSql,
+    "q161_tpch_q21" -> TpchSuite.waitingOrdersSql,
+    "q162_bm25_topk" -> graft.llm.Retrieval.bm25TopKSql,
+    "q163_hash_classifier" -> graft.llm.Retrieval.hashClassifierSql,
+    "q164_domain_cap" -> graft.llm.Retrieval.domainCapSql(
+      TextAnalysis.qualityScoreSql)
   )
 }

@@ -1,0 +1,174 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval & scoring operators for a training-data pipeline: BM25
+  * keyword retrieval, a hashed-feature linear quality classifier, and
+  * per-domain (source) cap sampling. All three are exact-integer or
+  * integer-quantized so the DuckDB oracle hash-matches.
+  */
+object Retrieval {
+
+  private def words(text: Column): Column = split(text, " ")
+
+  /** Deterministic 32-bit-ish token hash shared with the oracle: the
+    * first 8 hex digits of md5 over the token's UTF-8 bytes. Engine-
+    * neutral (unlike xxhash64, whose seed/variant is Spark-specific). */
+  private def tokHash(t: Column): Column =
+    conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  // --------------------------------------------------------------------
+  // q162: BM25 top-k retrieval — the classic keyword scorer (Robertson/
+  // Sparck Jones; k1 = 1.2, b = 0.75) for a fixed query term set over
+  // the documents table, returning the top-k docs by total score.
+  //
+  // Exactness: N, df, dl, tf and the corpus token total S are exact
+  // longs; per-(doc,term) the score is computed in ONE double
+  // expression from those longs (both engines evaluate it bit-
+  // identically) and quantized to integer micros BEFORE the per-doc
+  // sum, so no float accumulation ever happens — the only sum is over
+  // longs.
+  //
+  // 100 TB shape: the query-term filter lands inside the token explode
+  // (rows die before any shuffle); df/S/N are a |terms|-row + 1-row
+  // broadcast; the per-doc score agg shuffles only (doc_id, micros)
+  // pairs; top-k is TakeOrderedAndProject, never a global sort.
+  // --------------------------------------------------------------------
+  def bm25TopK(documents: DataFrame,
+               terms: Seq[String] = Seq("data", "join", "window", "spark", "sort"),
+               k: Int = 20): DataFrame = {
+    val docToks = documents.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("dl"))
+    val corpus = broadcast(docToks.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tokens")))
+    val tf = documents
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = broadcast(tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df")))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") +
+      lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") * col("n_docs") / col("s_tokens"))
+    tf.join(df, "term")
+      .join(docToks, "doc_id")
+      .crossJoin(corpus)
+      .select(col("doc_id"),
+        floor(lit(1e6) * idf * col("tf") * lit(2.2) / denom)
+          .cast("long").as("micros"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("micros")).as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val bm25TopKSql: String =
+    """WITH dt AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+      |            FROM documents),
+      |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS s_tokens
+      |           FROM dt),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM
+      |    (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  WHERE term IN ('data', 'join', 'window', 'spark', 'sort')
+      |  GROUP BY doc_id, term),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    CAST(floor(1e6 * ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |      * tf.tf * 2.2
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * dt.dl * c.n_docs / s_tokens)))
+      |      AS BIGINT) AS micros
+      |  FROM tf JOIN df ON tf.term = df.term
+      |  JOIN dt ON tf.doc_id = dt.doc_id
+      |  CROSS JOIN corpus c)
+      |SELECT doc_id, CAST(sum(micros) AS BIGINT) AS score_micro,
+      |  count(*) AS n_terms_hit
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q163: hashed-feature linear classifier — the fastText-style quality
+  // gate shape: every token hashes into a weight table and the doc's
+  // score is the mean weight. No trained weights exist offline, so the
+  // table IS the hash: w(h) = (h mod 1001) − 500 ∈ [−500, 500] — a
+  // deterministic pseudo-model that exercises the exact production
+  // plumbing (tokenize → hash → gather weights → mean → threshold).
+  // Integer end-to-end: per-token weights and their sum are longs; the
+  // mean is cross-multiplied (sum > 0 ⟺ mean > 0) so no division
+  // decides the label, and the reported mean is integer milli-units
+  // via (1000·sum) div n.
+  //
+  // 100 TB shape: one token explode → per-doc partial sum (map-side
+  // combinable), no joins at all, no weight broadcast (the "model" is
+  // arithmetic); a real weight table would broadcast exactly here.
+  // --------------------------------------------------------------------
+  def hashClassifier(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .select(col("doc_id"), (pmod(tokHash(col("term")), lit(1001)) - 500)
+        .as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("w_sum"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("w_sum"), col("n_tokens"),
+        expr("(1000 * w_sum) div n_tokens").as("mean_milli"),
+        (col("w_sum") > 0).as("keep"))
+      .orderBy(col("doc_id"))
+
+  val hashClassifierSql: String =
+    """WITH tw AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substring(md5(term), 1, 8)) AS BIGINT) % 1001 - 500
+      |      AS w
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents))
+      |SELECT doc_id, CAST(sum(w) AS BIGINT) AS w_sum, count(*) AS n_tokens,
+      |  CAST((1000 * sum(w)) // count(*) AS BIGINT) AS mean_milli,
+      |  sum(w) > 0 AS keep
+      |FROM tw GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q164: per-domain cap sampling — the web-corpus balance step: no
+  // source (domain) may contribute more than `cap` documents, and when
+  // a source exceeds the cap it keeps its HIGHEST-QUALITY members
+  // (q44's quality_bp; ties to the lowest doc_id). Output is the
+  // per-source audit: total, kept, and the quality mass kept.
+  //
+  // 100 TB shape: rank-within-source is one window over a source-
+  // keyed shuffle with WindowGroupLimit pushing the cap below the sort
+  // (per-partition top-cap heaps, no full per-source sort); the audit
+  // agg reuses the same partitioning. Quality is computed inline, not
+  // joined — the score kernel is one projection pass.
+  // --------------------------------------------------------------------
+  def domainCap(documents: DataFrame, cap: Int = 40): DataFrame = {
+    val scored = TextAnalysis.qualityScore(documents)
+      .select(col("doc_id"), col("quality_bp"))
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_bp").desc, col("doc_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= cap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") <= cap, col("quality_bp")).otherwise(0L))
+          .as("kept_quality_bp"))
+      .orderBy(col("source"))
+  }
+
+  def domainCapSql(qualitySql: String): String =
+    s"""WITH q AS (SELECT doc_id, quality_bp FROM ($qualitySql) qq),
+      |s AS (SELECT q.doc_id, q.quality_bp, d.source,
+      |        row_number() OVER (PARTITION BY d.source
+      |          ORDER BY q.quality_bp DESC, q.doc_id) AS rk
+      |      FROM q JOIN documents d ON q.doc_id = d.doc_id)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN rk <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN rk <= 40 THEN quality_bp ELSE 0 END) AS BIGINT)
+      |    AS kept_quality_bp
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
+}

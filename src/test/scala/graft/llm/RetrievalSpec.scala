@@ -1,0 +1,67 @@
+package graft.llm
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("BM25: scores are positive, k-bounded, and hits ≤ query terms") {
+    val out = Retrieval.bm25TopK(docs).collect()
+    assert(out.length <= 20 && out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("score_micro") > 0)
+      assert(r.getAs[Long]("n_terms_hit") <= 5)
+    }
+    // descending by score with doc_id tiebreak
+    val scores = out.map(r => (-r.getAs[Long]("score_micro"), r.getLong(0)))
+    assert(scores.sameElements(scores.sorted))
+  }
+
+  test("BM25: a doc containing a rare term outranks one with none of it") {
+    // a query of one term: every returned doc must actually contain it
+    val out = Retrieval.bm25TopK(docs, terms = Seq("window"), k = 5).collect()
+    val withTerm = docs.filter(col("text").contains("window"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    out.foreach(r => assert(withTerm.contains(r.getLong(0))))
+  }
+
+  test("hash classifier: w_sum is the exact sum of per-token pseudo-weights") {
+    val out = Retrieval.hashClassifier(docs)
+    // recompute one doc by hand through the same SQL functions
+    val one = docs.orderBy(col("doc_id")).limit(1)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"),
+        (pmod(conv(substring(md5(col("t").cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(1001)) - 500).as("w"))
+      .groupBy(col("doc_id")).agg(sum(col("w")).as("expect"))
+      .head()
+    val got = out.filter(col("doc_id") === one.getLong(0)).head()
+    assert(got.getAs[Long]("w_sum") === one.getLong(1))
+    assert(got.getAs[Boolean]("keep") === (one.getLong(1) > 0))
+  }
+
+  test("domain cap: n_kept = min(cap, n_docs) per source") {
+    val out = Retrieval.domainCap(docs, cap = 40).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, kept) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))
+      assert(kept === math.min(40L, n))
+      assert(r.getAs[Long]("kept_quality_bp") >= 0 || kept > 0)
+    }
+  }
+
+  test("domain cap keeps the highest-quality members") {
+    // cap=1: the kept quality mass per source equals that source's max
+    val out = Retrieval.domainCap(docs, cap = 1).collect()
+    val best = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id").as("qid"), col("quality_bp"))
+      .join(docs.select(col("doc_id").as("qid"), col("source")), "qid")
+      .groupBy(col("source")).agg(max(col("quality_bp")).as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("kept_quality_bp") === best(r.getString(0)))
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantic + plan-shape checks for the TPC-H completion suite
+  * (q150-q161). Semantics run on sf0.001; the heavyweight equivalence
+  * check is q161's aggregate decorrelation vs the literal exists/
+  * not-exists formulation it replaces. */
+class TpchSuiteSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  private lazy val li = Tables.lineitem(spark, sf)
+  private lazy val ord = Tables.orders(spark, sf)
+
+  test("Q6 pushes every predicate to the scan and reads four columns") {
+    val p = plan(TpchSuite.tpchQ6(li))
+    assert(p.contains("PushedFilters: [IsNotNull"), s"no pushdown:\n$p")
+    assert(!p.contains("l_orderkey"), s"column pruning failed:\n$p")
+  }
+
+  test("Q6 equals a direct filter-count") {
+    val row = TpchSuite.tpchQ6(li).head()
+    val expect = li.filter(col("l_shipdate") >= lit("1996-01-01") &&
+      col("l_shipdate") < lit("1997-01-01") &&
+      col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+    assert(row.getLong(1) === expect.count())
+  }
+
+  test("Q2 winners actually achieve their part's minimum unit cost") {
+    val out = TpchSuite.minCostSupplier(li, Tables.part(spark, sf),
+      Tables.supplier(spark, sf))
+    val bad = out.groupBy(col("p_partkey"))
+      .agg(countDistinct(col("min_unit_cents")).as("n"))
+      .filter(col("n") =!= 1)
+    assert(bad.count() === 0, "a part reported two different minima")
+  }
+
+  test("Q8 share is bounded and nation volume never exceeds the total") {
+    val rows = TpchSuite.marketShare(li, ord, Tables.customer(spark, sf),
+      Tables.supplier(spark, sf), Tables.nation(spark, sf),
+      Tables.region(spark, sf), Tables.part(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("nation_cents") <= r.getAs[Long]("total_cents"))
+      val s = r.getAs[Double]("mkt_share")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
+  test("Q11 keeps only parts above the concentration threshold") {
+    val out = TpchSuite.valueConcentration(li)
+    val total = li.agg(sum(floor(col("l_extendedprice") *
+        (lit(1) - col("l_discount")) * 100).cast("long")).as("t"))
+      .head().getLong(0)
+    out.collect().foreach(r => assert(r.getLong(1) * 500 > total))
+  }
+
+  test("Q12 high+low equals the late-line count per flag") {
+    val out = TpchSuite.latePriority(li, ord).collect()
+    val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_returnflag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === late(r.getString(0)))
+    }
+  }
+
+  test("Q15 keeps ties: every returned supplier has the max revenue") {
+    val out = TpchSuite.topSupplier(li, Tables.supplier(spark, sf)).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(2)).distinct.length === 1)
+  }
+
+  test("Q16/Q20 dims broadcast; fact side never broadcasts") {
+    val p16 = plan(TpchSuite.supplierCountByPart(li, Tables.part(spark, sf),
+      Tables.supplier(spark, sf)))
+    assert(p16.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p16")
+    val p20 = plan(TpchSuite.dominantSuppliers(li, Tables.part(spark, sf),
+      Tables.supplier(spark, sf), Tables.nation(spark, sf)))
+    assert(p20.contains("BroadcastHashJoin"), s"nation not broadcast:\n$p20")
+  }
+
+  test("Q21 aggregate decorrelation equals the literal exists/not-exists form") {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    val lines = li.join(ord.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+      col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey").as("ok"), col("l_suppkey").as("sk"), late.as("late"))
+    // literal Q21: for supplier s and order o — s has a late line in o,
+    // another supplier has a line in o, and no other supplier is late in o
+    val l1 = lines.filter(col("late")).select(col("ok"), col("sk")).distinct()
+    val others = lines.select(col("ok").as("ok2"), col("sk").as("sk2")).distinct()
+    val lateOthers = lines.filter(col("late"))
+      .select(col("ok").as("ok3"), col("sk").as("sk3")).distinct()
+    val literal = l1
+      .join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      .join(lateOthers, col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+      .groupBy(col("sk")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = TpchSuite.waitingOrders(li, ord, Tables.supplier(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("numwait")).toMap
+    // the registered query is top-10; every returned count must match
+    agg.foreach { case (s, n) => assert(literal(s) === n, s"supplier $s") }
+    assert(agg.nonEmpty)
+  }
+}
