@@ -236,7 +236,13 @@ object SparkEntry {
     "q162_bm25_topk" -> ((s, d) => graft.llm.Retrieval.bm25TopK(documents(s, d))),
     "q163_hash_classifier" -> ((s, d) =>
       graft.llm.Retrieval.hashClassifier(documents(s, d))),
-    "q164_domain_cap" -> ((s, d) => graft.llm.Retrieval.domainCap(documents(s, d)))
+    "q164_domain_cap" -> ((s, d) => graft.llm.Retrieval.domainCap(documents(s, d))),
+    "q165_bpe_merge_round" -> ((s, d) =>
+      graft.llm.TokenizerOps.bpeMergeRound(documents(s, d))),
+    "q166_length_buckets" -> ((s, d) =>
+      graft.llm.TokenizerOps.lengthBucketBatching(documents(s, d))),
+    "q167_batch_embed" -> ((s, d) =>
+      graft.llm.TokenizerOps.batchEmbed(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -410,6 +416,9 @@ object SparkEntry {
     "q162_bm25_topk" -> graft.llm.Retrieval.bm25TopKSql,
     "q163_hash_classifier" -> graft.llm.Retrieval.hashClassifierSql,
     "q164_domain_cap" -> graft.llm.Retrieval.domainCapSql(
-      TextAnalysis.qualityScoreSql)
+      TextAnalysis.qualityScoreSql),
+    "q165_bpe_merge_round" -> graft.llm.TokenizerOps.bpeMergeRoundSql,
+    "q166_length_buckets" -> graft.llm.TokenizerOps.lengthBucketBatchingSql,
+    "q167_batch_embed" -> graft.llm.TokenizerOps.batchEmbedSql
   )
 }

@@ -1,0 +1,175 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-training and batching operators: one BPE merge round
+  * (the distributed inner loop of subword-vocabulary induction) and the
+  * length-bucketed batching audit (padding efficiency). Both are
+  * exact-integer so the DuckDB oracle hash-matches.
+  */
+object TokenizerOps {
+
+  private def words(text: Column): Column = split(text, " ")
+
+  // --------------------------------------------------------------------
+  // q165: BPE merge round — ONE round of byte-pair-encoding vocabulary
+  // training: count every adjacent symbol pair inside every word
+  // occurrence across the corpus and rank merge candidates. At round 0
+  // symbols are characters, so the pair relation is (word, i) →
+  // substring(word, i, 2); a full trainer repeats this with merged
+  // symbols — the per-round Spark job is EXACTLY this count, which is
+  // why it is the operator worth owning. Distinct from q46 (pre-
+  // tokenization counting) and q126 (word-level PMI): this is the
+  // character-level merge statistic.
+  //
+  // 100 TB shape: the pair explode is corpus-token-linear with tiny
+  // rows ((2-char string) pairs), immediately partial-aggregated
+  // map-side — the shuffle carries at most |alphabet|² keys per
+  // partition, not the corpus. Top-k via TakeOrderedAndProject.
+  // --------------------------------------------------------------------
+  def bpeMergeRound(documents: DataFrame, k: Int = 20): DataFrame =
+    documents
+      .select(explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_pair"))
+      .orderBy(col("n_pair").desc, col("pair"))
+      .limit(k)
+
+  val bpeMergeRoundSql: String =
+    """SELECT pair, count(*) AS n_pair FROM (
+      |  SELECT unnest(list_transform(range(1, length(w)),
+      |    i -> substring(w, i, 2))) AS pair
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) >= 2)
+      |GROUP BY pair ORDER BY n_pair DESC, pair LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q166: length-bucketed batching audit — the padding-efficiency step
+  // of batch assembly: rank documents by token count into `nBuckets`
+  // equal-frequency buckets (ntile), and report per bucket the token
+  // sum, the max length (the padded width a rectangular batch would
+  // pay), and the padding efficiency in basis points
+  // (10000·Σtokens ÷ (n·max)) — unbucketed batching wastes the gap
+  // between mean and max; bucketing by length closes it. Integer
+  // arithmetic throughout.
+  //
+  // 100 TB shape: ntile needs a GLOBAL rank, and `ntile().over(orderBy)`
+  // without a partition key is the single-partition WindowExec anti-
+  // pattern — all rows on one executor. Instead: a range-partitioned
+  // distributed sort of the 16-byte (doc_id, n_tokens) pairs (never
+  // text), then zipWithIndex for the global index (one extra count
+  // job, no data movement — the documented rare legitimate RDD drop),
+  // then ntile's exact assignment arithmetic from (idx, n): the first
+  // n mod k buckets get ceil(n/k) rows. Bit-identical to the oracle's
+  // ntile(10), with no single-partition stage anywhere.
+  // --------------------------------------------------------------------
+  def lengthBucketBatching(documents: DataFrame, nBuckets: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val ranked = documents
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tokens"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+      .as[(Long, Long)].rdd
+      .zipWithIndex.map { case ((id, t), i) => (id, t, i) }
+      .toDF("doc_id", "n_tokens", "idx")
+    val n = broadcast(ranked.agg(count(lit(1)).as("n")))
+    ranked.crossJoin(n)
+      .withColumn("q", expr("n div " + nBuckets))
+      .withColumn("r", expr(s"n % $nBuckets"))
+      .withColumn("bucket",
+        when(col("idx") < col("r") * (col("q") + 1),
+          expr("idx div (q + 1) + 1"))
+          .otherwise(expr("r + (idx - r * (q + 1)) div q + 1")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"), col("max_tokens"),
+        expr("(10000 * sum_tokens) div (n_docs * max_tokens)").as("fill_bp"))
+      .orderBy(col("bucket"))
+  }
+
+  val lengthBucketBatchingSql: String =
+    """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      |           FROM documents),
+      |b AS (SELECT doc_id, n_tokens,
+      |        CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS BIGINT)
+      |          AS bucket
+      |      FROM t)
+      |SELECT bucket, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+      |  CAST((10000 * sum(n_tokens)) // (count(*) * max(n_tokens)) AS BIGINT)
+      |    AS fill_bp
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** One produced batch-inference row. */
+  final case class EmbedRow(doc_id: Long, batch_n: Int, emb: Array[Long])
+
+  // --------------------------------------------------------------------
+  // q167: batched-inference seam — the "run a model over documents in
+  // micro-batches" plumbing every embedding/scoring pipeline needs:
+  // texts are buffered into size-`batch` groups PER PARTITION and the
+  // scorer is invoked once per group (the real pattern for GPU/ONNX
+  // runtimes where per-call overhead dominates). The model itself is
+  // offline here, so the scorer is a deterministic stand-in (per-doc
+  // md5-derived 8-dim integer vector — labeled stub, same policy as
+  // the q51/q56 media stubs); everything around it — the buffering,
+  // the batch fan-in/fan-out, the schema — is the real seam a model
+  // would slot into. batch_n (how many docs shared the doc's batch)
+  // is emitted to PROVE batching happened but is layout-dependent, so
+  // the registered query aggregates it away: per-doc output is the
+  // layout-independent embedding head plus corpus-level batch stats.
+  //
+  // 100 TB shape: mapPartitions with an O(batch) buffer — executor
+  // memory is bounded by batch size × text length, not partition
+  // size; no shuffle at all before the final audit agg.
+  // --------------------------------------------------------------------
+  def batchEmbed(documents: DataFrame, batch: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val rows = graft.Tables.spread(documents.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batch).flatMap { grp =>
+          // one "model call" per group: the stub embeds each text as the
+          // first 8 bytes of md5(text), sign-extended — deterministic and
+          // engine-replicable; a real model would see grp as one tensor
+          val md = java.security.MessageDigest.getInstance("MD5")
+          grp.iterator.map { case (id, text) =>
+            val d = md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            EmbedRow(id, grp.size, Array.tabulate(8)(i => d(i).toLong))
+          }
+        }
+      }
+    rows.toDF()
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("batch_n") === batch, 1L).otherwise(0L)).as("n_in_full_batches"),
+        sum(expr("aggregate(emb, 0L, (s, x) -> s + x * x)")).as("emb_energy"),
+        sum(abs(col("emb")(0))).as("dim0_mass"))
+      .select(col("n_docs"), col("emb_energy"), col("dim0_mass"))
+  }
+
+  /** Oracle: md5-byte arithmetic replicated in SQL. batch_n is layout-
+    * dependent and excluded (see scaladoc); n_docs/emb_energy/dim0_mass
+    * are per-doc deterministic. Bytes are sign-extended from the hex. */
+  val batchEmbedSql: String =
+    """WITH e AS (
+      |  SELECT doc_id,
+      |    list_transform(range(8), i ->
+      |      CASE WHEN CAST(concat('0x', substring(md5(text), 2*i + 1, 2)) AS BIGINT) > 127
+      |           THEN CAST(concat('0x', substring(md5(text), 2*i + 1, 2)) AS BIGINT) - 256
+      |           ELSE CAST(concat('0x', substring(md5(text), 2*i + 1, 2)) AS BIGINT) END)
+      |      AS emb
+      |  FROM documents)
+      |SELECT count(*) AS n_docs,
+      |  CAST(sum(list_sum(list_transform(emb, x -> x * x))) AS BIGINT)
+      |    AS emb_energy,
+      |  CAST(sum(abs(emb[1])) AS BIGINT) AS dim0_mass
+      |FROM e""".stripMargin
+}
