@@ -242,7 +242,9 @@ object SparkEntry {
     "q166_length_buckets" -> ((s, d) =>
       graft.llm.TokenizerOps.lengthBucketBatching(documents(s, d))),
     "q167_batch_embed" -> ((s, d) =>
-      graft.llm.TokenizerOps.batchEmbed(documents(s, d)))
+      graft.llm.TokenizerOps.batchEmbed(documents(s, d))),
+    "q168_leakage_safe_split" -> ((s, d) =>
+      Corpus.leakageSafeSplit(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -419,6 +421,7 @@ object SparkEntry {
       TextAnalysis.qualityScoreSql),
     "q165_bpe_merge_round" -> graft.llm.TokenizerOps.bpeMergeRoundSql,
     "q166_length_buckets" -> graft.llm.TokenizerOps.lengthBucketBatchingSql,
-    "q167_batch_embed" -> graft.llm.TokenizerOps.batchEmbedSql
+    "q167_batch_embed" -> graft.llm.TokenizerOps.batchEmbedSql,
+    "q168_leakage_safe_split" -> Corpus.leakageSafeSplitSql
   )
 }

@@ -1105,4 +1105,67 @@ object Corpus {
       |  CAST(floor(10000.0 * (SELECT sum(lang_tokens) FROM p) /
       |    ((SELECT count(*) FROM p) * lang_tokens)) AS BIGINT) AS weight_bp
       |FROM p ORDER BY lang""".stripMargin
+
+  /** q168: leakage-safe train/val/test split — q63's hash split with
+    * the eval-contamination hole closed: hashing doc_id splits NEAR-
+    * DUPLICATES independently, so a test document's near-twin lands in
+    * train ~80% of the time and the eval leaks. Here the split unit is
+    * the near-dup CLUSTER: docs in a component (q32's audited LSH
+    * pairs → the shared CC engine) hash on their cluster label,
+    * singletons on their own id — a near-dup pair can never straddle
+    * splits (spec-proved). Output is the per-split audit: docs, split
+    * units, and how many docs arrived via a cluster assignment.
+    *
+    * 100 TB shape: adds ONE broadcast-sized left join to q63's
+    * stateless arithmetic — `labels` is near-dup survivors only (the
+    * LSH candidate graph, tiny vs the corpus); everything else stays
+    * per-row hash math with a |splits|-row aggregate. */
+  def leakageSafeSplit(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val labels = componentLabels(
+      Dedup.minhashLsh(documents, threshold).select(col("doc_a"), col("doc_b")))
+    val keyed = documents.select(col("doc_id"))
+      .join(labels, col("doc_id") === col("id"), "left_outer")
+      .select(col("doc_id"), col("label"),
+        coalesce(col("label"), col("doc_id")).as("unit"))
+    val out = keyed
+      .withColumn("b", conv(substring(md5(col("unit").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 100)
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("unit")).as("n_units"),
+        sum(when(col("label").isNotNull, 1L).otherwise(0L)).as("n_clustered"))
+      .orderBy(col("split"))
+      .localCheckpoint()
+    labels.unpersist()
+    out
+  }
+
+  /** Oracle: the recursive-CTE closure labels (q68's prefix), left-
+    * joined under the same md5 bucket arithmetic as q63. */
+  val leakageSafeSplitSql: String =
+    s"""WITH RECURSIVE ${Dedup.exactPairsCteSql},
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |lab AS (SELECT src AS id, least(src, min(dst)) AS label
+      |        FROM reach GROUP BY src),
+      |k AS (SELECT d.doc_id, lab.label,
+      |        coalesce(lab.label, d.doc_id) AS unit
+      |      FROM documents d LEFT JOIN lab ON d.doc_id = lab.id),
+      |kb AS (SELECT doc_id, label, unit,
+      |        CAST(concat('0x', substring(md5(unit::VARCHAR), 1, 8)) AS BIGINT)
+      |          % 100 AS b
+      |      FROM k)
+      |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  count(*) AS n_docs, count(DISTINCT unit) AS n_units,
+      |  CAST(sum(CASE WHEN label IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clustered
+      |FROM kb GROUP BY 1 ORDER BY split""".stripMargin
 }

@@ -138,11 +138,12 @@ object Retrieval {
   // (q44's quality_bp; ties to the lowest doc_id). Output is the
   // per-source audit: total, kept, and the quality mass kept.
   //
-  // 100 TB shape: rank-within-source is one window over a source-
-  // keyed shuffle with WindowGroupLimit pushing the cap below the sort
-  // (per-partition top-cap heaps, no full per-source sort); the audit
-  // agg reuses the same partitioning. Quality is computed inline, not
-  // joined — the score kernel is one projection pass.
+  // 100 TB shape: ONE window over a source-keyed shuffle ranks each
+  // source, and the audit aggregate reuses that partitioning — the cap
+  // is a conditional inside the agg (every row contributes to n_docs),
+  // so no WindowGroupLimit applies; the per-source sort is the
+  // operation, parallel across sources. Quality joins ship only
+  // (doc_id, quality_bp) longs, never text.
   // --------------------------------------------------------------------
   def domainCap(documents: DataFrame, cap: Int = 40): DataFrame = {
     val scored = TextAnalysis.qualityScore(documents)

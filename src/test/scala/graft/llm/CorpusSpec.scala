@@ -586,4 +586,30 @@ class CorpusSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<vec_id:bigint>"),
       s"embedding arrays read into the audit join:\n$p")
   }
+
+  test("leakage-safe split: no near-dup pair straddles splits") {
+    import org.apache.spark.sql.functions.{coalesce, col, conv, md5, substring, when, lit}
+    val pairs = Dedup.minhashLsh(docs, 0.8).select(col("doc_a"), col("doc_b"))
+    val labels = Corpus.componentLabels(pairs)
+    val split = docs.select(col("doc_id"))
+      .join(labels, col("doc_id") === col("id"), "left_outer")
+      .select(col("doc_id"),
+        (conv(substring(md5(coalesce(col("label"), col("doc_id"))
+          .cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 100).as("b"))
+      .select(col("doc_id"),
+        when(col("b") < 80, "train").when(col("b") < 90, "val")
+          .otherwise("test").as("split"))
+    val straddle = pairs
+      .join(split.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "sa"), "doc_a")
+      .join(split.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "sb"), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(straddle.count() === 0, "a near-dup pair crosses splits")
+    labels.unpersist()
+    // and the audit totals cover the whole corpus exactly once
+    val out = Corpus.leakageSafeSplit(docs).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
+  }
 }
