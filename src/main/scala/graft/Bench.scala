@@ -50,6 +50,13 @@ object Bench {
       } catch {
         case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
       } finally {
+        // both layers: clearCache() drops CacheManager's canonical-plan →
+        // InMemoryRelation entries (a query that died between persist()
+        // and unpersist() would otherwise leave a dead entry that later
+        // runs of the same plan silently substitute, timing a degraded
+        // plan), and the RDD sweep drops localCheckpoint blocks that
+        // clearCache() cannot see
+        spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       }

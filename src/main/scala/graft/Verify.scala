@@ -26,12 +26,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally
-        // same leak sweep as Bench: checkpointed frames from iterative
-        // operators are unreleasable by callers and unreusable across
-        // runs — drop them so 150 sequential dumps don't fill storage
+      } finally {
+        // same leak sweep as Bench (both layers — see Bench.once):
+        // checkpointed frames from iterative operators are unreleasable
+        // by callers and unreusable across runs — drop them so the
+        // sequential dump of the whole suite doesn't fill storage
+        spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

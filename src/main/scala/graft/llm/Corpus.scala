@@ -1128,8 +1128,7 @@ object Corpus {
       .select(col("doc_id"), col("label"),
         coalesce(col("label"), col("doc_id")).as("unit"))
     val out = keyed
-      .withColumn("b", conv(substring(md5(col("unit").cast("string")
-        .cast("binary")), 1, 8), 16, 10).cast("long") % 100)
+      .withColumn("b", bucket(col("unit"))) // q63's exact hash arithmetic
       .withColumn("split",
         when(col("b") < 80, "train").when(col("b") < 90, "val")
           .otherwise("test"))

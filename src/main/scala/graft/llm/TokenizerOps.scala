@@ -71,13 +71,16 @@ object TokenizerOps {
   def lengthBucketBatching(documents: DataFrame, nBuckets: Int = 10): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val ranked = documents
+    val toks = documents
       .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tokens"))
+    val ranked = toks
       .orderBy(col("n_tokens"), col("doc_id"))
       .as[(Long, Long)].rdd
       .zipWithIndex.map { case ((id, t), i) => (id, t, i) }
       .toDF("doc_id", "n_tokens", "idx")
-    val n = broadcast(ranked.agg(count(lit(1)).as("n")))
+    // n comes from the PRE-sort frame: counting `ranked` would re-execute
+    // the whole sort+zipWithIndex lineage a second time for the scalar
+    val n = broadcast(toks.agg(count(lit(1)).as("n")))
     ranked.crossJoin(n)
       .withColumn("q", expr("n div " + nBuckets))
       .withColumn("r", expr(s"n % $nBuckets"))

@@ -133,8 +133,12 @@ object TpchSuite {
       .groupBy(col("o_year"))
       .agg(sum(when(col("sn_name") === "NATION_2", col("vol")).otherwise(0L))
         .as("nation_cents"), sum(col("vol")).as("total_cents"))
-      .withColumn("mkt_share",
-        round(col("nation_cents").cast("double") / col("total_cents"), 4))
+      // integer basis points, not round(double, 4): decimal rounding of a
+      // double diverges between engines at .xxxx5 boundaries (Spark
+      // rounds the shortest decimal repr HALF_UP, DuckDB the binary
+      // value) — floor-quantized long division is boundary-free
+      .withColumn("mkt_share_bp",
+        expr("(10000 * nation_cents) div total_cents"))
       .orderBy(col("o_year"))
   }
 
@@ -156,8 +160,8 @@ object TpchSuite {
       |  CAST(sum(CASE WHEN sn_name = 'NATION_2' THEN vol ELSE 0 END) AS BIGINT)
       |    AS nation_cents,
       |  CAST(sum(vol) AS BIGINT) AS total_cents,
-      |  round(sum(CASE WHEN sn_name = 'NATION_2' THEN vol ELSE 0 END)::DOUBLE
-      |    / sum(vol), 4) AS mkt_share
+      |  CAST((10000 * sum(CASE WHEN sn_name = 'NATION_2' THEN vol ELSE 0 END))
+      |    // sum(vol) AS BIGINT) AS mkt_share_bp
       |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin
 
   // --------------------------------------------------------------------

@@ -46,8 +46,8 @@ class TpchSuiteSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getAs[Long]("nation_cents") <= r.getAs[Long]("total_cents"))
-      val s = r.getAs[Double]("mkt_share")
-      assert(s >= 0.0 && s <= 1.0)
+      val bp = r.getAs[Long]("mkt_share_bp")
+      assert(bp >= 0L && bp <= 10000L)
     }
   }
 
@@ -56,7 +56,7 @@ class TpchSuiteSpec extends SparkSpec {
     val total = li.agg(sum(floor(col("l_extendedprice") *
         (lit(1) - col("l_discount")) * 100).cast("long")).as("t"))
       .head().getLong(0)
-    out.collect().foreach(r => assert(r.getLong(1) * 500 > total))
+    out.collect().foreach(r => assert(r.getLong(1) * 1200 > total))
   }
 
   test("Q12 high+low equals the late-line count per flag") {
