@@ -244,7 +244,9 @@ object SparkEntry {
     "q167_batch_embed" -> ((s, d) =>
       graft.llm.TokenizerOps.batchEmbed(documents(s, d))),
     "q168_leakage_safe_split" -> ((s, d) =>
-      Corpus.leakageSafeSplit(documents(s, d)))
+      Corpus.leakageSafeSplit(documents(s, d))),
+    "q169_rrf_fusion" -> ((s, d) =>
+      graft.llm.Retrieval.rrfFusion(documents(s, d), embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -422,6 +424,7 @@ object SparkEntry {
     "q165_bpe_merge_round" -> graft.llm.TokenizerOps.bpeMergeRoundSql,
     "q166_length_buckets" -> graft.llm.TokenizerOps.lengthBucketBatchingSql,
     "q167_batch_embed" -> graft.llm.TokenizerOps.batchEmbedSql,
-    "q168_leakage_safe_split" -> Corpus.leakageSafeSplitSql
+    "q168_leakage_safe_split" -> Corpus.leakageSafeSplitSql,
+    "q169_rrf_fusion" -> graft.llm.Retrieval.rrfFusionSql
   )
 }

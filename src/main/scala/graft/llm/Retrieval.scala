@@ -161,6 +161,92 @@ object Retrieval {
       .orderBy(col("source"))
   }
 
+  // --------------------------------------------------------------------
+  // q169: hybrid retrieval via reciprocal-rank fusion — the standard
+  // way a RAG stack combines a lexical ranking (BM25, q162) with a
+  // semantic one (cosine vs a probe embedding, q35's machinery):
+  // rrf(d) = Σ_arms 1/(60 + rank_arm(d)), docs present in either arm
+  // (full outer), missing arms contribute 0. Scores are integer micros
+  // (10⁶ div (60 + rank)) so fusion is exact long arithmetic.
+  //
+  // 100 TB shape: each arm reduces the corpus to a depth-sized ranked
+  // shortlist BEFORE fusion (BM25's TakeOrdered and a broadcast-probe
+  // scan + TakeOrdered), so the fusion join touches ≤ 2·depth rows; the
+  // rank windows run on those shortlists, not the corpus — the bounded-
+  // frame case where a single-partition window IS the operation.
+  // --------------------------------------------------------------------
+  def rrfFusion(documents: DataFrame, embeddings: DataFrame,
+                terms: Seq[String] = Seq("data", "join", "window", "spark", "sort"),
+                probeId: Long = 0L, k: Int = 10, depth: Int = 20): DataFrame = {
+    val lex = bm25TopK(documents, terms, depth)
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("score_micro").desc, col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val base = embeddings.select(col("vec_id"), col("embedding"),
+      Similarity.l2norm(col("embedding")).as("nrm"))
+    val probe = broadcast(base.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("pe"), col("nrm").as("pn")))
+    val sem = base.filter(col("vec_id") =!= probeId).crossJoin(probe)
+      .withColumn("cos", round(Similarity.dot(col("pe"), col("embedding")) /
+        (col("pn") * col("nrm")), 4))
+      .orderBy(col("cos").desc, col("vec_id")).limit(depth)
+      .withColumn("sem_rank", row_number()
+        .over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + sem_rank)"), lit(0L)))
+      .orderBy(col("rrf_micro").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"), col("rrf_micro"))
+  }
+
+  val rrfFusionSql: String =
+    """WITH dt AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+      |            FROM documents),
+      |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS s_tokens
+      |           FROM dt),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM
+      |    (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  WHERE term IN ('data', 'join', 'window', 'spark', 'sort')
+      |  GROUP BY doc_id, term),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    CAST(floor(1e6 * ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |      * tf.tf * 2.2
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * dt.dl * c.n_docs / s_tokens)))
+      |      AS BIGINT) AS micros
+      |  FROM tf JOIN df ON tf.term = df.term
+      |  JOIN dt ON tf.doc_id = dt.doc_id
+      |  CROSS JOIN corpus c),
+      |bm AS (SELECT doc_id, CAST(sum(micros) AS BIGINT) AS score_micro
+      |       FROM scored GROUP BY doc_id
+      |       ORDER BY score_micro DESC, doc_id LIMIT 20),
+      |lex AS (SELECT doc_id, CAST(row_number() OVER
+      |          (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS lex_rank
+      |        FROM bm),
+      |v AS (SELECT vec_id, embedding,
+      |        sqrt(list_sum(list_transform(embedding,
+      |          x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |      FROM embeddings),
+      |p AS (SELECT embedding AS pe, nrm AS pn FROM v WHERE vec_id = 0),
+      |cs AS (SELECT v.vec_id,
+      |         round(list_sum(list_transform(list_zip(p.pe, v.embedding),
+      |           z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (p.pn * v.nrm), 4) AS cos
+      |       FROM v CROSS JOIN p WHERE v.vec_id != 0
+      |       ORDER BY cos DESC, vec_id LIMIT 20),
+      |sem AS (SELECT vec_id AS doc_id, CAST(row_number() OVER
+      |          (ORDER BY cos DESC, vec_id) AS BIGINT) AS sem_rank
+      |        FROM cs)
+      |SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+      |  lex.lex_rank, sem.sem_rank,
+      |  CAST(coalesce(1000000 // (60 + lex.lex_rank), 0)
+      |    + coalesce(1000000 // (60 + sem.sem_rank), 0) AS BIGINT) AS rrf_micro
+      |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+      |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
+
   def domainCapSql(qualitySql: String): String =
     s"""WITH q AS (SELECT doc_id, quality_bp FROM ($qualitySql) qq),
       |s AS (SELECT q.doc_id, q.quality_bp, d.source,

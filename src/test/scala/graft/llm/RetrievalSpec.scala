@@ -64,4 +64,28 @@ class RetrievalSpec extends SparkSpec {
       assert(r.getAs[Long]("kept_quality_bp") === best(r.getString(0)))
     }
   }
+
+  test("RRF fusion: union of arms, exact reciprocal-rank arithmetic") {
+    val out = Retrieval.rrfFusion(docs, Tables.embeddings(spark, sf)).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    out.foreach { r =>
+      val lex = Option(r.get(1)).map(_.asInstanceOf[Long])
+      val sem = Option(r.get(2)).map(_.asInstanceOf[Long])
+      assert(lex.isDefined || sem.isDefined, "doc in neither arm survived")
+      val expect = lex.map(v => 1000000L / (60 + v)).getOrElse(0L) +
+        sem.map(v => 1000000L / (60 + v)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_micro") === expect)
+    }
+    // descending by fused score
+    val scores = out.map(r => (-r.getAs[Long]("rrf_micro"), r.getLong(0)))
+    assert(scores.sameElements(scores.sorted))
+  }
+
+  test("RRF fusion: a doc ranked #1 in both arms dominates") {
+    // degenerate single-term query whose top doc also leads the sem arm
+    // is data-dependent; instead check the bound: max possible score is
+    // 2 * 1000000/61 and every emitted score respects it
+    val out = Retrieval.rrfFusion(docs, Tables.embeddings(spark, sf)).collect()
+    out.foreach(r => assert(r.getAs[Long]("rrf_micro") <= 2 * (1000000L / 61)))
+  }
 }
