@@ -187,12 +187,16 @@ object Retrieval {
       Similarity.l2norm(col("embedding")).as("nrm"))
     val probe = broadcast(base.filter(col("vec_id") === probeId)
       .select(col("embedding").as("pe"), col("nrm").as("pn")))
+    // ranking key is floor-quantized integer micros, not round(x, 4):
+    // floor of a bit-identical double is engine-independent, decimal
+    // rounding is not (.xxxx5 boundaries) — the SKILL.md rule
     val sem = base.filter(col("vec_id") =!= probeId).crossJoin(probe)
-      .withColumn("cos", round(Similarity.dot(col("pe"), col("embedding")) /
-        (col("pn") * col("nrm")), 4))
-      .orderBy(col("cos").desc, col("vec_id")).limit(depth)
+      .withColumn("cos_micro",
+        floor(lit(1e6) * Similarity.dot(col("pe"), col("embedding")) /
+          (col("pn") * col("nrm"))).cast("long"))
+      .orderBy(col("cos_micro").desc, col("vec_id")).limit(depth)
       .withColumn("sem_rank", row_number()
-        .over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .over(Window.orderBy(col("cos_micro").desc, col("vec_id"))).cast("long"))
       .select(col("vec_id").as("doc_id"), col("sem_rank"))
     lex.join(sem, Seq("doc_id"), "full_outer")
       .withColumn("rrf_micro",
@@ -202,28 +206,11 @@ object Retrieval {
       .select(col("doc_id"), col("lex_rank"), col("sem_rank"), col("rrf_micro"))
   }
 
+  /** Oracle composes [[bm25TopKSql]] verbatim as the lexical arm (the
+    * domainCapSql pattern) — one source of truth for the BM25 math. The
+    * Scala side composes [[bm25TopK]] the same way. */
   val rrfFusionSql: String =
-    """WITH dt AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
-      |            FROM documents),
-      |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS s_tokens
-      |           FROM dt),
-      |tf AS (SELECT doc_id, term, count(*) AS tf FROM
-      |    (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
-      |  WHERE term IN ('data', 'join', 'window', 'spark', 'sort')
-      |  GROUP BY doc_id, term),
-      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
-      |scored AS (
-      |  SELECT tf.doc_id,
-      |    CAST(floor(1e6 * ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
-      |      * tf.tf * 2.2
-      |      / (tf.tf + 1.2 * (0.25 + 0.75 * dt.dl * c.n_docs / s_tokens)))
-      |      AS BIGINT) AS micros
-      |  FROM tf JOIN df ON tf.term = df.term
-      |  JOIN dt ON tf.doc_id = dt.doc_id
-      |  CROSS JOIN corpus c),
-      |bm AS (SELECT doc_id, CAST(sum(micros) AS BIGINT) AS score_micro
-      |       FROM scored GROUP BY doc_id
-      |       ORDER BY score_micro DESC, doc_id LIMIT 20),
+    s"""WITH bm AS (SELECT doc_id, score_micro FROM ($bm25TopKSql) b),
       |lex AS (SELECT doc_id, CAST(row_number() OVER
       |          (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS lex_rank
       |        FROM bm),
@@ -233,12 +220,13 @@ object Retrieval {
       |      FROM embeddings),
       |p AS (SELECT embedding AS pe, nrm AS pn FROM v WHERE vec_id = 0),
       |cs AS (SELECT v.vec_id,
-      |         round(list_sum(list_transform(list_zip(p.pe, v.embedding),
-      |           z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (p.pn * v.nrm), 4) AS cos
+      |         CAST(floor(1e6 * list_sum(list_transform(list_zip(p.pe, v.embedding),
+      |           z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (p.pn * v.nrm)) AS BIGINT)
+      |           AS cos_micro
       |       FROM v CROSS JOIN p WHERE v.vec_id != 0
-      |       ORDER BY cos DESC, vec_id LIMIT 20),
+      |       ORDER BY cos_micro DESC, vec_id LIMIT 20),
       |sem AS (SELECT vec_id AS doc_id, CAST(row_number() OVER
-      |          (ORDER BY cos DESC, vec_id) AS BIGINT) AS sem_rank
+      |          (ORDER BY cos_micro DESC, vec_id) AS BIGINT) AS sem_rank
       |        FROM cs)
       |SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
       |  lex.lex_rank, sem.sem_rank,

@@ -81,11 +81,18 @@ class RetrievalSpec extends SparkSpec {
     assert(scores.sameElements(scores.sorted))
   }
 
-  test("RRF fusion: a doc ranked #1 in both arms dominates") {
-    // degenerate single-term query whose top doc also leads the sem arm
-    // is data-dependent; instead check the bound: max possible score is
-    // 2 * 1000000/61 and every emitted score respects it
-    val out = Retrieval.rrfFusion(docs, Tables.embeddings(spark, sf)).collect()
-    out.foreach(r => assert(r.getAs[Long]("rrf_micro") <= 2 * (1000000L / 61)))
+  test("RRF fusion: an empty lexical arm degrades to the semantic ranking") {
+    // a query term absent from the corpus empties the BM25 arm — every
+    // fused row must then carry a null lex_rank and score exactly
+    // 10^6 div (60 + sem_rank): proves arm independence, the full-outer
+    // union, and the missing-arm-contributes-zero coalescing
+    val out = Retrieval.rrfFusion(docs, Tables.embeddings(spark, sf),
+      terms = Seq("zzz_not_a_token")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.isNullAt(1), "lex_rank should be null with an empty lex arm")
+      val sem = r.getAs[Long]("sem_rank")
+      assert(r.getAs[Long]("rrf_micro") === 1000000L / (60 + sem))
+    }
   }
 }

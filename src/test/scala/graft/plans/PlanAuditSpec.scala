@@ -17,11 +17,19 @@ import graft.{SparkEntry, SparkSpec}
 class PlanAuditSpec extends SparkSpec {
 
   test("no registered query plans a CartesianProduct") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct")) Some(name) else None
-    }
+    val offenders =
+      try SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val plan = fn(spark, sf).queryExecution.executedPlan.toString
+          if (plan.contains("CartesianProduct")) Some(name) else None
+      } finally {
+        // same leak sweep as Bench/Verify: constructing the iterative
+        // operators persists/checkpoints loop frames the shared
+        // test-JVM session would otherwise carry into every later suite
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     assert(offenders.isEmpty,
       s"CartesianProduct in: ${offenders.mkString(", ")}")
   }
