@@ -85,6 +85,13 @@ class TpchSuiteSpec extends SparkSpec {
     assert(p20.contains("BroadcastHashJoin"), s"nation not broadcast:\n$p20")
   }
 
+  test("Q21 top-10 and BM25 top-k plan as TakeOrderedAndProject, not global sorts") {
+    val p21 = plan(TpchSuite.waitingOrders(li, ord, Tables.supplier(spark, sf)))
+    assert(p21.contains("TakeOrderedAndProject"), s"Q21 top-10 not pushed:\n$p21")
+    val pbm = plan(graft.llm.Retrieval.bm25TopK(Tables.documents(spark, sf)))
+    assert(pbm.contains("TakeOrderedAndProject"), s"BM25 top-k not pushed:\n$pbm")
+  }
+
   test("Q21 aggregate decorrelation equals the literal exists/not-exists form") {
     val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
     val lines = li.join(ord.filter(col("o_orderstatus") === "F")
