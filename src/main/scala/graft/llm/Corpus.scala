@@ -1119,7 +1119,16 @@ object Corpus {
     * 100 TB shape: adds ONE broadcast-sized left join to q63's
     * stateless arithmetic — `labels` is near-dup survivors only (the
     * LSH candidate graph, tiny vs the corpus); everything else stays
-    * per-row hash math with a |splits|-row aggregate. */
+    * per-row hash math with a |splits|-row aggregate.
+    *
+    * Oracle-equivalence caveat (ADVICE r7): the Scala side labels
+    * clusters from q32's BANDED LSH candidate pairs while the oracle
+    * closes over the exhaustive exact-Jaccard pair set — they agree
+    * because LSH has no false negatives on this fixture at J >= 0.8
+    * (32 bands × 4 rows ⇒ miss P ≈ 1e-8, COVERAGE.md). If a fixture
+    * regen ever flips this query to a hash mismatch with q32/q68 still
+    * green, triage it as an LSH recall miss on a new borderline pair,
+    * NOT as a split-assignment bug. */
   def leakageSafeSplit(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
     val labels = componentLabels(
       Dedup.minhashLsh(documents, threshold).select(col("doc_a"), col("doc_b")))

