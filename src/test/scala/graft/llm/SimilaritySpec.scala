@@ -4,19 +4,30 @@ import graft.{SparkSpec, Tables}
 
 class SimilaritySpec extends SparkSpec {
 
-  test("IVF top-k with all cells probed equals brute force") {
+  test("trained IVF: all cells probed equals brute force; default probing " +
+    "clears 5000bp recall at a pinned scan fraction") {
     val emb = Tables.embeddings(spark, sf)
     val brute = Similarity.cosineTopK(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivfAll = Similarity.ivfTopK(emb, nCells = 10).collect()
+    // nProbe = kCells degenerates to brute force — the correctness anchor
+    val ivfAll = Similarity.ivfTopK(emb, nProbe = 16).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivfAll === brute)
-    // partial probing trades recall for scan fraction; the synthetic
-    // embeddings are NOT label-clustered, so 3/10 cells ≈ 3/10 recall.
-    val ivf3 = Similarity.ivfTopK(emb, nCells = 3).collect()
+    // the registered operating point (r7 judge Next #1): Lloyd-trained
+    // cells + 4-of-16 multi-probe must reach a USABLE recall — ≥ 5000 bp
+    // — while scanning a pinned fraction of the corpus (≤ 35%; expected
+    // nProbe/kCells = 25% plus cell-size skew)
+    val ivf = Similarity.ivfTopK(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (brute intersect ivf3).size.toDouble / brute.size
-    assert(recall >= 0.15, s"IVF recall $recall implausibly low")
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"trained IVF recall $recall below 5000bp")
+    val (asg, cents) = Similarity.trainLloyd(emb)
+    val candidates = Similarity.ivfCandidates(emb, asg, cents,
+      nProbes = 10, nProbe = 4).count()
+    val frac = candidates.toDouble / (10 * emb.count())
+    assert(frac <= 0.35, s"scanned fraction $frac exceeds the probe budget")
+    assert(frac >= 0.05, s"scanned fraction $frac implausibly small — " +
+      "cell pruning may be dropping populated cells")
   }
 
   test("int8 quantization: scale, checksum, and reconstruction error") {
@@ -145,12 +156,14 @@ class SimilaritySpec extends SparkSpec {
     // encoding must not depend on the physical layout
     val pq2 = Similarity.pqTopK(emb.repartition(7))
     assert(pq.collect().toSeq === pq2.collect().toSeq)
-    // sanity: overlap with brute force is nonzero at the registered
-    // m=8 on the planted fixture (q39 tracks the exact recall number)
+    // the trained m=16 codebook (r8) must beat the old label-mean m=8
+    // codebook's 1400bp recall floor (q39 tracks the exact number)
     val truth = Similarity.cosineTopK(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = pq.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert((truth intersect approx).nonEmpty, "PQ recall is zero")
+    val recall = (truth intersect approx).size.toDouble / truth.size
+    assert(recall > 0.14, s"trained PQ recall $recall fell to/below the " +
+      "untrained codebook's 1400bp")
   }
 
   test("k-means Lloyd (q88): partitions every vector; layout-invariant") {
@@ -178,7 +191,8 @@ class SimilaritySpec extends SparkSpec {
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val truth = pairs(Similarity.cosineTopK(emb))
     val expected = Map(
-      "ivf" -> pairs(Similarity.ivfTopK(emb)),
+      "ivf_label" -> pairs(Similarity.ivfLabelTopK(emb)),
+      "ivf_trained" -> pairs(Similarity.ivfTopK(emb)),
       "pq_adc" -> pairs(Similarity.pqTopK(emb)),
       "srp_lsh" -> pairs(Similarity.lshTopK(emb)))
     val got = Similarity.annRecall(emb).collect()
@@ -190,5 +204,11 @@ class SimilaritySpec extends SparkSpec {
       val bp = math.floor(10000.0 * hits / truth.size).toLong
       assert(got(m) === ((truth.size.toLong, hits, bp)), s"method $m")
     }
+    // the whole point of the r8 retrain: the trained index must be
+    // MATERIALLY above the untrained baseline and above the usability bar
+    assert(got("ivf_trained")._3 >= 5000L,
+      s"trained IVF recall ${got("ivf_trained")._3}bp below usable")
+    assert(got("ivf_trained")._3 > got("ivf_label")._3,
+      "trained IVF does not beat the label-mean baseline")
   }
 }
