@@ -246,7 +246,9 @@ object SparkEntry {
     "q168_leakage_safe_split" -> ((s, d) =>
       Corpus.leakageSafeSplit(documents(s, d))),
     "q169_rrf_fusion" -> ((s, d) =>
-      graft.llm.Retrieval.rrfFusion(documents(s, d), embeddings(s, d)))
+      graft.llm.Retrieval.rrfFusion(documents(s, d), embeddings(s, d))),
+    "q170_rerank_fused" -> ((s, d) =>
+      graft.llm.Retrieval.rerankFused(documents(s, d), embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -425,6 +427,7 @@ object SparkEntry {
     "q166_length_buckets" -> graft.llm.TokenizerOps.lengthBucketBatchingSql,
     "q167_batch_embed" -> graft.llm.TokenizerOps.batchEmbedSql,
     "q168_leakage_safe_split" -> Corpus.leakageSafeSplitSql,
-    "q169_rrf_fusion" -> graft.llm.Retrieval.rrfFusionSql
+    "q169_rrf_fusion" -> graft.llm.Retrieval.rrfFusionSql,
+    "q170_rerank_fused" -> graft.llm.Retrieval.rerankFusedSql
   )
 }

@@ -218,8 +218,9 @@ object Retrieval {
 
   /** Oracle composes [[bm25TopKSql]] verbatim as the lexical arm (the
     * domainCapSql pattern) — one source of truth for the BM25 math. The
-    * Scala side composes [[bm25TopK]] the same way. */
-  val rrfFusionSql: String =
+    * Scala side composes [[bm25TopK]] the same way. Parameterized so the
+    * q170 reranker can reuse the fusion prefix at a deeper k. */
+  def rrfFusionSqlAt(k: Int, depth: Int): String =
     s"""WITH bm AS (SELECT doc_id, score_micro FROM ($bm25TopKSql) b),
       |lex AS (SELECT doc_id, CAST(row_number() OVER
       |          (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS lex_rank
@@ -234,7 +235,7 @@ object Retrieval {
       |           z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (p.pn * v.nrm)) AS BIGINT)
       |           AS cos_micro
       |       FROM v CROSS JOIN p WHERE v.vec_id != 0
-      |       ORDER BY cos_micro DESC, vec_id LIMIT 20),
+      |       ORDER BY cos_micro DESC, vec_id LIMIT $depth),
       |sem AS (SELECT vec_id AS doc_id, CAST(row_number() OVER
       |          (ORDER BY cos_micro DESC, vec_id) AS BIGINT) AS sem_rank
       |        FROM cs)
@@ -243,7 +244,70 @@ object Retrieval {
       |  CAST(coalesce(1000000 // (60 + lex.lex_rank), 0)
       |    + coalesce(1000000 // (60 + sem.sem_rank), 0) AS BIGINT) AS rrf_micro
       |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
-      |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
+      |ORDER BY rrf_micro DESC, doc_id LIMIT $k""".stripMargin
+
+  val rrfFusionSql: String = rrfFusionSqlAt(10, 20)
+
+  // --------------------------------------------------------------------
+  // q170: retrieve → rerank — the standard RAG final stage (r7 judge
+  // Next #2): the q169 hybrid fusion produces a depth-sized candidate
+  // shortlist, and a cross-encoder reranks (query, doc_text) pairs into
+  // the final top-k. No model runs offline, so the cross-encoder is a
+  // deterministic stand-in (md5 over query ++ text → integer score, the
+  // q163/q167 stub policy) invoked through the REAL q167 batching seam:
+  // texts buffer into size-`batch` groups per partition and the scorer
+  // fires once per group — exactly where an ONNX/GPU session call slots
+  // in.
+  //
+  // 100 TB shape: both retrieval arms reduce the corpus BEFORE the
+  // scorer — the expensive model touches only the ≤`shortlist` fused
+  // rows (plan-guarded: the scorer sits above a broadcast join of the
+  // shortlist against the documents scan, never under it); the final
+  // rank is TakeOrderedAndProject over ≤shortlist scored rows.
+  // --------------------------------------------------------------------
+  def rerankFused(documents: DataFrame, embeddings: DataFrame,
+                  terms: Seq[String] = Seq("data", "join", "window", "spark", "sort"),
+                  probeId: Long = 0L, shortlist: Int = 20, depth: Int = 20,
+                  k: Int = 10, batch: Int = 8): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val query = terms.mkString(" ")
+    val fused = rrfFusion(documents, embeddings, terms, probeId, shortlist, depth)
+      .select(col("doc_id"), col("rrf_micro"))
+    val cands = broadcast(fused)
+      .join(documents.select(col("doc_id"), col("text")), "doc_id")
+    val scored = cands.select(col("doc_id"), col("rrf_micro"), col("text"))
+      .as[(Long, Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batch).flatMap { grp =>
+          // one "model call" per group (the q167 seam); the stand-in
+          // scores each (query, text) pair as the first 4 md5 bytes
+          // mod 1e6 — deterministic and engine-replicable
+          val md = java.security.MessageDigest.getInstance("MD5")
+          grp.iterator.map { case (id, rrf, text) =>
+            val d = md.digest((query + " " + text)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val hex = d.take(4).map("%02x".format(_)).mkString
+            (id, rrf, java.lang.Long.parseLong(hex, 16) % 1000000L)
+          }
+        }
+      }
+      .toDF("doc_id", "rrf_micro", "ce_score")
+    scored.orderBy(col("ce_score").desc, col("doc_id")).limit(k)
+  }
+
+  /** Oracle: the fusion oracle at shortlist depth, joined back to the
+    * text and scored with the same md5 arithmetic (q163's hex-cast
+    * pattern), reranked by (ce_score DESC, doc_id). */
+  val rerankFusedSql: String =
+    s"""WITH fused AS (SELECT doc_id, rrf_micro FROM (${rrfFusionSqlAt(20, 20)}) f),
+      |sc AS (SELECT f.doc_id, f.rrf_micro,
+      |    CAST(concat('0x', substring(
+      |      md5('data join window spark sort ' || d.text), 1, 8)) AS BIGINT)
+      |      % 1000000 AS ce_score
+      |  FROM fused f JOIN documents d ON d.doc_id = f.doc_id)
+      |SELECT doc_id, rrf_micro, ce_score FROM sc
+      |ORDER BY ce_score DESC, doc_id LIMIT 10""".stripMargin
 
   def domainCapSql(qualitySql: String): String =
     s"""WITH q AS (SELECT doc_id, quality_bp FROM ($qualitySql) qq),

@@ -95,4 +95,39 @@ class RetrievalSpec extends SparkSpec {
       assert(r.getAs[Long]("rrf_micro") === 1000000L / (60 + sem))
     }
   }
+
+  test("rerank (q170): output is a reranked subset of the fused shortlist") {
+    val emb = Tables.embeddings(spark, sf)
+    val shortlist = Retrieval.rrfFusion(docs, emb, k = 20, depth = 20)
+      .collect().map(_.getLong(0)).toSet
+    val out = Retrieval.rerankFused(docs, emb).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    // every reranked doc came from the fused candidate set
+    out.foreach(r => assert(shortlist.contains(r.getLong(0))))
+    // strictly ordered by the cross-encoder stand-in, ties on doc_id
+    val keys = out.map(r => (-r.getAs[Long]("ce_score"), r.getLong(0)))
+    assert(keys.sameElements(keys.sorted))
+    // batch size must not change scores (the q167 layout-independence
+    // contract: batching is an execution detail, not semantics)
+    val out1 = Retrieval.rerankFused(docs, emb, batch = 1).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+      out1.map(r => (r.getLong(0), r.getLong(2))).toSeq)
+  }
+
+  test("rerank (q170): the scorer touches only the shortlist, not the corpus") {
+    val p = Retrieval.rerankFused(docs, Tables.embeddings(spark, sf))
+      .queryExecution.executedPlan.toString
+    // the ≤shortlist fused frame must broadcast INTO the documents scan
+    // (so only shortlist rows reach the batched scorer) and the final
+    // top-k must be TakeOrderedAndProject over the scored rows
+    assert(p.contains("BroadcastHashJoin"), s"shortlist join not broadcast:\n$p")
+    assert(p.contains("MapPartitions"), s"batched scorer seam missing:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"final rank not top-k:\n$p")
+    // the scorer must not sit below the join (a corpus-wide model pass):
+    // MapPartitions appears exactly once, above the broadcast join
+    assert(p.indexOf("MapPartitions") === p.lastIndexOf("MapPartitions"),
+      s"more than one scorer pass:\n$p")
+    assert(p.indexOf("MapPartitions") < p.indexOf("BroadcastHashJoin"),
+      s"scorer planned below the shortlist join:\n$p")
+  }
 }
