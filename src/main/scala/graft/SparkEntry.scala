@@ -90,7 +90,7 @@ object SparkEntry {
     "q50_binary_meta" -> ((s, d) => Multimodal.binaryMeta(documents(s, d))),
     "q51_media_features" -> ((s, d) => Multimodal.mediaFeatures(documents(s, d))),
     "q55_frame_sample" -> ((s, d) => Multimodal.frameSample(documents(s, d))),
-    "q56_resize_stub" -> ((s, d) => Multimodal.resizeStub(documents(s, d))),
+    "q56_media_resize" -> ((s, d) => Multimodal.resizeMedia(documents(s, d))),
     "q52_map_ops" -> ((s, d) => Relational.mapOps(part(s, d))),
     "q53_grouping_sets" -> ((s, d) => Relational.groupingSets(lineitem(s, d))),
     "q54_date_arith" -> ((s, d) => Relational.dateArith(orders(s, d))),
@@ -248,7 +248,12 @@ object SparkEntry {
     "q169_rrf_fusion" -> ((s, d) =>
       graft.llm.Retrieval.rrfFusion(documents(s, d), embeddings(s, d))),
     "q170_rerank_fused" -> ((s, d) =>
-      graft.llm.Retrieval.rerankFused(documents(s, d), embeddings(s, d)))
+      graft.llm.Retrieval.rerankFused(documents(s, d), embeddings(s, d))),
+    "q171_curation_index" -> ((s, d) => Corpus.buildCurationIndex(documents(s, d))),
+    "q172_keep_best_indexed" -> ((s, d) =>
+      Corpus.clusterKeepBestIndexed(documents(s, d))),
+    "q173_incremental_ingest" -> ((s, d) =>
+      Corpus.incrementalIngest(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -307,7 +312,7 @@ object SparkEntry {
     "q50_binary_meta" -> Multimodal.binaryMetaSql,
     "q51_media_features" -> Multimodal.mediaFeaturesSql,
     "q55_frame_sample" -> Multimodal.frameSampleSql,
-    "q56_resize_stub" -> Multimodal.resizeStubSql,
+    "q56_media_resize" -> Multimodal.resizeMediaSql,
     "q52_map_ops" -> Relational.mapOpsSql,
     "q53_grouping_sets" -> Relational.groupingSetsSql,
     "q54_date_arith" -> Relational.dateArithSql,
@@ -428,6 +433,11 @@ object SparkEntry {
     "q167_batch_embed" -> graft.llm.TokenizerOps.batchEmbedSql,
     "q168_leakage_safe_split" -> Corpus.leakageSafeSplitSql,
     "q169_rrf_fusion" -> graft.llm.Retrieval.rrfFusionSql,
-    "q170_rerank_fused" -> graft.llm.Retrieval.rerankFusedSql
+    "q170_rerank_fused" -> graft.llm.Retrieval.rerankFusedSql,
+    "q171_curation_index" -> Corpus.buildCurationIndexSql,
+    // q93's oracle verbatim: the indexed consumer must match the
+    // recompute path bit-exactly — that equality IS the index's proof
+    "q172_keep_best_indexed" -> Corpus.clusterKeepBestSql,
+    "q173_incremental_ingest" -> Corpus.incrementalIngestSql
   )
 }

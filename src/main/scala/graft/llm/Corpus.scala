@@ -1176,4 +1176,221 @@ object Corpus {
       |  CAST(sum(CASE WHEN label IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_clustered
       |FROM kb GROUP BY 1 ORDER BY split""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Materialized curation index (q171/q172, r7 judge Next #4) and the
+  // incremental ingest flow (q173, Next #5).
+  // ------------------------------------------------------------------
+
+  /** q69's normalization, shared by the fingerprint index paths:
+    * lowercase, non-alphanumerics to spaces, runs collapsed, trimmed. */
+  private def normFp: org.apache.spark.sql.Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      .cast("binary"))
+
+  /** Writes the two curation-index tables under `root`:
+    * `fingerprints(doc_id, fp)` — q69's normalized md5 per document —
+    * and `labels(id, label)` — the near-dup cluster labels from q32's
+    * LSH pairs through the shared CC engine (near-dup survivors only;
+    * singletons carry no row). This is the IO-for-CPU trade the
+    * rejected q83 stage-persist A/B pointed to (PERF.md): executor
+    * caching of the LSH+CC subtree lost the A/B, but a TABLE costs one
+    * write and then every consumer (q83/q93/q168-class queries, daily
+    * ingest) skips the recompute entirely — the q143 lineage pattern
+    * applied to curation state. In production `root` is a warehouse
+    * location; the registered queries use a hermetic scratch dir. */
+  private[llm] def writeCurationIndex(documents: DataFrame, root: String,
+                                      threshold: Double = 0.8): Unit = {
+    documents.select(col("doc_id"), normFp.as("fp"))
+      .write.mode("overwrite").parquet(s"$root/fingerprints")
+    val labels = componentLabels(
+      Dedup.minhashLsh(documents, threshold).select(col("doc_a"), col("doc_b")))
+    labels.select(col("id"), col("label"))
+      .write.mode("overwrite").parquet(s"$root/labels")
+    labels.unpersist()
+    ()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** q171: build + audit the materialized curation index — writes both
+    * index tables, READS THEM BACK, and emits one audit row per table
+    * (row count, distinct keys, integer checksum over the stored rows).
+    * The read-back makes the checksums lineage checks on the actual
+    * parquet bytes, not the in-memory frames (the q143 discipline); the
+    * oracle recomputes the same numbers from `documents` directly, so a
+    * green hash proves store ≡ recompute. Same LSH-vs-exhaustive oracle
+    * equivalence caveat as q168. */
+  def buildCurationIndex(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val scratch = java.nio.file.Files.createTempDirectory("graft_curidx_").toString
+    try {
+      writeCurationIndex(documents, scratch)
+      val fps = spark.read.parquet(s"$scratch/fingerprints")
+      val labels = spark.read.parquet(s"$scratch/labels")
+      val fpRow = fps.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("fp")).as("n_keys"),
+        sum(conv(substring(col("fp"), 1, 8), 16, 10).cast("long")).as("checksum"))
+        .select(lit("fingerprints").as("tbl"), col("n_rows"), col("n_keys"),
+          col("checksum"))
+      val labRow = labels.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("label")).as("n_keys"),
+        sum(col("id") * 100000L + col("label")).as("checksum"))
+        .select(lit("labels").as("tbl"), col("n_rows"), col("n_keys"),
+          col("checksum"))
+      // checkpoint so the result survives the scratch-dir cleanup below
+      fpRow.unionAll(labRow).orderBy(col("tbl")).localCheckpoint()
+    } finally deleteRecursively(new java.io.File(scratch))
+  }
+
+  val buildCurationIndexSql: String =
+    s"""WITH RECURSIVE ${Dedup.exactPairsCteSql},
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |lab AS (SELECT src AS id, least(src, min(dst)) AS label
+      |        FROM reach GROUP BY src),
+      |f AS (SELECT doc_id,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |                            ' +', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |fa AS (SELECT 'fingerprints' AS tbl, count(*) AS n_rows,
+      |        count(DISTINCT fp) AS n_keys,
+      |        CAST(sum(CAST(concat('0x', substring(fp, 1, 8)) AS BIGINT)) AS BIGINT)
+      |          AS checksum
+      |      FROM f),
+      |la AS (SELECT 'labels' AS tbl, count(*) AS n_rows,
+      |        count(DISTINCT label) AS n_keys,
+      |        CAST(sum(id * 100000 + label) AS BIGINT) AS checksum
+      |      FROM lab)
+      |SELECT * FROM fa UNION ALL SELECT * FROM la ORDER BY tbl""".stripMargin
+
+  /** q172: q93's quality-ranked cluster resolution re-registered over
+    * the STORED index — builds the index (the once-per-corpus cost),
+    * then computes keep-best from the read-back `labels` table instead
+    * of recomputing LSH+CC. The oracle is q93's oracle VERBATIM: a green
+    * hash is the bit-exact store-equals-recompute proof the index needs
+    * before any consumer can trust it. At scale the build amortizes
+    * over every consumer; registered self-contained so the harness can
+    * run it in isolation. */
+  def clusterKeepBestIndexed(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val scratch = java.nio.file.Files.createTempDirectory("graft_curidx_").toString
+    try {
+      writeCurationIndex(documents, scratch)
+      val labels = spark.read.parquet(s"$scratch/labels")
+      val quality = TextAnalysis.qualityScore(documents)
+        .select(col("doc_id"), col("quality_bp"))
+      labels.join(quality, col("id") === col("doc_id"))
+        .groupBy(col("label").as("cluster"))
+        .agg(
+          F.max(struct(col("quality_bp"), (-col("doc_id")).as("neg_id"))).as("best"),
+          count(lit(1)).as("n_members"))
+        .select(col("cluster"), (-col("best.neg_id")).as("best_doc"),
+          col("best.quality_bp").as("best_quality_bp"), col("n_members"))
+        .orderBy(col("cluster"))
+        .localCheckpoint()
+    } finally deleteRecursively(new java.io.File(scratch))
+  }
+
+  /** q173: incremental corpus ingest — the job a production pipeline
+    * runs per batch (r7 judge Next #5): even doc_ids stand in for the
+    * existing corpus, odd for today's batch. The batch is (1) exact-
+    * deduped against the corpus fingerprints (q69's anti-join), then
+    * (2) surviving docs get leakage-safe split assignments with the
+    * q168 rule — the split unit is the near-dup CLUSTER across
+    * corpus ∪ batch, so a new document near-duplicating an old one
+    * hashes on the SAME unit and lands in the old document's split by
+    * construction (spec-proved: zero cross-batch straddles). Output is
+    * the per-split audit of the new batch: docs, split units, and how
+    * many arrived in a cluster shared with the corpus (`n_inherited` —
+    * the eval-contamination channel this flow closes).
+    *
+    * 100 TB shape: the fingerprint side is q69's 16-byte-key anti-join
+    * (the corpus side IS q171's stored fingerprint table in
+    * production); the cluster side adds q168's one broadcast-sized
+    * left join over the LSH-survivor labels; everything else is
+    * stateless hash arithmetic with a |splits|-row aggregate. */
+  def incrementalIngest(documents: DataFrame, threshold: Double = 0.8): DataFrame =
+    ingestAssignments(documents, threshold)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("unit")).as("n_units"),
+        sum(when(col("inherited"), 1L).otherwise(0L)).as("n_inherited"))
+      .orderBy(col("split"))
+
+  /** Per-document assignment detail behind [[incrementalIngest]]:
+    * (doc_id, unit, inherited, split) for each SURVIVING new-batch doc.
+    * private[llm] so the spec can prove the no-straddle property
+    * pair-by-pair rather than trusting the aggregate. */
+  private[llm] def ingestAssignments(documents: DataFrame,
+                                     threshold: Double = 0.8): DataFrame = {
+    val withFp = documents.select(col("doc_id"), normFp.as("fp"))
+    val corpusFp = withFp.filter(col("doc_id") % 2 === 0).select(col("fp")).distinct()
+    val surv = withFp.filter(col("doc_id") % 2 === 1)
+      .join(corpusFp, Seq("fp"), "left_anti")
+      .select(col("doc_id"))
+    val labels = componentLabels(
+      Dedup.minhashLsh(documents, threshold).select(col("doc_a"), col("doc_b")))
+    val corpusClusters = labels.filter(col("id") % 2 === 0)
+      .select(col("label").as("corpus_label")).distinct()
+    val out = surv
+      .join(labels, col("doc_id") === col("id"), "left_outer")
+      .select(col("doc_id"), col("label"),
+        coalesce(col("label"), col("doc_id")).as("unit"))
+      .join(corpusClusters, col("label") === col("corpus_label"), "left_outer")
+      .withColumn("inherited", col("corpus_label").isNotNull)
+      .withColumn("split",
+        when(bucket(col("unit")) < 80, "train")
+          .when(bucket(col("unit")) < 90, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("unit"), col("inherited"), col("split"))
+      .localCheckpoint()
+    labels.unpersist()
+    out
+  }
+
+  /** Oracle: q69's fingerprint anti-join + the q168 closure labels +
+    * the shared md5 bucket arithmetic over the cluster unit. */
+  val incrementalIngestSql: String =
+    s"""WITH RECURSIVE ${Dedup.exactPairsCteSql},
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |lab AS (SELECT src AS id, least(src, min(dst)) AS label
+      |        FROM reach GROUP BY src),
+      |f AS (SELECT doc_id,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |                            ' +', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |surv AS (SELECT doc_id FROM f
+      |  WHERE doc_id % 2 = 1
+      |    AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 2 = 0)),
+      |cu AS (SELECT DISTINCT label FROM lab WHERE id % 2 = 0),
+      |k AS (SELECT s.doc_id, lab.label,
+      |        coalesce(lab.label, s.doc_id) AS unit
+      |      FROM surv s LEFT JOIN lab ON s.doc_id = lab.id),
+      |kb AS (SELECT k.doc_id, k.unit,
+      |        CASE WHEN cu.label IS NOT NULL THEN 1 ELSE 0 END AS inh,
+      |        CAST(concat('0x', substring(md5(k.unit::VARCHAR), 1, 8)) AS BIGINT)
+      |          % 100 AS b
+      |      FROM k LEFT JOIN cu ON k.label = cu.label)
+      |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  count(*) AS n_docs, count(DISTINCT unit) AS n_units,
+      |  CAST(sum(inh) AS BIGINT) AS n_inherited
+      |FROM kb GROUP BY 1 ORDER BY split""".stripMargin
 }

@@ -612,4 +612,70 @@ class CorpusSpec extends SparkSpec {
     val out = Corpus.leakageSafeSplit(docs).collect()
     assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
   }
+
+  test("indexed keep-best (q172) equals the recompute path bit-for-bit") {
+    // the store-equals-recompute proof: resolving clusters from the
+    // materialized labels table must reproduce q93 exactly
+    val recompute = Corpus.clusterKeepBest(docs).collect().toSeq
+    val indexed = Corpus.clusterKeepBestIndexed(docs).collect().toSeq
+    assert(indexed === recompute)
+    assert(indexed.nonEmpty)
+  }
+
+  test("curation index audit (q171) matches counts computed off the live frames") {
+    val out = Corpus.buildCurationIndex(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet === Set("fingerprints", "labels"))
+    // fingerprint table: one row per document
+    assert(out("fingerprints")._1 === docs.count())
+    // labels table: near-dup survivors only — every labeled id appears in
+    // some LSH pair
+    val paired = Dedup.minhashLsh(docs).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(out("labels")._1 === paired.size)
+  }
+
+  test("incremental ingest (q173): no cross-batch near-dup straddles a split") {
+    val asg = Corpus.ingestAssignments(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // old-corpus splits under the same rule: unit = cluster label if
+    // clustered else own id, hashed with the shared bucket arithmetic
+    val labels = Corpus.componentLabels(
+      Dedup.minhashLsh(docs).select(col("doc_a"), col("doc_b")))
+    val lab = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels.unpersist()
+    def split(unit: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(unit.toString.getBytes("UTF-8"))
+      val b = java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString, 16) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    // every cross-batch LSH pair (old even, new odd & surviving) must
+    // land both ends in the same split
+    val pairs = Dedup.minhashLsh(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cross = pairs.flatMap { case (a, b) =>
+      Seq((a, b), (b, a)).collect {
+        case (old, nw) if old % 2 == 0 && nw % 2 == 1 && asg.contains(nw) =>
+          (old, nw)
+      }
+    }
+    assert(cross.nonEmpty, "fixture has no cross-batch near-dup to test")
+    cross.foreach { case (old, nw) =>
+      val oldSplit = split(lab.getOrElse(old, old))
+      assert(asg(nw) === oldSplit,
+        s"near-dup pair ($old, $nw) straddles splits: $oldSplit vs ${asg(nw)}")
+    }
+    // and exact duplicates of the corpus never reach assignment at all
+    val fpOf = docs.select(col("doc_id"),
+      md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", " "), " +", " ")).cast("binary")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val corpusFps = fpOf.collect { case (id, fp) if id % 2 == 0 => fp }.toSet
+    fpOf.foreach { case (id, fp) =>
+      if (id % 2 == 1 && corpusFps(fp))
+        assert(!asg.contains(id), s"exact dup $id survived ingest")
+    }
+  }
 }
