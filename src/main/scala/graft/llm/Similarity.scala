@@ -122,18 +122,36 @@ object Similarity {
       .toDF()
   }
 
-  /** LSH-bucketed approximate top-k: probes only meet corpus vectors
-    * sharing an SRP bucket in at least one of `tables` hash tables —
-    * the scanned fraction shrinks with `bits`, recall grows with
-    * `tables`. bits = 0 degenerates to brute force (single bucket):
-    * the correctness anchor the tests use. */
+  /** LSH-bucketed approximate top-k with MULTI-PROBE (r8): probes meet
+    * corpus vectors whose SRP bucket is within Hamming distance
+    * `hamming` of the probe's bucket in at least one of `tables` hash
+    * tables — the near-miss buckets a single sign flip away hold most
+    * of the recall a one-bucket lookup loses (measured at sf0.01:
+    * 4×8 exact-bucket 400 bp → 8×8 hamming-1 6400 bp recall@5 at a
+    * ~26% scanned fraction; q39 tracks it, SimilaritySpec pins
+    * ≥ 5000 bp). bits = 0 degenerates to brute force (single bucket,
+    * nothing to flip): the correctness anchor the tests use.
+    *
+    * 100 TB shape: multi-probe EXPANDS THE PROBE SIDE, not the corpus —
+    * each probe contributes (bits+1) bucket keys per table (identity +
+    * one per flipped bit), so the candidate search stays a broadcast
+    * EQUI-join against the corpus bucket table (a Hamming-distance
+    * join predicate would be a nested loop); the corpus is hashed
+    * once, never re-bucketed. */
   def lshTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
-              tables: Int = 4, bits: Int = 8): DataFrame = {
+              tables: Int = 8, bits: Int = 8, hamming: Int = 1): DataFrame = {
     val buckets = srpBuckets(embeddings, tables, bits)
     val base = embeddings.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("nrm"))
+    // identity bucket plus, at hamming >= 1, each single-bit flip
+    // (hamming > 1 would nest the expansion; 1 is the registered point)
+    val probeBuckets: Seq[Column] =
+      col("bucket") +: (if (hamming >= 1) (0 until bits).map(j =>
+        col("bucket").bitwiseXOR(lit(1 << j))) else Nil)
     val probeB = buckets.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("table"), col("bucket"))
+      .select(col("vec_id").as("probe_id"), col("table"),
+        explode(array(probeBuckets: _*)).as("bucket"))
+      .distinct()
     val candIds = broadcast(probeB).join(buckets,
         Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
@@ -153,8 +171,10 @@ object Similarity {
   }
 
   /** Bit-exact DuckDB oracle for [[lshTopK]] at the registered defaults
-    * (4 tables × 8 bits, 10 probes, k=5). The SRP assignment is pure
-    * deterministic math, so the oracle replicates it end to end:
+    * (8 tables × 8 bits, Hamming-1 multi-probe, 10 probes, k=5). The
+    * SRP assignment is pure deterministic math, so the oracle
+    * replicates it end to end (the Spark side's probe-bucket expansion
+    * is expressed as the equivalent bit_count(xor) <= 1 predicate):
     *  - mix64 (SplitMix64 finalizer) in HUGEINT — 64-bit wrapping
     *    multiplies via a 32-bit hi/lo split (full products would
     *    overflow signed int128), XOR/shift natively on HUGEINT;
@@ -167,7 +187,7 @@ object Similarity {
     """WITH params AS (
       |  SELECT t.range AS t, j.range AS j, d.range AS d,
       |    (t.range * 1099511627776 + j.range * 1048576 + d.range)::HUGEINT AS z0
-      |  FROM range(4) t, range(8) j, range(64) d
+      |  FROM range(8) t, range(8) j, range(64) d
       |),
       |m1 AS (SELECT t, j, d, (z0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z1 FROM params),
       |x1 AS (SELECT t, j, d, xor(z1, z1 // 1073741824) AS y1 FROM m1),
@@ -191,7 +211,8 @@ object Similarity {
       |),
       |cand AS (
       |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS vec_id
-      |  FROM buckets p JOIN buckets c ON p.t = c.t AND p.b = c.b
+      |  FROM buckets p JOIN buckets c ON p.t = c.t
+      |    AND bit_count(xor(CAST(p.b AS BIGINT), CAST(c.b AS BIGINT))) <= 1
       |  WHERE p.vec_id < 10 AND c.vec_id != p.vec_id
       |),
       |v AS (SELECT vec_id, embedding,

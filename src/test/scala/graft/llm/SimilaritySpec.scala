@@ -73,13 +73,20 @@ class SimilaritySpec extends SparkSpec {
     val lsh0 = Similarity.lshTopK(emb, bits = 0, tables = 1).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh0 === brute) // single bucket ⇒ exhaustive
-    val lsh8 = Similarity.lshTopK(emb, bits = 8, tables = 4).collect()
+    // the registered r8 operating point: 8 tables × 8 bits with
+    // Hamming-1 multi-probe — the single-bit near-miss buckets recover
+    // the recall an exact-bucket lookup loses on near-orthogonal
+    // vectors (400 bp at r7's 4×8 exact point → ≥ 5000 bp here)
+    val lsh = Similarity.lshTopK(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (brute intersect lsh8).size.toDouble / brute.size
-    // synthetic vectors are near-orthogonal, so SRP recall is modest by
-    // construction; the invariant is it finds SOME true neighbors while
-    // scanning a fraction of the corpus
-    assert(recall > 0.0, s"LSH recall $recall")
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"multi-probe LSH recall $recall below 5000bp")
+    // and exact-bucket probing (hamming = 0) still scans a smaller
+    // candidate set than it ranks results from — the knob trades recall
+    // for scan, it does not change semantics
+    val lsh0ham = Similarity.lshTopK(emb, hamming = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((brute intersect lsh0ham).size <= (brute intersect lsh).size)
   }
 
   test("embedding near-dup pairs are within-label only") {
