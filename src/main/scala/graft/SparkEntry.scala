@@ -253,7 +253,9 @@ object SparkEntry {
     "q172_keep_best_indexed" -> ((s, d) =>
       Corpus.clusterKeepBestIndexed(documents(s, d))),
     "q173_incremental_ingest" -> ((s, d) =>
-      Corpus.incrementalIngest(documents(s, d)))
+      Corpus.incrementalIngest(documents(s, d))),
+    "q174_vector_index" -> ((s, d) => Similarity.buildVectorIndex(embeddings(s, d))),
+    "q175_ivf_indexed" -> ((s, d) => Similarity.ivfTopKIndexed(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -438,6 +440,10 @@ object SparkEntry {
     // q93's oracle verbatim: the indexed consumer must match the
     // recompute path bit-exactly — that equality IS the index's proof
     "q172_keep_best_indexed" -> Corpus.clusterKeepBestSql,
-    "q173_incremental_ingest" -> Corpus.incrementalIngestSql
+    "q173_incremental_ingest" -> Corpus.incrementalIngestSql,
+    "q174_vector_index" -> Similarity.buildVectorIndexSql,
+    // q37's oracle verbatim: search served from the stored index must
+    // match the retrain path bit-exactly (the q172 pattern for ANN)
+    "q175_ivf_indexed" -> Similarity.ivfTopKSql
   )
 }

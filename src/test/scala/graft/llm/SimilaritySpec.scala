@@ -30,6 +30,14 @@ class SimilaritySpec extends SparkSpec {
       "cell pruning may be dropping populated cells")
   }
 
+  test("indexed IVF search (q175) equals the retrain path bit-for-bit") {
+    val emb = Tables.embeddings(spark, sf)
+    val retrain = Similarity.ivfTopK(emb).collect().toSeq
+    val indexed = Similarity.ivfTopKIndexed(emb).collect().toSeq
+    assert(indexed === retrain)
+    assert(indexed.nonEmpty)
+  }
+
   test("int8 quantization: scale, checksum, and reconstruction error") {
     import spark.implicits._
     // scale = 1/127; q = [127, -64 (half away from zero), 32, 0]
