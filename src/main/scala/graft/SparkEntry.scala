@@ -255,7 +255,9 @@ object SparkEntry {
     "q173_incremental_ingest" -> ((s, d) =>
       Corpus.incrementalIngest(documents(s, d))),
     "q174_vector_index" -> ((s, d) => Similarity.buildVectorIndex(embeddings(s, d))),
-    "q175_ivf_indexed" -> ((s, d) => Similarity.ivfTopKIndexed(embeddings(s, d)))
+    "q175_ivf_indexed" -> ((s, d) => Similarity.ivfTopKIndexed(embeddings(s, d))),
+    "q176_fp_index_update" -> ((s, d) =>
+      Corpus.updateFingerprintIndex(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -444,6 +446,7 @@ object SparkEntry {
     "q174_vector_index" -> Similarity.buildVectorIndexSql,
     // q37's oracle verbatim: search served from the stored index must
     // match the retrain path bit-exactly (the q172 pattern for ANN)
-    "q175_ivf_indexed" -> Similarity.ivfTopKSql
+    "q175_ivf_indexed" -> Similarity.ivfTopKSql,
+    "q176_fp_index_update" -> Corpus.updateFingerprintIndexSql
   )
 }

@@ -1360,6 +1360,75 @@ object Corpus {
     out
   }
 
+  /** q176: fingerprint-index UPDATE — the persistence step that closes
+    * the daily ingest loop (q171 builds, q173 assigns, THIS advances
+    * the index state): the corpus index (even docs) is written as a
+    * table, the new batch (odd docs) is exact-deduped against the
+    * STORED table — not a recomputed frame — and the surviving batch
+    * fingerprints are appended into the next index generation, which
+    * is read back and audited. One row per state (corpus, batch_new,
+    * updated) with rows / distinct fps / checksum; the oracle
+    * recomputes all three from `documents`, so a green hash proves
+    * the read-modify-write round-trip is lossless.
+    *
+    * 100 TB shape: the index rows are (id, 16-byte fp) — the anti-join
+    * and the append never touch document bodies; generation-to-
+    * generation the write cost is the SURVIVORS only (the union plans
+    * as stored-scan ∪ survivor-rows, no corpus rescan). */
+  def updateFingerprintIndex(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val scratch = java.nio.file.Files.createTempDirectory("graft_fpidx_").toString
+    try {
+      documents.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), normFp.as("fp"))
+        .write.mode("overwrite").parquet(s"$scratch/gen0")
+      val stored = spark.read.parquet(s"$scratch/gen0")
+      val surv = documents.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), normFp.as("fp"))
+        .join(stored.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      stored.unionByName(surv.select(col("doc_id"), col("fp")))
+        .write.mode("overwrite").parquet(s"$scratch/gen1")
+      val updated = spark.read.parquet(s"$scratch/gen1")
+      def audit(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("fp")).as("n_fps"),
+            sum(conv(substring(col("fp"), 1, 8), 16, 10).cast("long"))
+              .as("checksum"))
+          .select(lit(name).as("state"), col("n_rows"), col("n_fps"),
+            col("checksum"))
+      audit("1_corpus", stored)
+        .unionAll(audit("2_batch_new", surv))
+        .unionAll(audit("3_updated", updated))
+        .orderBy(col("state"))
+        .localCheckpoint()
+    } finally deleteRecursively(new java.io.File(scratch))
+  }
+
+  val updateFingerprintIndexSql: String =
+    """WITH f AS (SELECT doc_id,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |                            ' +', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |corpus AS (SELECT doc_id, fp FROM f WHERE doc_id % 2 = 0),
+      |surv AS (SELECT doc_id, fp FROM f
+      |  WHERE doc_id % 2 = 1 AND fp NOT IN (SELECT fp FROM corpus)),
+      |upd AS (SELECT * FROM corpus UNION ALL SELECT * FROM surv),
+      |a AS (
+      |  SELECT '1_corpus' AS state, count(*) AS n_rows,
+      |    count(DISTINCT fp) AS n_fps,
+      |    CAST(sum(CAST(concat('0x', substring(fp, 1, 8)) AS BIGINT)) AS BIGINT)
+      |      AS checksum
+      |  FROM corpus
+      |  UNION ALL
+      |  SELECT '2_batch_new', count(*), count(DISTINCT fp),
+      |    CAST(sum(CAST(concat('0x', substring(fp, 1, 8)) AS BIGINT)) AS BIGINT)
+      |  FROM surv
+      |  UNION ALL
+      |  SELECT '3_updated', count(*), count(DISTINCT fp),
+      |    CAST(sum(CAST(concat('0x', substring(fp, 1, 8)) AS BIGINT)) AS BIGINT)
+      |  FROM upd)
+      |SELECT * FROM a ORDER BY state""".stripMargin
+
   /** Oracle: q69's fingerprint anti-join + the q168 closure labels +
     * the shared md5 bucket arithmetic over the cluster unit. */
   val incrementalIngestSql: String =

@@ -635,6 +635,21 @@ class CorpusSpec extends SparkSpec {
     assert(out("labels")._1 === paired.size)
   }
 
+  test("fp index update (q176): updated = corpus + survivors, lossless round-trip") {
+    val out = Corpus.updateFingerprintIndex(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet === Set("1_corpus", "2_batch_new", "3_updated"))
+    // the new generation holds exactly the old rows plus the survivors
+    assert(out("3_updated")._1 === out("1_corpus")._1 + out("2_batch_new")._1)
+    assert(out("3_updated")._3 === out("1_corpus")._3 + out("2_batch_new")._3)
+    // survivors are genuinely new fingerprints: distinct-fp count grows
+    // by at least one per surviving distinct fp being disjoint from the
+    // corpus set — i.e. updated distinct = corpus distinct + survivor distinct
+    assert(out("3_updated")._2 === out("1_corpus")._2 + out("2_batch_new")._2)
+    assert(out("2_batch_new")._1 > 0, "fixture has no surviving batch docs")
+  }
+
   test("incremental ingest (q173): no cross-batch near-dup straddles a split") {
     val asg = Corpus.ingestAssignments(docs).collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap
