@@ -416,4 +416,17 @@ class PlanShapeSpec extends SparkSpec {
     assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate".r.findFirstIn(p).isDefined,
       s"cutoff not pushed to the orders scan:\n$p")
   }
+
+  test("multi-probe LSH (q38) candidates stay a broadcast EQUI-join") {
+    // the r8 point: Hamming-1 probing expands the PROBE side into
+    // (bits+1) bucket keys, so the candidate search is an equi-join on
+    // (table, bucket) with the tiny probe side broadcast — a
+    // Hamming-distance join predicate would plan the corpus bucket
+    // table into a nested loop
+    val p = plan(graft.llm.Similarity.lshTopK(Tables.embeddings(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"), s"candidate join not broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"multi-probe degenerated to a nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in LSH plan:\n$p")
+  }
 }
