@@ -122,10 +122,24 @@ object Bench {
     val total = medians.map(_._2).sum
     // "only" tags targeted SPARK_GRAFT_BENCH_ONLY runs explicitly (null on
     // a full run) so bench_diff filters on the flag, not a query-count
-    // heuristic that a broad regex could fool (ADVICE r7).
-    val onlyTag = only.map(r => "\"" + r.regex.replace("\\", "\\\\")
-      .replace("\"", "\\\"") + "\"").getOrElse("null")
+    // heuristic that a broad regex could fool (ADVICE r7). Full JSON
+    // string escape incl. control chars (Verify.q's rationale: a tab/CR
+    // in the env var would break json.loads over the whole history file).
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val onlyTag = only.map(r => jstr(r.regex)).getOrElse("null")
+    // sample-count provenance: sub-1.5s queries report median-of-subsecIters
+    // while heavy queries report median-of-iters (r8 bench change)
+    val subsecIters = if (extraSamples.nonEmpty) 5 else iters
     val json = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
+      s""""subsec_iters":$subsecIters,""" +
       s""""only":$onlyTag,"queries":$qs,"failures":$fs,"sf":"$sfDir"}"""
     // a targeted run must not clobber the headline full-suite BENCH.json
     // the driver parses (ADVICE r7); it still lands in the history below

@@ -181,7 +181,7 @@ object App {
         ("11_coord_c2", if (coBacks.size > 1) coBacks(1) else -1L),
         ("12_coord_visible", if (visOk) n else -1L)
       ).toDF("step", "n_rows").orderBy(col("step"))
-    } finally deleteRecursively(new java.io.File(scratch))
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
   }
 
   /** Oracle: every lineage checkpoint equals `count(*) FROM orders`. */
@@ -197,9 +197,4 @@ object App {
        |ORDER BY s.step""".stripMargin
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(); ()
-  }
 }

@@ -74,7 +74,7 @@ object CoordinatedCommit {
         } catch {
           case e: Throwable =>
             observer.onStageFailed(d.clusterId, e)
-            destinations.foreach(x => deleteRecursively(new File(stagingDir(x, jobId))))
+            destinations.foreach(x => graft.FsUtil.deleteRecursively(new File(stagingDir(x, jobId))))
             throw e
         }
       }
@@ -113,8 +113,4 @@ object CoordinatedCommit {
       .map(_.getPath).toSeq.sorted
   }
 
-  private def deleteRecursively(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(); ()
-  }
 }

@@ -336,9 +336,7 @@ object Corpus {
     * corpus side is the pre-computed fingerprint index a production
     * pipeline maintains between batches. */
   def incrementalDedup(documents: DataFrame): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
-    val withFp = documents.select(col("doc_id"), md5(norm.cast("binary")).as("fp"))
+    val withFp = documents.select(col("doc_id"), normFp.as("fp"))
     val corpusFp = withFp.filter(col("doc_id") % 2 === 0).select(col("fp")).distinct()
     withFp.filter(col("doc_id") % 2 === 1)
       .join(corpusFp, Seq("fp"), "left_anti")
@@ -1212,12 +1210,6 @@ object Corpus {
     ()
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(); ()
-  }
-
   /** q171: build + audit the materialized curation index — writes both
     * index tables, READS THEM BACK, and emits one audit row per table
     * (row count, distinct keys, integer checksum over the stored rows).
@@ -1247,7 +1239,7 @@ object Corpus {
           col("checksum"))
       // checkpoint so the result survives the scratch-dir cleanup below
       fpRow.unionAll(labRow).orderBy(col("tbl")).localCheckpoint()
-    } finally deleteRecursively(new java.io.File(scratch))
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
   }
 
   val buildCurationIndexSql: String =
@@ -1300,7 +1292,7 @@ object Corpus {
           col("best.quality_bp").as("best_quality_bp"), col("n_members"))
         .orderBy(col("cluster"))
         .localCheckpoint()
-    } finally deleteRecursively(new java.io.File(scratch))
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
   }
 
   /** q173: incremental corpus ingest — the job a production pipeline
@@ -1401,7 +1393,7 @@ object Corpus {
         .unionAll(audit("3_updated", updated))
         .orderBy(col("state"))
         .localCheckpoint()
-    } finally deleteRecursively(new java.io.File(scratch))
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
   }
 
   val updateFingerprintIndexSql: String =

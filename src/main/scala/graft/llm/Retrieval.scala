@@ -77,8 +77,11 @@ object Retrieval {
       .limit(k)
   }
 
-  val bm25TopKSql: String =
-    """WITH dt AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+  /** Parameterized so [[rrfFusionSqlAt]] can request the lexical arm at
+    * its own depth — a hard-wired LIMIT here would silently desync the
+    * oracle from the Scala side for any depth != 20 (review r8). */
+  def bm25TopKSqlAt(k: Int): String =
+    s"""WITH dt AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
       |            FROM documents),
       |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS s_tokens
       |           FROM dt),
@@ -99,7 +102,9 @@ object Retrieval {
       |SELECT doc_id, CAST(sum(micros) AS BIGINT) AS score_micro,
       |  count(*) AS n_terms_hit
       |FROM scored GROUP BY doc_id
-      |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin
+      |ORDER BY score_micro DESC, doc_id LIMIT $k""".stripMargin
+
+  val bm25TopKSql: String = bm25TopKSqlAt(20)
 
   // --------------------------------------------------------------------
   // q163: hashed-feature linear classifier — the fastText-style quality
@@ -221,7 +226,7 @@ object Retrieval {
     * Scala side composes [[bm25TopK]] the same way. Parameterized so the
     * q170 reranker can reuse the fusion prefix at a deeper k. */
   def rrfFusionSqlAt(k: Int, depth: Int): String =
-    s"""WITH bm AS (SELECT doc_id, score_micro FROM ($bm25TopKSql) b),
+    s"""WITH bm AS (SELECT doc_id, score_micro FROM (${bm25TopKSqlAt(depth)}) b),
       |lex AS (SELECT doc_id, CAST(row_number() OVER
       |          (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS lex_rank
       |        FROM bm),

@@ -998,18 +998,19 @@ object Similarity {
     * re-scan the corpus k×iters times. */
   private[llm] def writeVectorIndex(embeddings: DataFrame, root: String,
                                     kCells: Int = 16, iters: Int = 2): Unit = {
+    // trainLloyd's frames are localCheckpoint'd — RDD-level persistence
+    // that Dataset.unpersist (a CacheManager call) cannot release
+    // (review r8). Consumers use the written tables, not these frames,
+    // so sweep exactly the RDD ids the training created.
+    val sc = embeddings.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
     val (asg, cents) = trainLloyd(embeddings, kCells, iters)
     asg.write.mode("overwrite").parquet(s"$root/assignments")
     cents.write.mode("overwrite").parquet(s"$root/centroids")
-    asg.unpersist()
-    cents.unpersist()
+    sc.getPersistentRDDs
+      .filterNot { case (id, _) => before(id) }
+      .values.foreach(_.unpersist(blocking = false))
     ()
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(); ()
   }
 
   /** q174: build + audit the materialized vector index — writes both
@@ -1039,7 +1040,7 @@ object Similarity {
         .select(lit("centroids").as("tbl"), col("n_rows"), col("n_clusters"),
           col("checksum"))
       aRow.unionAll(cRow).orderBy(col("tbl")).localCheckpoint()
-    } finally deleteRecursively(new java.io.File(scratch))
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
   }
 
   val buildVectorIndexSql: String =
@@ -1071,7 +1072,7 @@ object Similarity {
       val cents = spark.read.parquet(s"$scratch/centroids")
       ivfTopKWith(embeddings, asg, cents, nProbes, k, nProbe)
         .localCheckpoint()
-    } finally deleteRecursively(new java.io.File(scratch))
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
   }
 
   /** Oracle for [[annRecall]]: composes the registered q35/q37/q82/q38

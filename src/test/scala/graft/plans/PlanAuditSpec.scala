@@ -2,34 +2,42 @@ package graft.plans
 
 import graft.{SparkEntry, SparkSpec}
 
-/** Suite-wide physical-plan audit: builds EVERY registered query's
-  * executed plan against sf0.001 and asserts the one anti-pattern that
-  * is never acceptable at 100 TB — a CartesianProduct (an unkeyed
-  * both-sides-materialized join). Intentional small-side cross joins
-  * compile to BroadcastNestedLoopJoin with a broadcast 1-row/k-row
-  * build and are fine; CartesianProductExec means both sides shuffle
-  * to every task — corpus² work no matter the data.
+/** Suite-wide plan audit: builds EVERY registered query's plan against
+  * sf0.001 ONCE (a walk is expensive — the index-build queries run
+  * Lloyd training, LSH+CC and parquet round-trips eagerly at
+  * construction) and asserts the anti-patterns that are never
+  * acceptable at 100 TB:
   *
-  * Building the plan also smoke-tests that every query constructs
+  *  - a CartesianProduct (an unkeyed both-sides-materialized join).
+  *    Intentional small-side cross joins compile to
+  *    BroadcastNestedLoopJoin with a broadcast 1-row/k-row build and
+  *    are fine; CartesianProductExec means both sides shuffle to every
+  *    task — corpus² work no matter the data.
+  *  - an UNDOCUMENTED partition-less Window (the q166-class pattern:
+  *    ntile over an unpartitioned corpus moves ALL rows to one task).
+  *
+  * Building the plans also smoke-tests that every query constructs
   * against the fixtures (iterative operators run their driver loops
   * during construction), so a registration typo fails here before the
   * driver's harness sees it. */
 class PlanAuditSpec extends SparkSpec {
 
-  /** Builds every registered query's executed plan, applies `check`,
-    * then sweeps ONLY the persistent RDDs this walk created (snapshot
-    * diff) — unpersisting a frame another suite still holds would
-    * truncate its lineage beyond recompute (ADVICE r7). */
-  private def auditAll(check: (String, org.apache.spark.sql.execution.SparkPlan)
-      => Option[String]): Seq[String] = {
+  /** One walk over every registered query: (name, executed-plan text,
+    * partition-less logical-Window count). The walk sweeps ONLY the
+    * persistent RDDs it created (snapshot diff) — unpersisting a frame
+    * another suite still holds would truncate its lineage beyond
+    * recompute (ADVICE r7). clearCache is safe across suites (a
+    * dropped cache entry merely recomputes). */
+  private lazy val audits: Seq[(String, String, Int)] = {
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    try SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        check(name, fn(spark, sf).queryExecution.executedPlan)
+    try SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val qe = fn(spark, sf).queryExecution
+      val nGlobalWindows = qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }.size
+      (name, qe.executedPlan.toString, nGlobalWindows)
     } finally {
-      // clearCache is safe across suites (a dropped cache entry merely
-      // recomputes); the RDD sweep is NOT (unpersisting a foreign
-      // localCheckpoint truncates lineage for good), hence the snapshot
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => before(id) }
@@ -38,8 +46,8 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("no registered query plans a CartesianProduct") {
-    val offenders = auditAll { (name, plan) =>
-      if (plan.toString.contains("CartesianProduct")) Some(name) else None
+    val offenders = audits.collect {
+      case (name, plan, _) if plan.contains("CartesianProduct") => name
     }
     assert(offenders.isEmpty,
       s"CartesianProduct in: ${offenders.mkString(", ")}")
@@ -59,26 +67,7 @@ class PlanAuditSpec extends SparkSpec {
     "q170_rerank_fused" -> "composes q169's shortlist windows")
 
   test("single-partition windows appear only over documented bounded frames") {
-    // the q166-class anti-pattern (ntile over an unpartitioned corpus
-    // moves ALL rows to one task) must never regress silently: audit the
-    // OPTIMIZED logical plan of every query for Window nodes with an
-    // empty partitionSpec and require each hit to be allow-listed with
-    // its boundedness argument
-    val before = spark.sparkContext.getPersistentRDDs.keySet
-    val hits =
-      try graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-        val lp = fn(spark, sf).queryExecution.optimizedPlan
-        val n = lp.collect {
-          case w: org.apache.spark.sql.catalyst.plans.logical.Window
-            if w.partitionSpec.isEmpty => w
-        }.size
-        if (n > 0) Some(name) else None
-      } finally {
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs
-          .filterNot { case (id, _) => before(id) }
-          .values.foreach(_.unpersist(blocking = false))
-      }
+    val hits = audits.collect { case (name, _, n) if n > 0 => name }
     assert(hits.toSet === boundedGlobalWindows.keySet,
       s"""single-partition Window set drifted.
          |  undocumented: ${(hits.toSet -- boundedGlobalWindows.keySet).mkString(", ")}
