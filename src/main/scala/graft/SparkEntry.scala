@@ -257,7 +257,8 @@ object SparkEntry {
     "q174_vector_index" -> ((s, d) => Similarity.buildVectorIndex(embeddings(s, d))),
     "q175_ivf_indexed" -> ((s, d) => Similarity.ivfTopKIndexed(embeddings(s, d))),
     "q176_fp_index_update" -> ((s, d) =>
-      Corpus.updateFingerprintIndex(documents(s, d)))
+      Corpus.updateFingerprintIndex(documents(s, d))),
+    "q177_hard_negatives" -> ((s, d) => Similarity.hardNegatives(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -447,6 +448,7 @@ object SparkEntry {
     // q37's oracle verbatim: search served from the stored index must
     // match the retrain path bit-exactly (the q172 pattern for ANN)
     "q175_ivf_indexed" -> Similarity.ivfTopKSql,
-    "q176_fp_index_update" -> Corpus.updateFingerprintIndexSql
+    "q176_fp_index_update" -> Corpus.updateFingerprintIndexSql,
+    "q177_hard_negatives" -> Similarity.hardNegativesSql
   )
 }

@@ -604,8 +604,10 @@ object Similarity {
   }
 
   /** Oracle: the shared Lloyd-blocking CTE, then per-vector top-k over
-    * the same within-cluster cosine, same (cos DESC, neighbor) ties. */
-  val knnJoinSql: String =
+    * the same within-cluster cosine, same (cos DESC, neighbor) ties.
+    * Parameterized so the q177 hard-negative miner can reuse it at its
+    * own k (the bm25TopKSqlAt rationale). */
+  def knnJoinSqlAt(k: Int): String =
     s"""$dynamicKBlockedCteSql,
       |cand AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
       |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -616,7 +618,56 @@ object Similarity {
       |      ORDER BY cos DESC, neighbor_id) AS rnk
       |  FROM cand)
       |SELECT vec_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk
-      |FROM rk WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
+      |FROM rk WHERE rnk <= $k ORDER BY vec_id, rnk""".stripMargin
+
+  val knnJoinSql: String = knnJoinSqlAt(3)
+
+  /** q177: hard-negative triplet mining — the training-pair assembly a
+    * contrastive/embedding-training pipeline runs over its ANN graph
+    * (in-batch random negatives are easy; negatives that are CLOSE but
+    * not closest carry the gradient — the standard "mine hard negatives
+    * from the index" recipe). For every anchor with at least `k`
+    * in-cell neighbors: positive = its nearest neighbor (rnk 1), hard
+    * negative = its rnk-`k` neighbor, margin = pos−neg cosine in floor-
+    * quantized micros. Distinct from q132's hash-ring negatives (which
+    * are random by design): these come from the measured similarity
+    * structure. Anchors with fewer than k in-cell neighbors emit no
+    * triplet (inner-join semantics, mirrored by the oracle).
+    *
+    * 100 TB shape: ALL the cost is the q147 kNN join (row-linear via
+    * dynamic-k Lloyd blocking); the knn frame (N·k rows of longs) is
+    * localCheckpoint'd because both the positive and negative branches
+    * consume it — without that the blocked self-join would run twice
+    * (the q162 lesson). Triplet assembly is two filters + one id-keyed
+    * join of N-row frames. Parity: margins subtract two identically-
+    * rounded doubles then floor — the same IEEE sequence on both
+    * engines. */
+  def hardNegatives(embeddings: DataFrame, k: Int = 4): DataFrame = {
+    val knn = knnJoin(embeddings, k).localCheckpoint()
+    val pos = knn.filter(col("rnk") === 1)
+      .select(col("vec_id"), col("neighbor_id").as("pos_id"),
+        col("cos").as("pos_cos"))
+    val neg = knn.filter(col("rnk") === k)
+      .select(col("vec_id"), col("neighbor_id").as("neg_id"),
+        col("cos").as("neg_cos"))
+    pos.join(neg, "vec_id")
+      .select(col("vec_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        floor(lit(1e6) * (col("pos_cos") - col("neg_cos"))).cast("long")
+          .as("margin_micro"))
+      .orderBy(col("vec_id"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH kn AS (SELECT vec_id, neighbor_id, cos, rnk
+      |            FROM (${knnJoinSqlAt(4)}) q),
+      |pos AS (SELECT vec_id, neighbor_id AS pos_id, cos AS pos_cos
+      |        FROM kn WHERE rnk = 1),
+      |neg AS (SELECT vec_id, neighbor_id AS neg_id, cos AS neg_cos
+      |        FROM kn WHERE rnk = 4)
+      |SELECT p.vec_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+      |  CAST(floor(1e6 * (p.pos_cos - n.neg_cos)) AS BIGINT) AS margin_micro
+      |FROM pos p JOIN neg n USING (vec_id) ORDER BY p.vec_id""".stripMargin
 
   /** ANN quality as a measured query: recall@k of the two approximate
     * indexes (IVF cells, SRP-LSH buckets) against the brute-force cosine

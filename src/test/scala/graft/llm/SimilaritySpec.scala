@@ -38,6 +38,29 @@ class SimilaritySpec extends SparkSpec {
     assert(indexed.nonEmpty)
   }
 
+  test("hard negatives (q177): triplets come from the kNN graph with " +
+    "non-negative margins") {
+    val emb = Tables.embeddings(spark, sf)
+    val knn = Similarity.knnJoin(emb, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val out = Similarity.hardNegatives(emb).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (anchor, posId, negId) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      // positive is the anchor's rank-1 neighbor, negative its rank-4
+      assert(knn((anchor, 1L))._1 === posId)
+      assert(knn((anchor, 4L))._1 === negId)
+      assert(posId !== negId)
+      // margin is non-negative: the positive is never farther than the
+      // hard negative
+      assert(r.getLong(5) >= 0L, s"negative margin for anchor $anchor")
+    }
+    // anchors lacking a rank-4 in-cell neighbor emit no triplet
+    val withK = knn.keys.collect { case (a, 4L) => a }.toSet
+    assert(out.map(_.getLong(0)).toSet === withK)
+  }
+
   test("int8 quantization: scale, checksum, and reconstruction error") {
     import spark.implicits._
     // scale = 1/127; q = [127, -64 (half away from zero), 32, 0]
