@@ -80,10 +80,17 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => sfValue >= 1.0 && validationOnly(n))
       .filter(n => only.forall(_.findFirstIn(n).isDefined))
-    // iteration-major: whole suite per pass, so a contention burst lands on
-    // different queries in different passes instead of all samples of one.
+    // iteration-major AND per-pass shuffled (VERDICT r8 #3): whole suite
+    // per pass so a contention burst lands on different queries in
+    // different passes — and each pass visits the queries in a different
+    // deterministic order, so a burst at a fixed offset within every pass
+    // (the q45–q55 closing-band failure: alphabetic order put the same
+    // contiguous stretch at the same wall-clock point of each pass) still
+    // cannot own all of one query's samples.
+    def passOrder(pass: Int, ns: Seq[String]): Seq[String] =
+      new scala.util.Random(pass.toLong * 0x9e3779b9L).shuffle(ns)
     val baseSamples: Seq[(String, Either[String, Double])] =
-      (1 to iters).flatMap(_ => names.map(n => n -> once(n)))
+      (1 to iters).flatMap(p => passOrder(p, names).map(n => n -> once(n)))
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -108,8 +115,8 @@ object Bench {
     }.toSet
     val extraSamples: Seq[(String, Either[String, Double])] =
       if (iters >= 5 || subSecond.isEmpty) Nil
-      else (iters + 1 to 5).flatMap(_ =>
-        names.filter(subSecond).map(n => n -> once(n)))
+      else (iters + 1 to 5).flatMap(p =>
+        passOrder(p, names.filter(subSecond)).map(n => n -> once(n)))
 
     val samples = baseSamples ++ extraSamples
     val byName = samples.groupBy(_._1)

@@ -258,7 +258,16 @@ object SparkEntry {
     "q175_ivf_indexed" -> ((s, d) => Similarity.ivfTopKIndexed(embeddings(s, d))),
     "q176_fp_index_update" -> ((s, d) =>
       Corpus.updateFingerprintIndex(documents(s, d))),
-    "q177_hard_negatives" -> ((s, d) => Similarity.hardNegatives(embeddings(s, d)))
+    "q177_hard_negatives" -> ((s, d) => Similarity.hardNegatives(embeddings(s, d))),
+    "q178_pq_refine" -> ((s, d) => Similarity.pqRefine(embeddings(s, d))),
+    // serve-only legs of the stored indexes (build cached per JVM+corpus;
+    // bench medians time serving, the q175/q172 twins time build+serve)
+    "q179_ivf_served" -> ((s, d) => Similarity.ivfTopKServed(embeddings(s, d), d)),
+    "q180_keep_best_served" -> ((s, d) =>
+      Corpus.clusterKeepBestServed(documents(s, d), d)),
+    "q181_index_lifecycle" -> ((s, d) => Corpus.indexLifecycle(documents(s, d))),
+    "q182_daily_pipeline" -> ((s, d) =>
+      Corpus.dailyPipeline(documents(s, d), embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -449,6 +458,13 @@ object SparkEntry {
     // match the retrain path bit-exactly (the q172 pattern for ANN)
     "q175_ivf_indexed" -> Similarity.ivfTopKSql,
     "q176_fp_index_update" -> Corpus.updateFingerprintIndexSql,
-    "q177_hard_negatives" -> Similarity.hardNegativesSql
+    "q177_hard_negatives" -> Similarity.hardNegativesSql,
+    "q178_pq_refine" -> Similarity.pqRefineSql,
+    // serve-only legs: q37's / q93's oracles verbatim — served results
+    // must equal the retrain/recompute paths bit-exactly
+    "q179_ivf_served" -> Similarity.ivfTopKSql,
+    "q180_keep_best_served" -> Corpus.clusterKeepBestSql,
+    "q181_index_lifecycle" -> Corpus.indexLifecycleSql,
+    "q182_daily_pipeline" -> Corpus.dailyPipelineSql
   )
 }

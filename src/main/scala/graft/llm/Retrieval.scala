@@ -36,6 +36,14 @@ object Retrieval {
   // broadcast; the per-doc score agg shuffles only (doc_id, micros)
   // pairs; top-k is TakeOrderedAndProject, never a global sort.
   //
+  // SIDE EFFECT (ADVICE r8): the checkpoint makes mere CONSTRUCTION of
+  // this frame (and of rrfFusion/rerankFused, which compose it) run a
+  // Spark job and leave a persisted RDD behind for the session's
+  // lifetime — library callers invoking it repeatedly in one session
+  // should sweep `spark.sparkContext.getPersistentRDDs` between calls
+  // (the Bench/Verify harnesses do exactly that after every query; a
+  // production job's JVM exit releases the blocks for free).
+  //
   // `tf` is localCheckpoint'd because BOTH `df` and the scoring join
   // consume it: without the checkpoint Catalyst plans the corpus-wide
   // token explode TWICE (once under the df aggregate, once under the
