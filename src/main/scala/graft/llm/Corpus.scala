@@ -1362,6 +1362,20 @@ object Corpus {
   private[llm] def ingestAssignments(documents: DataFrame,
                                      threshold: Double = 0.8,
                                      corpusFp: Option[DataFrame] = None): DataFrame = {
+    val (plan, labels) = ingestAssignmentsBuild(documents, threshold, corpusFp)
+    val out = plan.localCheckpoint()
+    labels.unpersist()
+    out
+  }
+
+  /** The UNCHECKPOINTED q173 assignment plan (plus the CC labels handle
+    * the caller must unpersist) — split out so the plan audit can walk
+    * the build subtree that otherwise hides behind the checkpoint scan
+    * (ADVICE r8). */
+  private[graft] def ingestAssignmentsBuild(documents: DataFrame,
+                                            threshold: Double = 0.8,
+                                            corpusFp: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
     val withFp = documents.select(col("doc_id"), normFp.as("fp"))
     // the corpus side is recomputed by default; q182 passes the STORED
     // fingerprint table instead (bit-equal by the q176 audit)
@@ -1385,9 +1399,25 @@ object Corpus {
           .when(bucket(col("unit")) < 90, "val")
           .otherwise("test"))
       .select(col("doc_id"), col("unit"), col("inherited"), col("split"))
-      .localCheckpoint()
-    labels.unpersist()
-    out
+    (out, labels)
+  }
+
+  /** Named pre-checkpoint build pipelines for the suite plan audit
+    * (ADVICE r8): the heavy subtrees the index queries execute eagerly
+    * at construction (LSH candidate join, ingest assignment, fp-index
+    * anti-join), rebuilt WITHOUT their checkpoints/writes so
+    * PlanAuditSpec can walk the full physical plans. */
+  private[graft] def auditBuildFrames(documents: DataFrame): Seq[(String, DataFrame)] = {
+    val (ingest, _) = ingestAssignmentsBuild(documents)
+    val fps = documents.select(col("doc_id"), normFp.as("fp"))
+    val fpUpdate = fps.filter(col("doc_id") % 2 === 1)
+      .join(fps.filter(col("doc_id") % 2 === 0).select(col("fp")).distinct(),
+        Seq("fp"), "left_anti")
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    Seq(
+      "curation_lsh_pairs" -> Dedup.minhashLsh(documents, 0.8),
+      "ingest_assignments" -> ingest,
+      "fp_index_update" -> fpUpdate)
   }
 
   /** q176: fingerprint-index UPDATE — the persistence step that closes

@@ -331,6 +331,20 @@ object Similarity {
   private[llm] def trainLloyd(embeddings: DataFrame, kCells: Int = 0,
                               iters: Int = 4, dim: Int = 64): (DataFrame, DataFrame) = {
     val q = quantized(embeddings, 1000)
+    val asg = lloydTrainPlan(embeddings, kCells, iters, dim)
+      .select(col("vec_id"), col("cluster"))
+      .localCheckpoint()
+    val cents = recomputeCentroids(asg, q, dim).localCheckpoint()
+    (asg, cents)
+  }
+
+  /** The whole unrolled Lloyd DAG, UNCHECKPOINTED — split from
+    * [[trainLloyd]] so the plan audit can inspect the training subtree
+    * that otherwise executes eagerly behind a checkpoint scan
+    * (ADVICE r8). */
+  private[graft] def lloydTrainPlan(embeddings: DataFrame, kCells: Int,
+                                    iters: Int, dim: Int): DataFrame = {
+    val q = quantized(embeddings, 1000)
     val a0 =
       if (kCells > 0)
         q.select(col("vec_id"),
@@ -341,12 +355,7 @@ object Similarity {
         q.crossJoin(kk)
           .select(col("vec_id"), pmod(col("vec_id"), col("kdyn")).as("cluster"))
       }
-    val init = recomputeCentroids(a0, q, dim)
-    val asg = lloydAssign(q, init, iters, dim)
-      .select(col("vec_id"), col("cluster"))
-      .localCheckpoint()
-    val cents = recomputeCentroids(asg, q, dim).localCheckpoint()
-    (asg, cents)
+    lloydAssign(q, recomputeCentroids(a0, q, dim), iters, dim)
   }
 
   /** q37: IVF top-k over the TRAINED coarse codebook with MULTI-PROBE
@@ -863,9 +872,19 @@ object Similarity {
     * exactly as in the oracle. */
   private[llm] def trainPqCodebook(embeddings: DataFrame, m: Int = 16,
                                    kCw: Int = 256, iters: Int = 2,
-                                   dim: Int = 64): DataFrame = {
-    val s = pqSubRows(embeddings, m, dim, sampled = true)
-      .localCheckpoint() // consumed by every assign + recompute round
+                                   dim: Int = 64): DataFrame =
+    pqTrainLoop(
+      pqSubRows(embeddings, m, dim, sampled = true)
+        .localCheckpoint(), // consumed by every assign + recompute round
+      m, kCw, iters, dim)
+      .localCheckpoint()
+
+  /** The raw training rounds over a (vec_id, m, sq) frame — split from
+    * [[trainPqCodebook]] so the plan audit can build the WHOLE training
+    * DAG uncheckpointed (ADVICE r8: eager builds behind localCheckpoint
+    * are invisible to a post-hoc executedPlan walk). */
+  private[graft] def pqTrainLoop(s: DataFrame, m: Int, kCw: Int,
+                                 iters: Int, dim: Int): DataFrame = {
     val sd = dim / m
     def recompute(asg: DataFrame): DataFrame =
       asg.join(s, Seq("vec_id", "m"))
@@ -879,7 +898,7 @@ object Similarity {
     var cb = recompute(s.select(col("vec_id"), col("m"),
       pmod(col("vec_id"), lit(kCw.toLong)).as("cw")))
     for (_ <- 1 to iters) cb = recompute(pqAssign(s, cb))
-    cb.localCheckpoint()
+    cb
   }
 
   /** (vec_id, m, sq): one row per (vector, subspace) with the
@@ -1372,6 +1391,86 @@ object Similarity {
     val asg = spark.read.parquet(s"$root/assignments")
     val cents = spark.read.parquet(s"$root/centroids")
     ivfTopKWith(embeddings, asg, cents, nProbes, k, nProbe)
+  }
+
+  /** Named pre-checkpoint build pipelines for the suite plan audit
+    * (ADVICE r8): the training DAGs the index queries execute eagerly
+    * at construction, rebuilt WITHOUT their checkpoints so
+    * PlanAuditSpec can walk the full physical plans — the unrolled
+    * 4-round dynamic-k IVF Lloyd, the per-subspace PQ codebook rounds,
+    * and the full-corpus PQ encode. */
+  private[graft] def auditBuildFrames(embeddings: DataFrame): Seq[(String, DataFrame)] = {
+    val cbPlan = pqTrainLoop(pqSubRows(embeddings, 16, 64, sampled = true),
+      16, 256, 2, 64)
+    Seq(
+      "ivf_lloyd_train" -> lloydTrainPlan(embeddings, 0, 4, 64),
+      "pq_codebook_train" -> cbPlan,
+      "pq_encode" -> pqReconstruct(embeddings, cbPlan, 16, 64))
+  }
+
+  /** The q175 search served under STRUCTURED STREAMING (VERDICT r8
+    * Next #7) — the online half of the ANN story: probe vectors arrive
+    * as a stream (vec_id, embedding); the STORED index tables are the
+    * static side. Three streaming-legal moves replace the batch plan's
+    * windows:
+    *  - cell ranking is PER-ROW: the ⌈√N⌉-cell codebook is a broadcast
+    *    1-row list; each probe scores all cells in a higher-order
+    *    transform and keeps its ⌈0.13·k⌉ nearest via sort_array over
+    *    (−ccos, cell) — double negation is exact, so the order equals
+    *    the batch window's (ccos DESC, cell);
+    *  - the candidate fetch is a stream-static EQUI-join on the cell id
+    *    against the stored-assignment-labeled corpus;
+    *  - per-probe top-k is the bounded [[graft.functions.TopKAggregator]]
+    *    (O(k) state, partial+final, update mode) with the batch path's
+    *    exact (cos DESC, vec_id) tie order.
+    * StreamingSpec proves stream ≡ batch against [[ivfTopKServed]]
+    * bit-for-bit on the same stored index. */
+  def ivfSearchStream(probes: DataFrame, embeddings: DataFrame,
+                      corpusTag: String, k: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val root = servedIndexRoots.computeIfAbsent(corpusTag, _ => {
+      val r = java.nio.file.Files
+        .createTempDirectory("graft_vecidx_served_").toString
+      writeVectorIndex(embeddings, r)
+      r
+    })
+    val asg = spark.read.parquet(s"$root/assignments")
+    val cents = spark.read.parquet(s"$root/centroids")
+    val corpus = embeddings.select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      .join(asg, "vec_id")
+    val cellsRow = cents
+      .select(col("cluster").as("cell"),
+        transform(col("ce"), x => x.cast("double")).as("centroid"))
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("cells"))
+    val plim = embeddings.agg(
+      ceil(lit(0.13) * ceil(sqrt(count(lit(1)).cast("double"))))
+        .cast("int").as("plim"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    probes
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        l2norm(col("embedding")).as("pn"))
+      .join(broadcast(cellsRow))
+      .join(broadcast(plim))
+      .withColumn("scored", transform(col("cells"), c =>
+        struct((-(dot(col("pe"), c.getField("centroid")) /
+            (col("pn") * l2norm(c.getField("centroid"))))).as("negc"),
+          c.getField("cell").as("cell"))))
+      .withColumn("sel", slice(sort_array(col("scored")), lit(1), col("plim")))
+      .select(col("probe_id"), col("pe"), col("pn"),
+        explode(col("sel")).as("t"))
+      .select(col("probe_id"), col("pe"), col("pn"),
+        col("t.cell").as("cell"))
+      .join(corpus,
+        col("cell") === col("cluster") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(dot(col("pe"), col("embedding")) /
+        (col("pn") * col("nrm")), 4))
+      .groupBy(col("probe_id"))
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col._2").as("neighbor_id"),
+        col("col._1").as("cos"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
   /** Oracle for [[annRecall]]: composes the registered q35/q37/q82/q38

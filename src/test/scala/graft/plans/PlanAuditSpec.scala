@@ -73,4 +73,42 @@ class PlanAuditSpec extends SparkSpec {
          |  undocumented: ${(hits.toSet -- boundedGlobalWindows.keySet).mkString(", ")}
          |  stale allow-list: ${(boundedGlobalWindows.keySet -- hits).mkString(", ")}""".stripMargin)
   }
+
+  /** The index queries (q171–q182 family) END in localCheckpoint after
+    * eager builds, so their heavy pre-checkpoint subtrees — Lloyd
+    * training, PQ codebook rounds, LSH candidate joins, fp anti-joins —
+    * are invisible to the registered-plan walk above (ADVICE r8). The
+    * modules expose those pipelines UNCHECKPOINTED; audit them with the
+    * same anti-pattern rules. */
+  private lazy val buildAudits: Seq[(String, String, Int)] = {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val docs = graft.Tables.documents(spark, sf)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try (graft.llm.Similarity.auditBuildFrames(emb) ++
+         graft.llm.Corpus.auditBuildFrames(docs)).map { case (name, df) =>
+      val qe = df.queryExecution
+      val nGlobalWindows = qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }.size
+      (name, qe.executedPlan.toString, nGlobalWindows)
+    } finally {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  test("no pre-checkpoint index-build pipeline plans a CartesianProduct " +
+    "or a single-partition window") {
+    val cartesian = buildAudits.collect {
+      case (name, plan, _) if plan.contains("CartesianProduct") => name
+    }
+    assert(cartesian.isEmpty,
+      s"CartesianProduct in build pipeline: ${cartesian.mkString(", ")}")
+    val windows = buildAudits.collect { case (name, _, n) if n > 0 => name }
+    assert(windows.isEmpty,
+      s"single-partition Window in build pipeline: ${windows.mkString(", ")}")
+  }
 }

@@ -234,4 +234,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() === batch.count())
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
+
+  test("stored-index IVF search on a probe STREAM equals the batch serve " +
+    "(q175 online; r8 judge Next #7)") {
+    import org.apache.spark.sql.types._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dir = Files.createTempDirectory("graft-annserve").toString + "/probes"
+    emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+      .select("vec_id", "embedding").write.parquet(dir)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    // one tag → one stored index, shared by the stream and batch sides:
+    // both serve from the SAME parquet tables, so equality is bit-exact
+    val tag = s"stream-spec-$sf"
+    val src = spark.readStream.schema(schema).parquet(dir)
+    val q = graft.llm.Similarity.ivfSearchStream(src, emb, tag)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ann_serve_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ann_serve_out")
+    val batch = graft.llm.Similarity.ivfTopKServed(emb, tag)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
 }
