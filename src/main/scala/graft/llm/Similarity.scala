@@ -820,9 +820,11 @@ object Similarity {
     * reconstruction, ranked by quantized cosine.
     *
     * 100 TB shape: codebooks are TRAINED ON A SAMPLE (deterministic
-    * vec_id modulo, capped near 4096 vectors — the standard PQ
-    * practice; s = 1 on the fixtures so the oracle covers the
-    * full-corpus case bit-exactly) and applied to the full corpus. The
+    * vec_id modulo, capped near 512 vectors — fixture-scaled; a
+    * production corpus trains on ~100k-vector samples, the standard PQ
+    * practice; the cap makes sf0.1 exercise the sampled path
+    * oracle-checked while sf0.01 covers s = 1 bit-exactly) and applied
+    * to the full corpus. The
     * codebook is m × kCw × (dim/m) milli-integers (~256 KB) — a
     * BROADCAST frame; encoding is one broadcast join + partial-agg
     * argmin per (vector, subspace) — the corpus never shuffles wider
@@ -904,7 +906,7 @@ object Similarity {
   /** (vec_id, m, sq): one row per (vector, subspace) with the
     * milli-quantized subspace slice. `sampled` restricts to the
     * deterministic training sample — vec_id % s == 0 with
-    * s = max(1, ⌊N/4096⌋) from a 1-row broadcast count. */
+    * s = max(1, ⌊N/512⌋) from a 1-row broadcast count. */
   private def pqSubRows(embeddings: DataFrame, m: Int, dim: Int,
                         sampled: Boolean): DataFrame = {
     val sd = dim / m
@@ -913,7 +915,7 @@ object Similarity {
       if (!sampled) q
       else {
         val ss = broadcast(embeddings.agg(
-          greatest(lit(1L), floor(count(lit(1)) / lit(4096)).cast("long"))
+          greatest(lit(1L), floor(count(lit(1)) / lit(512)).cast("long"))
             .as("samp")))
         q.crossJoin(ss).filter(pmod(col("vec_id"), col("samp")) === 0)
       }
@@ -1010,7 +1012,7 @@ object Similarity {
   /** Shared oracle prefix for the per-subspace PQ codebook (q82/q178;
     * q39): the [[trainPqCodebook]] rounds unrolled at the registered
     * defaults (m = 16 subspaces of 4 dims, kCw = 256, 2 rounds,
-    * modulo training sample s = max(1, ⌊N/4096⌋)) plus the full-corpus
+    * modulo training sample s = max(1, ⌊N/512⌋)) plus the full-corpus
     * encode, ending in `qv(vec_id, qvec)`. */
   private val pqCbCteSql: String = {
     def assign(c: String, p: String, a: String, src: String): String =
@@ -1033,7 +1035,7 @@ object Similarity {
     s"""WITH q AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qe
       |  FROM embeddings),
-      |ss AS (SELECT greatest(1, count(*) // 4096) AS samp FROM embeddings),
+      |ss AS (SELECT greatest(1, count(*) // 512) AS samp FROM embeddings),
       |s AS (SELECT vec_id, m.range AS m,
       |    list_slice(qe, m.range * 4 + 1, m.range * 4 + 4) AS sq
       |  FROM q CROSS JOIN range(16) m

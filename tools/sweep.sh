@@ -7,11 +7,11 @@
 # Usage: tools/sweep.sh [sf...]      (default: sf0.01 sf0.1)
 # Dev-only tooling — not part of the shipped Scala library.
 #
-# NOTE (r8): at sf0.1 the DuckDB side of the exhaustive-Jaccard closure
-# oracles (q93/q168/q171/q172/q173 share exactPairsCte — an all-pairs
-# inequality join DuckDB runs near-serially) costs ~30-40 MINUTES EACH.
-# The full sf0.1 leg is an overnight run; for targeted work, verify those
-# five at sf0.01 and spot-check the rest at sf0.1.
+# NOTE (r8/r9): at sf0.1 the DuckDB side of the exhaustive-Jaccard
+# closure oracles (q93/q168/q171/q172/q173/q180/q182 share exactPairsCte
+# — an all-pairs inequality join DuckDB runs near-serially) costs ~30-40
+# MINUTES EACH. The full sf0.1 leg is an overnight run; for targeted
+# work, verify those at sf0.01 and spot-check the rest at sf0.1.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SFS=("${@:-sf0.01 sf0.1}")
