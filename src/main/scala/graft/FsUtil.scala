@@ -10,4 +10,32 @@ private[graft] object FsUtil {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(); ()
   }
+
+  /** Session-scoped stored-index root cache shared by the serve-only
+    * registrations (q179/q180/q183 and the streaming ANN path): the
+    * index is built ONCE per (JVM, cache key) and later calls read the
+    * stored tables, so the serve-leg bench medians time serving alone.
+    *
+    * Two r9-verdict housekeeping holes closed here: every root is
+    * removed by ONE JVM shutdown hook (previously each bench/verify/test
+    * run leaked a stored index per corpus tag into /tmp), and callers
+    * put a cheap corpus CHECKSUM — not just the sfDir tag — into the
+    * key, so a corpus changing under the same path can never be served
+    * a stale index. */
+  private[graft] object ServedRoots {
+    private val roots =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+    locally {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        roots.values.forEach(r => deleteRecursively(new java.io.File(r)))))
+    }
+    /** The cached root for `key`, building the index under a fresh temp
+      * dir (named after `prefix`) on first use. */
+    def getOrBuild(key: String, prefix: String)(build: String => Unit): String =
+      roots.computeIfAbsent(key, _ => {
+        val r = java.nio.file.Files.createTempDirectory(prefix).toString
+        build(r)
+        r
+      })
+  }
 }

@@ -267,7 +267,13 @@ object SparkEntry {
       Corpus.clusterKeepBestServed(documents(s, d), d)),
     "q181_index_lifecycle" -> ((s, d) => Corpus.indexLifecycle(documents(s, d))),
     "q182_daily_pipeline" -> ((s, d) =>
-      Corpus.dailyPipeline(documents(s, d), embeddings(s, d)))
+      Corpus.dailyPipeline(documents(s, d), embeddings(s, d))),
+    "q183_pq_refine_served" -> ((s, d) =>
+      Similarity.pqRefineServed(embeddings(s, d), d)),
+    "q184_vector_lifecycle" -> ((s, d) =>
+      Similarity.vectorIndexLifecycle(embeddings(s, d))),
+    "q185_pq_refine_fixed" -> ((s, d) =>
+      Similarity.pqRefineFixed(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -465,6 +471,11 @@ object SparkEntry {
     "q179_ivf_served" -> Similarity.ivfTopKSql,
     "q180_keep_best_served" -> Corpus.clusterKeepBestSql,
     "q181_index_lifecycle" -> Corpus.indexLifecycleSql,
-    "q182_daily_pipeline" -> Corpus.dailyPipelineSql
+    "q182_daily_pipeline" -> Corpus.dailyPipelineSql,
+    // q178's oracle verbatim: the serve leg from the stored PQ index
+    // must match the self-contained train+encode path bit-exactly
+    "q183_pq_refine_served" -> Similarity.pqRefineSql,
+    "q184_vector_lifecycle" -> Similarity.vectorIndexLifecycleSql,
+    "q185_pq_refine_fixed" -> Similarity.pqRefineFixedSql
   )
 }

