@@ -407,6 +407,19 @@ object Similarity {
     val v = embeddings.select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
       .join(asg, "vec_id")
+    broadcast(probeCellsOf(embeddings, cents, nProbes, nProbe)).join(v,
+      col("cell") === col("cluster") && col("vec_id") =!= col("probe_id"))
+  }
+
+  /** Per-probe nearest-cell selection — (probe_id, pe, pn, cell), one
+    * row per (probe, probed cell). Shared by the IVF search (q37
+    * family) and the IVF-PQ hybrid (q186): rank cells per probe by
+    * centroid cosine (scale-invariant, so the milli-unit integer
+    * centroids rank identically to their /1000 means), keep the nProbe
+    * nearest; nProbe = 0 resolves to the dynamic ⌈0.13·⌈√N⌉⌉ budget
+    * (1-row broadcast, mirrored by the oracle's scalar subquery). */
+  private def probeCellsOf(embeddings: DataFrame, cents: DataFrame,
+                           nProbes: Int, nProbe: Int): DataFrame = {
     val cells = cents.select(col("cluster").as("cell"),
       transform(col("ce"), x => x.cast("double")).as("centroid"))
     val probes = embeddings.filter(col("vec_id") < nProbes)
@@ -415,21 +428,15 @@ object Similarity {
     val plim = broadcast(embeddings.agg(
       ceil(lit(0.13) * ceil(sqrt(count(lit(1)).cast("double"))))
         .cast("long").as("plim")))
-    // rank cells per probe by centroid cosine, keep the nProbe nearest
-    // (cosine is scale-invariant, so the milli-unit integer centroids
-    // rank identically to their /1000 means)
     val wc = Window.partitionBy(col("probe_id"))
       .orderBy(col("ccos").desc, col("cell"))
     val ranked = probes.crossJoin(broadcast(cells))
       .withColumn("ccos", dot(col("pe"), col("centroid")) /
         (col("pn") * l2norm(col("centroid"))))
       .withColumn("crnk", row_number().over(wc))
-    val probeCells =
-      (if (nProbe > 0) ranked.filter(col("crnk") <= nProbe)
-       else ranked.crossJoin(plim).filter(col("crnk") <= col("plim")))
-        .select(col("probe_id"), col("pe"), col("pn"), col("cell"))
-    broadcast(probeCells).join(v,
-      col("cell") === col("cluster") && col("vec_id") =!= col("probe_id"))
+    (if (nProbe > 0) ranked.filter(col("crnk") <= nProbe)
+     else ranked.crossJoin(plim).filter(col("crnk") <= col("plim")))
+      .select(col("probe_id"), col("pe"), col("pn"), col("cell"))
   }
 
   private[llm] def ivfTopKWith(embeddings: DataFrame, asg: DataFrame,
