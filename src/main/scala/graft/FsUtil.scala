@@ -34,7 +34,14 @@ private[graft] object FsUtil {
     def getOrBuild(key: String, prefix: String)(build: String => Unit): String =
       roots.computeIfAbsent(key, _ => {
         val r = java.nio.file.Files.createTempDirectory(prefix).toString
-        build(r)
+        // a failed build never registers in `roots`, so the shutdown
+        // hook would not see its temp dir — delete it before rethrowing
+        // (ADVICE r10), or each failed build leaks a directory
+        try build(r)
+        catch {
+          case t: Throwable =>
+            deleteRecursively(new java.io.File(r)); throw t
+        }
         r
       })
   }
