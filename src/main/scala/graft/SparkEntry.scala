@@ -273,7 +273,14 @@ object SparkEntry {
     "q184_vector_lifecycle" -> ((s, d) =>
       Similarity.vectorIndexLifecycle(embeddings(s, d))),
     "q185_pq_refine_fixed" -> ((s, d) =>
-      Similarity.pqRefineFixed(embeddings(s, d)))
+      Similarity.pqRefineFixed(embeddings(s, d))),
+    "q186_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(embeddings(s, d))),
+    "q187_ivfpq_served" -> ((s, d) =>
+      Similarity.ivfPqServed(embeddings(s, d), d)),
+    "q188_lifecycle_retrain" -> ((s, d) =>
+      Similarity.vectorIndexRetrain(embeddings(s, d))),
+    "q189_pq_lifecycle" -> ((s, d) =>
+      Similarity.pqIndexLifecycle(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -476,6 +483,11 @@ object SparkEntry {
     // must match the self-contained train+encode path bit-exactly
     "q183_pq_refine_served" -> Similarity.pqRefineSql,
     "q184_vector_lifecycle" -> Similarity.vectorIndexLifecycleSql,
-    "q185_pq_refine_fixed" -> Similarity.pqRefineFixedSql
+    "q185_pq_refine_fixed" -> Similarity.pqRefineFixedSql,
+    "q186_ivfpq_topk" -> Similarity.ivfPqTopKSql,
+    // q186's oracle VERBATIM: store ≡ recompute for the composed index
+    "q187_ivfpq_served" -> Similarity.ivfPqTopKSql,
+    "q188_lifecycle_retrain" -> Similarity.vectorIndexRetrainSql,
+    "q189_pq_lifecycle" -> Similarity.pqIndexLifecycleSql
   )
 }

@@ -52,6 +52,62 @@ object AnnSweep {
   }
 }
 
+/** Dev-only operating-point sweep for the IVF-PQ hybrid (q186): one
+  * shared trained coarse codebook + PQ codebook per fixture, then
+  * recall@5 and the COMPRESSED-scan fraction over an (nProbe, R) grid —
+  * the frontier PERF.md r11 records so the registered
+  * [[Similarity.IvfPqProbeFrac]]/[[Similarity.RegisteredFixedR]] pair is
+  * a measured point. Not part of the query surface.
+  *
+  * Usage: sbt "runMain graft.llm.IvfPqSweep [sfDir ...]"
+  */
+object IvfPqSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for (sfDir <- sfDirs) {
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val n = emb.count()
+      val truth = Similarity.cosineTopK(emb).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val (asg, cents) = Similarity.trainLloyd(emb)
+      val cb = Similarity.trainPqCodebook(emb)
+      val recon = Similarity.pqReconstruct(emb, cb, 16, 64).localCheckpoint()
+      val kCells = math.ceil(math.sqrt(n.toDouble)).toInt
+      println(s"== $sfDir  n=$n  kCells=$kCells  " +
+        s"(registered nProbe=${math.ceil(0.40 * kCells).toInt}, R=60)")
+      val probeGrid = Seq(0.13, 0.20, 0.30, 0.40, 0.50, 0.65)
+        .map(f => f -> math.ceil(f * kCells).toInt)
+      for ((f, nProbe) <- probeGrid) {
+        val scanned = Similarity
+          .ivfCandidates(emb, asg, cents, 10, nProbe).count()
+          .toDouble / (10.0 * n)
+        for (r <- Seq(30, 60, 120)) {
+          val got = Similarity
+            .ivfPqFrom(recon, asg, cents, emb, 10, 5, nProbe, r)
+            .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+          val recall = (truth intersect got).size.toDouble / truth.size
+          println(f"frac=$f%.2f nProbe=$nProbe%3d R=$r%3d  " +
+            f"recall=${recall * 10000}%5.0f bp  adc_scan=${scanned * 100}%5.1f%%  " +
+            f"raw_reads/probe=$r")
+        }
+      }
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
+    spark.stop()
+  }
+}
+
 /** Dev-only recall-vs-R sweep for the FIXED-depth PQ refine (q185,
   * VERDICT r9 Next #6): one shared trained codebook per fixture, then
   * recall@5 at a grid of absolute refine depths R, printed next to the
@@ -90,6 +146,91 @@ object PqSweep {
         .filterNot { case (id, _) => before(id) }
         .values.foreach(_.unpersist(blocking = false))
     }
+    spark.stop()
+  }
+}
+
+/** Dev-only TWO-DECADES-ABOVE-FIXTURE validation of the ANN stack
+  * (VERDICT r10 Next #6): a deterministic ~100k-vector corpus from
+  * spark.range + a Murmur3-hash payload (the q26 generator discipline —
+  * no RNG, layout-independent), then the registered operating points
+  * re-measured where ⌈√N⌉ = 317: trained-IVF recall/scan at the 13%
+  * budget, fixed-R=60 refine recall (R is 0.06% of THIS corpus), the
+  * IVF-PQ hybrid at frac=0.40, and the serve-leg wall times. Records
+  * whether √N-cell scaling and fixed-R recall hold at N≈1e5 (PERF.md
+  * r11). Not part of the query surface.
+  *
+  * Usage: sbt "runMain graft.llm.AnnScale [n]"
+  */
+object AnnScale {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = if (args.nonEmpty) args(0).toLong else 100000L
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // uniform [-1, 1) coordinates from integer hashes — deterministic,
+    // near-isotropic like the fixture embeddings
+    val emb = spark.range(0, n, 1, 32)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          ((pmod(hash(col("id"), d), lit(2000)) - 1000) / lit(1000.0))
+            .cast("float")).as("embedding"),
+        pmod(col("id"), lit(10)).cast("int").as("label"))
+      .localCheckpoint()
+    val kc = math.ceil(math.sqrt(n.toDouble)).toInt
+    println(s"== synthetic n=$n  kCells=$kc  " +
+      s"ivf nProbe=${math.ceil(0.13 * kc).toInt}  " +
+      s"hybrid nProbe=${math.ceil(Similarity.IvfPqProbeFrac * kc).toInt}")
+    val truth = Similarity.cosineTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth intersect got).size.toDouble / truth.size
+    }
+    def timed[A](what: String)(body: => A): A = {
+      val t0 = System.nanoTime(); val a = body
+      println(f"   [$what took ${(System.nanoTime() - t0) / 1e9}%.1f s]"); a
+    }
+    val (asg, cents) = timed("ivf train")(Similarity.trainLloyd(emb))
+    val scan = Similarity.ivfCandidates(emb, asg, cents, 10, 0).count()
+      .toDouble / (10.0 * n)
+    println(f"ivf_trained@13%%: recall=${recallOf(
+      Similarity.ivfTopKWith(emb, asg, cents, 10, 5, 0)) * 10000}%5.0f bp " +
+      f"scan=${scan * 100}%5.1f%%")
+    val cb = timed("pq train")(Similarity.trainPqCodebook(emb))
+    val recon = timed("pq encode")(
+      Similarity.pqReconstruct(emb, cb, 16, 64).localCheckpoint())
+    println(f"pq_refine_fixed R=60 (${100.0 * 60 / n}%.2f%% of corpus): " +
+      f"recall=${recallOf(Similarity.pqRefineFrom(recon, emb, 10, 5,
+        fixedR = 60)) * 10000}%5.0f bp")
+    val hybridScan = Similarity.ivfCandidates(emb, asg, cents, 10, 0,
+      frac = Similarity.IvfPqProbeFrac).count().toDouble / (10.0 * n)
+    println(f"ivfpq frac=0.40: recall=${recallOf(
+      Similarity.ivfPqFrom(recon, asg, cents, emb, 10, 5, 0, 60)) * 10000}%5.0f bp " +
+      f"adc_scan=${hybridScan * 100}%5.1f%%")
+    // serve legs: first call builds (timed separately by getOrBuild),
+    // second call times serving alone
+    timed("ivfpq build+serve")(
+      Similarity.ivfPqServed(emb, "annscale").write.format("noop")
+        .mode("overwrite").save())
+    timed("ivfpq serve")(
+      Similarity.ivfPqServed(emb, "annscale").write.format("noop")
+        .mode("overwrite").save())
+    timed("ivf serve")(
+      { Similarity.ivfTopKServed(emb, "annscale").write.format("noop")
+          .mode("overwrite").save()
+        Similarity.ivfTopKServed(emb, "annscale").write.format("noop")
+          .mode("overwrite").save() })
+    timed("pq refine serve")(
+      { Similarity.pqRefineServed(emb, "annscale").write.format("noop")
+          .mode("overwrite").save()
+        Similarity.pqRefineServed(emb, "annscale").write.format("noop")
+          .mode("overwrite").save() })
     spark.stop()
   }
 }

@@ -1309,7 +1309,8 @@ object Corpus {
                             threshold: Double = 0.8): DataFrame = {
     val spark = documents.sparkSession
     val root = graft.FsUtil.ServedRoots.getOrBuild(
-      Similarity.corpusKey(documents, "doc_id", s"cur:$corpusTag@$threshold"),
+      Similarity.corpusKey(documents, "doc_id", s"cur:$corpusTag@$threshold",
+        sum(length(col("text")))),
       "graft_curidx_served_")(writeCurationIndex(documents, _, threshold))
     val labels = spark.read.parquet(s"$root/labels")
     val quality = TextAnalysis.qualityScore(documents)
@@ -1492,8 +1493,13 @@ object Corpus {
   private[graft] def fpIndexStreamBatch(root: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val cur = Option(new java.io.File(root).list()).getOrElse(Array.empty)
-      .filter(_.startsWith("gen")).map(_.drop(3).toInt).max
+    val gens = Option(new java.io.File(root).list()).getOrElse(Array.empty)
+      .filter(_.startsWith("gen")).map(_.drop(3).toInt)
+    // an opaque `empty.max` here would surface mid-stream (ADVICE r10)
+    require(gens.nonEmpty,
+      s"fpIndexStreamBatch: no genN directory under $root — " +
+        "writeFpGen0 must seed the index before the stream starts")
+    val cur = gens.max
     val stored = spark.read.parquet(s"$root/gen$cur")
     val surv = batch.select(col("doc_id"), normFp.as("fp"))
       .join(stored.select(col("fp")).distinct(), Seq("fp"), "left_anti")

@@ -280,6 +280,87 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lifecycle retrain (q188): only the drifted generation fires the " +
+    "trigger; the retrained store recovers baseline-scale error over " +
+    "the same live set") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.vectorIndexRetrain(emb).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("g0", "g1", "g2", "g3", "g3r"))
+    val byState = out.map(r => r.getString(0) -> r).toMap
+    assert(byState("g3").getLong(6) === 1L, "drifted g3 must fire")
+    Seq("g0", "g1", "g2", "g3r").foreach(s =>
+      assert(byState(s).getLong(6) === 0L, s"spurious trigger at $s"))
+    // the retrain leg actually recovers: post-retrain quantization error
+    // back under the 120% threshold vs the pre-drift baseline (the
+    // retrained cells separate the drifted population — a constant
+    // offset moves the geometry, it doesn't spread it)
+    assert(byState("g3r").getLong(5) * 100L <=
+      byState("g0").getLong(5) * 120L, "retrain did not recover")
+    // retrain re-indexes the live set, it does not re-ingest: same rows,
+    // same entities as the generation that fired
+    assert(byState("g3r").getLong(1) === byState("g3").getLong(1))
+    assert(byState("g3r").getLong(2) === byState("g3").getLong(2))
+  }
+
+  test("PQ-index lifecycle (q189): four generations audited; entities " +
+    "unique; the isotropic fixture never fires the PQ drift signal") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.pqIndexLifecycle(emb).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("g0", "g1", "g2", "g3"))
+    val live0 = emb.filter(org.apache.spark.sql.functions.expr(
+      "vec_id % 4 = 0 AND vec_id % 7 != 0")).count()
+    assert(out(0).getLong(2) === live0, "gen0 must audit the b=0 live set")
+    out.foreach { r =>
+      // 16 encoding rows per live vector; one vector per entity
+      assert(r.getLong(1) === 16L * r.getLong(2),
+        s"${r.getString(0)}: rows != 16 x vecs")
+      assert(r.getLong(3) === r.getLong(2),
+        s"${r.getString(0)}: duplicate entities survived the merge")
+      // no drift on this fixture: arrivals come from the same
+      // distribution the frozen codebook was trained on
+      assert(r.getLong(6) === 0L, s"${r.getString(0)}: spurious PQ retrain")
+    }
+  }
+
+  test("IVF-PQ hybrid (q186): all cells probed + full-depth refine " +
+    "degenerates to brute force; the registered point prunes the ADC " +
+    "scan to the compressed budget; serve leg (q187) equals it") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count().toInt
+    val kc = math.ceil(math.sqrt(n.toDouble)).toInt
+    // correctness anchor: probe EVERY cell and refine the whole corpus
+    // == q35 brute force (the composition loses nothing by itself)
+    val all = Similarity.ivfPqTopK(emb, nProbe = kc, refineR = n)
+      .collect().toSeq
+    val brute = Similarity.cosineTopK(emb).collect().toSeq
+    assert(all === brute)
+    // the registered point: 5 rows per probe, recall bounded by cell
+    // coverage (measured 9000bp sf0.01 / 7000bp sf0.1 — PERF.md r11)
+    val out = Similarity.ivfPqTopK(emb).collect()
+    val byProbe = out.groupBy(_.getLong(0))
+    assert(byProbe.size === 10)
+    assert(byProbe.values.forall(_.length === 5))
+    val truth = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth intersect got).size.toDouble / truth.size
+    assert(recall >= 0.6, s"hybrid recall $recall below the measured floor")
+    // the whole point vs flat PQ (q183's corpus-linear ADC scan): the
+    // hybrid's ADC candidates stay within the compressed probe budget
+    val (asg, cents) = Similarity.trainLloyd(emb)
+    val cand = Similarity.ivfCandidates(emb, asg, cents, nProbes = 10,
+      nProbe = 0, frac = Similarity.IvfPqProbeFrac).count()
+    val frac = cand.toDouble / (10.0 * n)
+    assert(frac <= 0.50, s"compressed-scan fraction $frac exceeds budget")
+    assert(frac >= 0.15, s"compressed-scan fraction $frac implausibly " +
+      "small — cell pruning may be dropping populated cells")
+    // the serve leg: stored composed index ≡ self-contained, twice
+    // (second call must hit the session cache)
+    val served = Similarity.ivfPqServed(emb, s"ivfpq-spec-$sf").collect().toSeq
+    assert(served === out.toSeq)
+    val again = Similarity.ivfPqServed(emb, s"ivfpq-spec-$sf").collect().toSeq
+    assert(again === out.toSeq)
+  }
+
   test("k-means Lloyd (q88): partitions every vector; layout-invariant") {
     val emb = Tables.embeddings(spark, sf)
     val a = Similarity.kmeansLloyd(emb).collect()

@@ -302,4 +302,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() === batch.count())
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
+
+  test("IVF-PQ hybrid serve on a probe STREAM equals the batch serve " +
+    "(q187 online; union of foreachBatch micro-batches == one batch)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dir = Files.createTempDirectory("graft-ivfpqsrc").toString + "/probes"
+    val out = Files.createTempDirectory("graft-ivfpqout").toString + "/res"
+    // the batch leg's probe set (vec_id < 10) arrives as TWO
+    // micro-batches; per-probe results depend only on the probe row +
+    // the shared stored root, so the union must be bit-identical
+    emb.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding").write.parquet(dir)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val tag = s"ivfpq-stream-$sf"
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.llm.Similarity.ivfPqStreamBatch(emb, tag, out)(b, id))
+      .start()
+    try {
+      q.processAllAvailable()
+      emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select("vec_id", "embedding").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+    val batch = graft.llm.Similarity.ivfPqServed(emb, tag)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
 }
