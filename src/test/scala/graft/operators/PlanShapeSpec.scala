@@ -429,4 +429,19 @@ class PlanShapeSpec extends SparkSpec {
       s"multi-probe degenerated to a nested loop:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in LSH plan:\n$p")
   }
+
+  test("IVF-PQ serve (q187) partition-prunes the inverted-list scan") {
+    // the scaladoc's central claim: the probed-cell join reaches the
+    // cell-partitioned invlists store as a PARTITION filter (dynamic
+    // partition pruning off the broadcast probe×cell frame), so
+    // unprobed cells' files are never read — the property that makes
+    // the serve cost ~frac·N instead of N. If this regresses to a
+    // plain post-scan join filter, the plan still returns correct rows
+    // but silently re-pays the full-corpus read q187 exists to retire.
+    val emb = Tables.embeddings(spark, sf)
+    val p = plan(graft.llm.Similarity.ivfPqServed(emb, s"planshape-$sf"))
+    assert(p.contains("dynamicpruning"),
+      s"invlists scan lost dynamic partition pruning:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in serve plan:\n$p")
+  }
 }
