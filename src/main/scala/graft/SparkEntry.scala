@@ -280,7 +280,11 @@ object SparkEntry {
     "q188_lifecycle_retrain" -> ((s, d) =>
       Similarity.vectorIndexRetrain(embeddings(s, d))),
     "q189_pq_lifecycle" -> ((s, d) =>
-      Similarity.pqIndexLifecycle(embeddings(s, d)))
+      Similarity.pqIndexLifecycle(embeddings(s, d))),
+    "q190_ivfpq_lifecycle" -> ((s, d) =>
+      Similarity.ivfPqIndexLifecycle(embeddings(s, d))),
+    "q191_pq_retrain" -> ((s, d) =>
+      Similarity.pqIndexRetrain(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -488,6 +492,8 @@ object SparkEntry {
     // q186's oracle VERBATIM: store ≡ recompute for the composed index
     "q187_ivfpq_served" -> Similarity.ivfPqTopKSql,
     "q188_lifecycle_retrain" -> Similarity.vectorIndexRetrainSql,
-    "q189_pq_lifecycle" -> Similarity.pqIndexLifecycleSql
+    "q189_pq_lifecycle" -> Similarity.pqIndexLifecycleSql,
+    "q190_ivfpq_lifecycle" -> Similarity.ivfPqIndexLifecycleSql,
+    "q191_pq_retrain" -> Similarity.pqIndexRetrainSql
   )
 }

@@ -966,13 +966,21 @@ object Similarity {
     * deterministic training sample — vec_id % s == 0 with
     * s = max(1, ⌊N/512⌋) from a 1-row broadcast count. */
   private def pqSubRows(embeddings: DataFrame, m: Int, dim: Int,
-                        sampled: Boolean): DataFrame = {
+                        sampled: Boolean): DataFrame =
+    pqSubRowsQ(quantized(embeddings, 1000), m, dim, sampled)
+
+  /** [[pqSubRows]] over an ALREADY-quantized (vec_id, qe) frame — the
+    * seam q191's retrain needs: its training set carries the drift in
+    * the integer domain, so re-quantizing from floats would erase it.
+    * The deterministic training sample counts the input frame itself
+    * (the same contract the oracle's `${px}ss` CTE recomputes). */
+  private def pqSubRowsQ(q: DataFrame, m: Int, dim: Int,
+                         sampled: Boolean): DataFrame = {
     val sd = dim / m
-    val q = quantized(embeddings, 1000)
     val base =
       if (!sampled) q
       else {
-        val ss = broadcast(embeddings.agg(
+        val ss = broadcast(q.agg(
           greatest(lit(1L), floor(count(lit(1)) / lit(512)).cast("long"))
             .as("samp")))
         q.crossJoin(ss).filter(pmod(col("vec_id"), col("samp")) === 0)
@@ -1256,7 +1264,8 @@ object Similarity {
     * names prefixed `px`, ends in `${px}c2(m, cw, cv)`. The modulo
     * training sample counts `$qn` itself (for the corpus-level chains
     * that equals the table count; q189 trains on the gen-0 live set). */
-  private def pqCbTrainCte(px: String, qn: String): String = {
+  private def pqCbTrainCte(px: String, qn: String,
+                           sample: Boolean = true): String = {
     def recompute(a: String, c: String): String =
       s"""$c AS (SELECT m, cw, list(cd ORDER BY d) AS cv FROM
          |    (SELECT a.m, a.cw, d.range AS d,
@@ -1266,11 +1275,16 @@ object Similarity {
          |     GROUP BY a.m, a.cw, d.range)
          |  GROUP BY m, cw)""".stripMargin
     val assign = pqAssignCte(px) _
+    // `sample = false` for a caller whose $qn is ALREADY a bounded
+    // training sample (q191's retrain pre-samples on the entity key —
+    // its vec_ids are congruent mod 4, so the generic vec_id modulo
+    // here would keep zero rows whenever samp hit a multiple of 4)
+    val where =
+      if (sample) s"\n  WHERE vec_id % (SELECT samp FROM ${px}ss) = 0" else ""
     s"""${px}ss AS (SELECT greatest(1, count(*) // 512) AS samp FROM $qn),
       |${px}s AS (SELECT vec_id, m.range AS m,
       |    list_slice(qe, m.range * 4 + 1, m.range * 4 + 4) AS sq
-      |  FROM $qn CROSS JOIN range(16) m
-      |  WHERE vec_id % (SELECT samp FROM ${px}ss) = 0),
+      |  FROM $qn CROSS JOIN range(16) m$where),
       |${px}c0 AS (SELECT m, cw, list(cd ORDER BY d) AS cv FROM
       |    (SELECT m, vec_id % 256 AS cw, d.range AS d,
       |       CAST(floor(sum(sq[d.range + 1])::DOUBLE / count(*)) AS BIGINT) AS cd
@@ -1482,6 +1496,47 @@ object Similarity {
     embeddings.select(col("vec_id"),
       transform(col("embedding"),
         x => round(x.cast("double") * scale).cast("long")).as("qe"))
+
+  /** One-round argmin assignment of a pre-quantized batch against a
+    * FROZEN stored centroid table — the lifecycle families' shared
+    * encode-arrivals kernel (q188/q190): broadcast centroids, codegen'd
+    * int64 distance, partial-agg min-of-struct; touches the BATCH
+    * alone, never the corpus. (ent, vec_id, qe) → (ent, vec_id,
+    * cluster, dist). */
+  private def frozenAssignQ(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), col("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", graft.functions.VectorFunctions.longSqDist(
+        col("qe"), col("ce")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cluster"))).as("mm"))
+      .join(vecs.select(col("ent"), col("vec_id")), "vec_id")
+      .select(col("ent"), col("vec_id"),
+        col("mm.cluster").as("cluster"), col("mm.d2").as("dist"))
+
+  /** PQ encode of a pre-quantized batch against a FROZEN stored
+    * codebook — the PQ lifecycles' shared arrivals kernel
+    * (q189/q190/q191): batch × 16 subspace rows through the broadcast
+    * flattened codebook and the [[graft.functions.PqArgminCodeword]]
+    * kernel, plus one broadcast decode join for the per-row
+    * reconstruction error (the drift signal's raw material).
+    * (ent, vec_id, qe) → (ent, vec_id, m, cw, d2). */
+  private def frozenEncodeQ(vecs: DataFrame, cb: DataFrame): DataFrame = {
+    val subCols = (0 until 16).map(mi =>
+      struct(lit(mi).as("m"), slice(col("qe"), mi * 4 + 1, 4).as("sq")))
+    val s = vecs.select(col("vec_id"),
+        explode(array(subCols: _*)).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sq").as("sq"))
+    s.join(broadcast(pqFlatCodebook(cb)), Seq("m"))
+      .select(col("vec_id"), col("m"), col("sq"),
+        graft.functions.VectorFunctions.pqArgmin(
+          col("sq"), col("cvflat"), col("cws")).as("cw"))
+      .join(broadcast(cb), Seq("m", "cw"))
+      .withColumn("d2", graft.functions.VectorFunctions.longSqDist(
+        col("sq"), col("cv")))
+      .join(vecs.select(col("ent"), col("vec_id")), "vec_id")
+      .select(col("ent"), col("vec_id"), col("m"), col("cw"), col("d2"))
+  }
 
   /** The Lloyd assign/recompute loop over quantized vectors, shared by
     * [[kmeansLloyd]] (q88) and [[semanticDedup]] (q77): deterministic
@@ -2046,25 +2101,13 @@ object Similarity {
         cents0.write.mode("overwrite").parquet(s"$scratch/centroids")
       }
       val frozen = spark.read.parquet(s"$scratch/centroids")
-      // one-round argmin against a stored codebook over pre-quantized
-      // rows — q184's assignAll on the integer domain
-      def assignAllQ(vecs: DataFrame, cents: DataFrame): DataFrame =
-        vecs.select(col("vec_id"), col("qe"))
-          .crossJoin(broadcast(cents))
-          .withColumn("d2", graft.functions.VectorFunctions.longSqDist(
-            col("qe"), col("ce")))
-          .groupBy(col("vec_id"))
-          .agg(min(struct(col("d2"), col("cluster"))).as("mm"))
-          .join(vecs.select(col("ent"), col("vec_id")), "vec_id")
-          .select(col("ent"), col("vec_id"),
-            col("mm.cluster").as("cluster"), col("mm.d2").as("dist"))
-      assignAllQ(base.filter(col("b") === 0 && !col("del")), frozen)
+      frozenAssignQ(base.filter(col("b") === 0 && !col("del")), frozen)
         .write.mode("overwrite").parquet(s"$scratch/gen0")
       for (g <- 1 to 3) {
         val prev = spark.read.parquet(s"$scratch/gen${g - 1}")
         val batch = base.filter(col("b") === g)
         prev.join(batch.select(col("ent")), Seq("ent"), "left_anti")
-          .unionByName(assignAllQ(batch.filter(!col("del")), frozen))
+          .unionByName(frozenAssignQ(batch.filter(!col("del")), frozen))
           .write.mode("overwrite").parquet(s"$scratch/gen$g")
       }
       def auditOf(tbl: DataFrame, state: String): DataFrame =
@@ -2105,7 +2148,7 @@ object Similarity {
         recomputeCentroids(asgRt, lq, 64)
           .write.mode("overwrite").parquet(s"$scratch/centroids_rt")
       }
-      assignAllQ(live3, spark.read.parquet(s"$scratch/centroids_rt"))
+      frozenAssignQ(live3, spark.read.parquet(s"$scratch/centroids_rt"))
         .write.mode("overwrite").parquet(s"$scratch/gen3r")
       val audits = ((0 to 3).map(g =>
         auditOf(spark.read.parquet(s"$scratch/gen$g"), s"g$g")) :+
@@ -2243,32 +2286,13 @@ object Similarity {
           .write.mode("overwrite").parquet(s"$scratch/codebook")
       }
       val cb = spark.read.parquet(s"$scratch/codebook")
-      // encode a batch of (ent, vec_id, qe) rows against the frozen
-      // stored codebook: the pqAssign kernel + one broadcast decode
-      // join for the per-row reconstruction error
-      def encodeQ(vecs: DataFrame): DataFrame = {
-        val subCols = (0 until 16).map(mi =>
-          struct(lit(mi).as("m"), slice(col("qe"), mi * 4 + 1, 4).as("sq")))
-        val s = vecs.select(col("vec_id"),
-            explode(array(subCols: _*)).as("x"))
-          .select(col("vec_id"), col("x.m").as("m"), col("x.sq").as("sq"))
-        s.join(broadcast(pqFlatCodebook(cb)), Seq("m"))
-          .select(col("vec_id"), col("m"), col("sq"),
-            graft.functions.VectorFunctions.pqArgmin(
-              col("sq"), col("cvflat"), col("cws")).as("cw"))
-          .join(broadcast(cb), Seq("m", "cw"))
-          .withColumn("d2", graft.functions.VectorFunctions.longSqDist(
-            col("sq"), col("cv")))
-          .join(vecs.select(col("ent"), col("vec_id")), "vec_id")
-          .select(col("ent"), col("vec_id"), col("m"), col("cw"), col("d2"))
-      }
-      encodeQ(base.filter(col("b") === 0 && !col("del")))
+      frozenEncodeQ(base.filter(col("b") === 0 && !col("del")), cb)
         .write.mode("overwrite").parquet(s"$scratch/gen0")
       for (g <- 1 to 3) {
         val prev = spark.read.parquet(s"$scratch/gen${g - 1}")
         val batch = base.filter(col("b") === g)
         prev.join(batch.select(col("ent")), Seq("ent"), "left_anti")
-          .unionByName(encodeQ(batch.filter(!col("del"))))
+          .unionByName(frozenEncodeQ(batch.filter(!col("del")), cb))
           .write.mode("overwrite").parquet(s"$scratch/gen$g")
       }
       val audits = (0 to 3).map { g =>
@@ -2344,6 +2368,402 @@ object Similarity {
       |         (SELECT base_mean FROM bl) * 120
       |       THEN 1 ELSE 0 END AS BIGINT) AS retrain
       |FROM ag ORDER BY state""".stripMargin
+
+  /** q190: MULTI-GENERATION lifecycle for the COMPOSED IVF-PQ index —
+    * the q186/q187 serving tier's ingest story. q184 gave the coarse
+    * assignment table a generation lifecycle and q189 gave the PQ
+    * encodings one; the production store ([[writeIvfPqIndex]]) is their
+    * JOIN — cell-labeled encodings, one row per (vector, subspace) with
+    * its inverted-list cell — so its lifecycle is the two merge
+    * disciplines composed over ONE stored table. Both quantizers are
+    * trained on generation 0 and FROZEN (the coarse centroids on the
+    * full gen-0 live set, q184's discipline; the PQ codebook on its
+    * even-entity half with the odd half held out as the error baseline,
+    * q189's); each generation is a read-modify-write: batch entities
+    * anti-join out their old rows, non-tombstone arrivals run the
+    * shared [[frozenAssignQ]] ⋈ [[frozenEncodeQ]] kernels — coarse cell
+    * + 16 codewords per vector, batch-sized work, never the corpus.
+    *
+    * Each audit row carries BOTH drift signals the composed index
+    * owns: mean assignment distance vs gen-0's (the coarse trigger,
+    * q184/q188) and mean reconstruction error vs the held-out gen-0
+    * baseline (the PQ trigger, q189/q191), each at the 120%
+    * [[retrainTrigger]] threshold. On this fixture neither fires —
+    * the exercised retrain paths are q188 (coarse) and q191 (PQ).
+    *
+    * Oracle: both frozen quantizers re-trained from scratch (the
+    * trained-Lloyd CTE over gen-0 live; [[pqCbTrainCte]] over its
+    * even-entity half), every generation's live set re-assigned AND
+    * re-encoded from scratch, same audits — a green hash proves the
+    * incrementally-merged composed store ≡ a from-scratch rebuild at
+    * every generation.
+    *
+    * 100 TB shape: per generation the work is two broadcast kernels
+    * over the ARRIVALS (√N·8 B centroids + ~256 KB codebook), one
+    * entity anti-join on narrow keys over the previous generation, and
+    * two 1-row drift aggregates; the stored layout is exactly the
+    * serving tier's inverted-list row shape, so a generation can be
+    * promoted to the q187 store by a partitionBy(cluster) rewrite —
+    * no recompute. */
+  def ivfPqIndexLifecycle(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_ivfpqgen_").toString
+    def sweepAfter[A](body: => A): A = {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val a = body
+      sc.getPersistentRDDs
+        .filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      a
+    }
+    try {
+      val base = embeddings.select(
+          floor(col("vec_id") / 4).cast("long").as("ent"),
+          col("vec_id"), (col("vec_id") % 4).as("b"),
+          (col("vec_id") % 7 === 0).as("del"))
+        .join(quantized(embeddings, 1000), "vec_id")
+      sweepAfter {
+        val live0 = embeddings
+          .filter(col("vec_id") % 4 === 0 && col("vec_id") % 7 =!= 0)
+          .select(col("vec_id"), col("embedding"))
+        val (_, cents0) = trainLloyd(live0)
+        cents0.write.mode("overwrite").parquet(s"$scratch/centroids")
+        val train0 = embeddings
+          .filter(col("vec_id") % 8 === 0 && col("vec_id") % 7 =!= 0)
+          .select(col("vec_id"), col("embedding"))
+        trainPqCodebook(train0)
+          .write.mode("overwrite").parquet(s"$scratch/codebook")
+      }
+      val cents = spark.read.parquet(s"$scratch/centroids")
+      val cb = spark.read.parquet(s"$scratch/codebook")
+      // one inverted-list row per (vector, subspace): the coarse cell
+      // label join carries (cluster, dist) onto each encode row
+      def indexBatch(vecs: DataFrame): DataFrame =
+        frozenAssignQ(vecs, cents)
+          .join(frozenEncodeQ(vecs, cb)
+            .select(col("vec_id"), col("m"), col("cw"), col("d2")), "vec_id")
+          .select(col("ent"), col("vec_id"), col("cluster"), col("dist"),
+            col("m"), col("cw"), col("d2"))
+      indexBatch(base.filter(col("b") === 0 && !col("del")))
+        .write.mode("overwrite").parquet(s"$scratch/gen0")
+      for (g <- 1 to 3) {
+        val prev = spark.read.parquet(s"$scratch/gen${g - 1}")
+        val batch = base.filter(col("b") === g)
+        prev.join(batch.select(col("ent")), Seq("ent"), "left_anti")
+          .unionByName(indexBatch(batch.filter(!col("del"))))
+          .write.mode("overwrite").parquet(s"$scratch/gen$g")
+      }
+      val audits = (0 to 3).map { g =>
+        spark.read.parquet(s"$scratch/gen$g")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("vec_id")).as("n_vecs"),
+            countDistinct(col("ent")).as("n_ents"),
+            countDistinct(col("cluster")).as("n_cells"),
+            sum(col("vec_id") * 1000000L + col("cluster") * 4096L +
+              col("m") * 256L + col("cw")).as("checksum"),
+            // dist repeats on each of a vector's 16 rows, so the row
+            // mean equals the per-vector mean exactly
+            floor(sum(col("dist")) / count(lit(1))).cast("long")
+              .as("mean_dist"),
+            floor(sum(col("d2")) / count(lit(1))).cast("long")
+              .as("mean_err"))
+          .select(lit(s"g$g").as("state"), col("n_rows"), col("n_vecs"),
+            col("n_ents"), col("n_cells"), col("checksum"),
+            col("mean_dist"), col("mean_err"))
+      }
+      val a = audits.reduce(_ unionAll _).localCheckpoint()
+      val ivfBase = broadcast(a.filter(col("state") === "g0")
+        .select(col("mean_dist").as("base_dist")))
+      val pqBase = broadcast(spark.read.parquet(s"$scratch/gen0")
+        .filter(col("ent") % 2 === 1)
+        .agg(floor(sum(col("d2")) / count(lit(1))).cast("long")
+          .as("base_err")))
+      a.crossJoin(ivfBase).crossJoin(pqBase)
+        .withColumn("retrain_ivf",
+          when(col("mean_dist") * lit(100L) > col("base_dist") * lit(120L),
+            1L).otherwise(0L))
+        .withColumn("retrain_pq",
+          when(col("mean_err") * lit(100L) > col("base_err") * lit(120L),
+            1L).otherwise(0L))
+        .select(col("state"), col("n_rows"), col("n_vecs"), col("n_ents"),
+          col("n_cells"), col("checksum"), col("mean_dist"),
+          col("mean_err"), col("retrain_ivf"), col("retrain_pq"))
+        .orderBy(col("state"))
+        .localCheckpoint()
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
+  }
+
+  /** Oracle: both frozen quantizers from scratch (trained-Lloyd over
+    * gen-0 live; PQ codebook over its even-entity half), every
+    * generation's live set from the latest-wins window re-assigned
+    * against `c4` and re-encoded against `pqc2`, joined into the
+    * inverted-list row shape, same audits and both drift baselines. */
+  val ivfPqIndexLifecycleSql: String =
+    s"""${trainedLloydCteSqlWhere("vec_id % 4 = 0 AND vec_id % 7 != 0")},
+      |pqt AS (SELECT vec_id, qe FROM q WHERE vec_id % 8 = 0),
+      |${pqCbTrainCte("pq", "pqt")},
+      |allv AS (SELECT vec_id // 4 AS ent, vec_id, vec_id % 4 AS b,
+      |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qe,
+      |    (vec_id % 7 = 0) AS del
+      |  FROM embeddings),
+      |st AS (SELECT i.range AS g, ent, vec_id, qe, del,
+      |    row_number() OVER (PARTITION BY i.range, ent ORDER BY b DESC) AS rn
+      |  FROM allv CROSS JOIN range(4) i WHERE b <= i.range),
+      |lv AS (SELECT g, ent, vec_id, qe FROM st WHERE rn = 1 AND NOT del),
+      |pa AS (SELECT lv.g, lv.ent, lv.vec_id, c.cluster,
+      |    CAST(list_sum(list_transform(range(64), i ->
+      |      (lv.qe[i + 1] - c.ce[i + 1]) * (lv.qe[i + 1] - c.ce[i + 1])))
+      |      AS BIGINT) AS dist
+      |  FROM lv CROSS JOIN c4 c),
+      |asgg AS (SELECT g, ent, vec_id, cluster, dist FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY g, vec_id
+      |       ORDER BY dist, cluster) rn FROM pa) WHERE rn = 1),
+      |lsub AS (SELECT g, ent, vec_id, m.range AS m,
+      |    list_slice(qe, m.range * 4 + 1, m.range * 4 + 4) AS sq
+      |  FROM lv CROSS JOIN range(16) m),
+      |pev AS (SELECT l.g, l.ent, l.vec_id, l.m, c.cw,
+      |    CAST(list_sum(list_transform(range(4), i ->
+      |      (l.sq[i + 1] - c.cv[i + 1]) * (l.sq[i + 1] - c.cv[i + 1])))
+      |      AS BIGINT) AS d2
+      |  FROM lsub l JOIN pqc2 c USING (m)),
+      |ae AS (SELECT g, ent, vec_id, m, cw, d2 FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY g, vec_id, m
+      |       ORDER BY d2, cw) rn FROM pev) WHERE rn = 1),
+      |jj AS (SELECT a.g, a.ent, a.vec_id, a.cluster, a.dist,
+      |    e.m, e.cw, e.d2
+      |  FROM asgg a JOIN ae e ON e.g = a.g AND e.vec_id = a.vec_id),
+      |ag AS (SELECT g, count(*) AS n_rows, count(DISTINCT vec_id) AS n_vecs,
+      |    count(DISTINCT ent) AS n_ents, count(DISTINCT cluster) AS n_cells,
+      |    CAST(sum(vec_id * 1000000 + cluster * 4096 + m * 256 + cw) AS BIGINT)
+      |      AS checksum,
+      |    CAST(floor(sum(dist)::DOUBLE / count(*)) AS BIGINT) AS mean_dist,
+      |    CAST(floor(sum(d2)::DOUBLE / count(*)) AS BIGINT) AS mean_err
+      |  FROM jj GROUP BY g),
+      |bl AS (SELECT CAST(floor(sum(d2)::DOUBLE / count(*)) AS BIGINT)
+      |    AS base_err
+      |  FROM jj WHERE g = 0 AND ent % 2 = 1)
+      |SELECT 'g' || g::VARCHAR AS state, n_rows, n_vecs, n_ents, n_cells,
+      |  checksum, mean_dist, mean_err,
+      |  CAST(CASE WHEN mean_dist * 100 >
+      |         (SELECT mean_dist FROM ag WHERE g = 0) * 120
+      |       THEN 1 ELSE 0 END AS BIGINT) AS retrain_ivf,
+      |  CAST(CASE WHEN mean_err * 100 >
+      |         (SELECT base_err FROM bl) * 120
+      |       THEN 1 ELSE 0 END AS BIGINT) AS retrain_pq
+      |FROM ag ORDER BY state""".stripMargin
+
+  /** q191: the PQ lifecycle's RETRAIN PATH, exercised — q188's
+    * contract carried to the second frozen quantizer (until the leg
+    * runs once, the q189 drift signal is a boolean, not a capability).
+    * Same entity stream as q189, except the generation-3 arrivals
+    * DRIFT: +2000 milli-units on every coordinate, applied in the
+    * integer domain after quantization (q188's exact drift, now seen
+    * through the PQ error signal): the frozen codebook's codewords
+    * live where gen-0 lived, so the drifted arrivals' reconstruction
+    * error blows past 120% of the HELD-OUT gen-0 baseline, the trigger
+    * fires at g3 (and nowhere else), and — the new leg — the operator
+    * RETRAINS: a fresh 2-round k=256 codebook over an ENTITY-keyed
+    * 512-cap sample of the even-entity half of the CURRENT (drifted)
+    * live set via [[pqSubRowsQ]] (the drift lives in the integer
+    * domain, so training re-quantizes nothing; the sample keys on ent
+    * because the latest-wins set's vec_ids share a residue class —
+    * see the in-body comment), then re-encodes the whole g3 live set
+    * against it as `g3r`. The holdout discipline carries over: g3r's retrain flag
+    * compares against ITS own odd-entity held-out baseline, and on a
+    * codebook that has seen both populations it goes quiet.
+    *
+    * Oracle: q189's frozen chain with the drifted latest-wins
+    * generations, plus the retrain chain re-run from scratch
+    * ([[pqCbTrainCte]] prefixed `rt` over the g3 even-entity half) —
+    * a green hash proves stored-retrained encodings ≡ a from-scratch
+    * rebuild across the retrain boundary.
+    *
+    * 100 TB shape: q189's per-generation costs, plus one codebook
+    * training over the live corpus at retrain time — sample-capped at
+    * 512 vectors ([[pqSubRowsQ]]), so the retrain itself is O(1) in N;
+    * the full re-encode is the one corpus-sized pass, which is exactly
+    * what "re-encode against a new codebook" must pay and why the
+    * trigger, not the calendar, schedules it. */
+  def pqIndexRetrain(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_pqrt_").toString
+    def sweepAfter[A](body: => A): A = {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val a = body
+      sc.getPersistentRDDs
+        .filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      a
+    }
+    try {
+      val base = embeddings.select(
+          floor(col("vec_id") / 4).cast("long").as("ent"),
+          col("vec_id"), (col("vec_id") % 4).as("b"),
+          (col("vec_id") % 7 === 0).as("del"))
+        .join(quantized(embeddings, 1000), "vec_id")
+        .withColumn("qe", when(col("b") === 3,
+          transform(col("qe"), x => x + lit(2000L))).otherwise(col("qe")))
+      sweepAfter {
+        val train0 = embeddings
+          .filter(col("vec_id") % 8 === 0 && col("vec_id") % 7 =!= 0)
+          .select(col("vec_id"), col("embedding"))
+        trainPqCodebook(train0)
+          .write.mode("overwrite").parquet(s"$scratch/codebook")
+      }
+      val cb = spark.read.parquet(s"$scratch/codebook")
+      frozenEncodeQ(base.filter(col("b") === 0 && !col("del")), cb)
+        .write.mode("overwrite").parquet(s"$scratch/gen0")
+      for (g <- 1 to 3) {
+        val prev = spark.read.parquet(s"$scratch/gen${g - 1}")
+        val batch = base.filter(col("b") === g)
+        prev.join(batch.select(col("ent")), Seq("ent"), "left_anti")
+          .unionByName(frozenEncodeQ(batch.filter(!col("del")), cb))
+          .write.mode("overwrite").parquet(s"$scratch/gen$g")
+      }
+      def heldOutMean(dir: String): Long =
+        spark.read.parquet(s"$scratch/$dir").filter(col("ent") % 2 === 1)
+          .agg(floor(sum(col("d2")) / count(lit(1))).cast("long")).head()
+          .getLong(0)
+      def rowMean(dir: String): Long =
+        spark.read.parquet(s"$scratch/$dir")
+          .agg(floor(sum(col("d2")) / count(lit(1))).cast("long")).head()
+          .getLong(0)
+      val baseErr = heldOutMean("gen0")
+      val fired = retrainTrigger(rowMean("gen3"), baseErr)
+      require(fired, "q191's drifted fixture must fire the PQ retrain " +
+        "trigger — the undrifted path is q189's")
+      // THE RETRAIN LEG: fresh 2-round k=256 codebook over the
+      // even-entity half of the current live set (drift included, via
+      // the pre-quantized seam), then re-encode ALL live rows
+      val live3 = base
+        .join(spark.read.parquet(s"$scratch/gen3")
+          .select(col("vec_id")).distinct(), "vec_id")
+        .select(col("ent"), col("vec_id"), col("qe"))
+      sweepAfter {
+        // the 512-cap sample must key on the ENTITY, not vec_id: the
+        // latest-wins live set's vec_ids are all ≡ 3 (mod 4), so a
+        // vec_id modulo whose samp divides 4 keeps zero rows (measured
+        // at sf1x: samp = 4 → empty training set → empty codebook);
+        // ents are dense, so ent % samp is never degenerate (at worst
+        // 2× the 512 target when samp is even — ents here are the
+        // even half)
+        val t3all = live3.filter(col("ent") % 2 === 0)
+        val ss = broadcast(t3all.agg(greatest(lit(1L),
+          floor(count(lit(1)) / lit(512)).cast("long")).as("samp")))
+        val t3 = t3all.crossJoin(ss)
+          .filter(pmod(col("ent"), col("samp")) === 0)
+          .select(col("vec_id"), col("qe"))
+        val sub = pqSubRowsQ(t3, 16, 64, sampled = false).localCheckpoint()
+        pqTrainLoop(sub, 16, 256, 2, 64)
+          .write.mode("overwrite").parquet(s"$scratch/codebook_rt")
+      }
+      frozenEncodeQ(live3, spark.read.parquet(s"$scratch/codebook_rt"))
+        .write.mode("overwrite").parquet(s"$scratch/gen3r")
+      def auditOf(dir: String, state: String): DataFrame =
+        spark.read.parquet(s"$scratch/$dir")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("vec_id")).as("n_vecs"),
+            countDistinct(col("ent")).as("n_ents"),
+            sum(col("vec_id") * 100000L + col("m") * 256L + col("cw"))
+              .as("checksum"),
+            floor(sum(col("d2")) / count(lit(1))).cast("long")
+              .as("mean_err"))
+          .select(lit(state).as("state"), col("n_rows"), col("n_vecs"),
+            col("n_ents"), col("checksum"), col("mean_err"))
+      val audits = ((0 to 3).map(g => auditOf(s"gen$g", s"g$g")) :+
+        auditOf("gen3r", "g3r")).reduce(_ unionAll _)
+      val rtBase = heldOutMean("gen3r")
+      audits
+        .withColumn("retrain",
+          when(col("mean_err") * lit(100L) >
+            when(col("state") === "g3r", lit(rtBase)).otherwise(lit(baseErr))
+              * lit(120L), 1L).otherwise(0L))
+        .orderBy(col("state"))
+        .localCheckpoint()
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
+  }
+
+  /** Oracle: q189's frozen chain with the drifted generations, the
+    * retrain codebook re-trained from scratch over the g3 even-entity
+    * half, every g3 live row re-encoded against it, per-state
+    * baselines (held-out gen-0 for g0..g3; held-out g3r for g3r). */
+  val pqIndexRetrainSql: String =
+    s"""WITH q AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qe
+      |  FROM embeddings WHERE vec_id % 8 = 0 AND vec_id % 7 != 0),
+      |${pqCbTrainCte("", "q")},
+      |allv AS (SELECT vec_id // 4 AS ent, vec_id, vec_id % 4 AS b,
+      |    CASE WHEN vec_id % 4 = 3
+      |      THEN list_transform(qe0, x -> x + 2000) ELSE qe0 END AS qe,
+      |    (vec_id % 7 = 0) AS del
+      |  FROM (SELECT vec_id,
+      |     list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qe0
+      |   FROM embeddings)),
+      |st AS (SELECT i.range AS g, ent, vec_id, qe, del,
+      |    row_number() OVER (PARTITION BY i.range, ent ORDER BY b DESC) AS rn
+      |  FROM allv CROSS JOIN range(4) i WHERE b <= i.range),
+      |lv AS (SELECT g, ent, vec_id, qe FROM st WHERE rn = 1 AND NOT del),
+      |lsub AS (SELECT g, ent, vec_id, m.range AS m,
+      |    list_slice(qe, m.range * 4 + 1, m.range * 4 + 4) AS sq
+      |  FROM lv CROSS JOIN range(16) m),
+      |pev AS (SELECT l.g, l.ent, l.vec_id, l.m, c.cw,
+      |    CAST(list_sum(list_transform(range(4), i ->
+      |      (l.sq[i + 1] - c.cv[i + 1]) * (l.sq[i + 1] - c.cv[i + 1])))
+      |      AS BIGINT) AS d2
+      |  FROM lsub l JOIN c2 c USING (m)),
+      |ae AS (SELECT g, ent, vec_id, m, cw, d2 FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY g, vec_id, m
+      |       ORDER BY d2, cw) rn FROM pev) WHERE rn = 1),
+      |ag AS (SELECT g, count(*) AS n_rows, count(DISTINCT vec_id) AS n_vecs,
+      |    count(DISTINCT ent) AS n_ents,
+      |    CAST(sum(vec_id * 100000 + m * 256 + cw) AS BIGINT) AS checksum,
+      |    CAST(floor(sum(d2)::DOUBLE / count(*)) AS BIGINT) AS mean_err
+      |  FROM ae GROUP BY g),
+      |bl AS (SELECT CAST(floor(sum(d2)::DOUBLE / count(*)) AS BIGINT)
+      |    AS base_mean
+      |  FROM ae WHERE g = 0 AND ent % 2 = 1),
+      |rtss0 AS (SELECT greatest(1, count(*) // 512) AS samp
+      |  FROM lv WHERE g = 3 AND ent % 2 = 0),
+      |rtq AS (SELECT vec_id, qe FROM lv WHERE g = 3 AND ent % 2 = 0
+      |  AND ent % (SELECT samp FROM rtss0) = 0),
+      |${pqCbTrainCte("rt", "rtq", sample = false)},
+      |rtsub AS (SELECT ent, vec_id, m.range AS m,
+      |    list_slice(qe, m.range * 4 + 1, m.range * 4 + 4) AS sq
+      |  FROM lv CROSS JOIN range(16) m WHERE g = 3),
+      |rtpev AS (SELECT l.ent, l.vec_id, l.m, c.cw,
+      |    CAST(list_sum(list_transform(range(4), i ->
+      |      (l.sq[i + 1] - c.cv[i + 1]) * (l.sq[i + 1] - c.cv[i + 1])))
+      |      AS BIGINT) AS d2
+      |  FROM rtsub l JOIN rtc2 c USING (m)),
+      |rtae AS (SELECT ent, vec_id, m, cw, d2 FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+      |       ORDER BY d2, cw) rn FROM rtpev) WHERE rn = 1),
+      |agr AS (SELECT count(*) AS n_rows, count(DISTINCT vec_id) AS n_vecs,
+      |    count(DISTINCT ent) AS n_ents,
+      |    CAST(sum(vec_id * 100000 + m * 256 + cw) AS BIGINT) AS checksum,
+      |    CAST(floor(sum(d2)::DOUBLE / count(*)) AS BIGINT) AS mean_err
+      |  FROM rtae),
+      |blr AS (SELECT CAST(floor(sum(d2)::DOUBLE / count(*)) AS BIGINT)
+      |    AS base_mean
+      |  FROM rtae WHERE ent % 2 = 1)
+      |SELECT * FROM (
+      |  SELECT 'g' || g::VARCHAR AS state, n_rows, n_vecs, n_ents, checksum,
+      |    mean_err,
+      |    CAST(CASE WHEN mean_err * 100 >
+      |           (SELECT base_mean FROM bl) * 120
+      |         THEN 1 ELSE 0 END AS BIGINT) AS retrain
+      |  FROM ag
+      |  UNION ALL
+      |  SELECT 'g3r' AS state, n_rows, n_vecs, n_ents, checksum, mean_err,
+      |    CAST(CASE WHEN mean_err * 100 >
+      |           (SELECT base_mean FROM blr) * 120
+      |         THEN 1 ELSE 0 END AS BIGINT) AS retrain
+      |  FROM agr)
+      |ORDER BY state""".stripMargin
 
   /** Named pre-checkpoint build pipelines for the suite plan audit
     * (ADVICE r8): the training DAGs the index queries execute eagerly

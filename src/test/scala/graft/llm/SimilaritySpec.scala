@@ -322,6 +322,53 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("composed-index lifecycle (q190): inverted-list row shape at " +
+    "every generation; neither drift signal fires on the isotropic " +
+    "fixture") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.ivfPqIndexLifecycle(emb).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("g0", "g1", "g2", "g3"))
+    val live0 = emb.filter(org.apache.spark.sql.functions.expr(
+      "vec_id % 4 = 0 AND vec_id % 7 != 0")).count()
+    assert(out(0).getLong(2) === live0, "gen0 must audit the b=0 live set")
+    val kCells = math.ceil(math.sqrt(live0.toDouble)).toLong
+    out.foreach { r =>
+      // the serving tier's row shape: 16 cell-labeled encode rows per
+      // vector, one vector per entity, cells within the trained budget
+      assert(r.getLong(1) === 16L * r.getLong(2),
+        s"${r.getString(0)}: rows != 16 x vecs")
+      assert(r.getLong(3) === r.getLong(2),
+        s"${r.getString(0)}: duplicate entities survived the merge")
+      assert(r.getLong(4) <= kCells,
+        s"${r.getString(0)}: more occupied cells than the frozen codebook")
+      assert(r.getLong(8) === 0L, s"${r.getString(0)}: spurious IVF retrain")
+      assert(r.getLong(9) === 0L, s"${r.getString(0)}: spurious PQ retrain")
+    }
+  }
+
+  test("PQ retrain (q191): only the drifted generation fires; the " +
+    "retrained codebook recovers baseline-scale reconstruction error " +
+    "over the same live set") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.pqIndexRetrain(emb).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("g0", "g1", "g2", "g3", "g3r"))
+    val byState = out.map(r => r.getString(0) -> r).toMap
+    assert(byState("g3").getLong(6) === 1L, "drifted g3 must fire")
+    Seq("g0", "g1", "g2", "g3r").foreach(s =>
+      assert(byState(s).getLong(6) === 0L, s"spurious trigger at $s"))
+    // recovery is not marginal: the retrained codebook has seen both
+    // populations, so g3r's error collapses back to gen-0 scale while
+    // g3's carries the drifted arrivals' misfit
+    assert(byState("g3r").getLong(5) < byState("g3").getLong(5),
+      "retrain did not reduce reconstruction error")
+    assert(byState("g3r").getLong(5) * 100L <=
+      byState("g0").getLong(5) * 150L,
+      "post-retrain error not at baseline scale")
+    // retrain re-encodes the live set, it does not re-ingest
+    assert(byState("g3r").getLong(1) === byState("g3").getLong(1))
+    assert(byState("g3r").getLong(3) === byState("g3").getLong(3))
+  }
+
   test("IVF-PQ hybrid (q186): all cells probed + full-depth refine " +
     "degenerates to brute force; the registered point prunes the ADC " +
     "scan to the compressed budget; serve leg (q187) equals it") {
