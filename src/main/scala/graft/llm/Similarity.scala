@@ -431,7 +431,7 @@ object Similarity {
   /** The (probe_id, pe, pn) frame of the registered probe set — the
     * first nProbes corpus vectors. The streaming legs substitute a
     * micro-batch of arrivals for this frame. */
-  private def probesFrame(embeddings: DataFrame, nProbes: Int): DataFrame =
+  private[llm] def probesFrame(embeddings: DataFrame, nProbes: Int): DataFrame =
     embeddings.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
         l2norm(col("embedding")).as("pn"))
@@ -1848,11 +1848,20 @@ object Similarity {
   /** The serve plan over an arbitrary probe frame — shared by q187 and
     * the streaming leg ([[ivfPqStreamBatch]]). */
   private def ivfPqServeFor(probes: DataFrame, embeddings: DataFrame,
-                            corpusTag: String, k: Int): DataFrame = {
+                            corpusTag: String, k: Int): DataFrame =
+    ivfPqServeRoot(
+      graft.FsUtil.ServedRoots.getOrBuild(
+        corpusKey(embeddings, "vec_id", s"ivfpq:$corpusTag", embSig),
+        "graft_ivfpq_served_")(writeIvfPqIndex(embeddings, _)),
+      probes, embeddings, k)
+
+  /** The serve plan over an EXPLICIT store root (centroids + codebook +
+    * cell-partitioned invlists) — split from the ServedRoots resolution
+    * so a promoted q190 generation can be served directly
+    * (SimilaritySpec's promotion proof) without re-keying the cache. */
+  private[llm] def ivfPqServeRoot(root: String, probes: DataFrame,
+                                  embeddings: DataFrame, k: Int): DataFrame = {
     val spark = embeddings.sparkSession
-    val root = graft.FsUtil.ServedRoots.getOrBuild(
-      corpusKey(embeddings, "vec_id", s"ivfpq:$corpusTag", embSig),
-      "graft_ivfpq_served_")(writeIvfPqIndex(embeddings, _))
     val cents = spark.read.parquet(s"$root/centroids")
     val cb = spark.read.parquet(s"$root/codebook")
     val inv = spark.read.parquet(s"$root/invlists")
@@ -1887,6 +1896,43 @@ object Similarity {
       col("embedding").as("pe"), l2norm(col("embedding")).as("pn"))
     ivfPqServeFor(probes, embeddings, corpusTag, k)
       .write.mode("append").parquet(outDir)
+    ()
+  }
+
+  /** q190 under STRUCTURED STREAMING — the composed index's INGEST
+    * half (the [[Corpus.fpIndexStreamBatch]] pattern carried to the
+    * production ANN tier): entity arrivals land as micro-batches, and
+    * each batch is a read-modify-write over the stored root's newest
+    * generation — batch entities anti-join out their old rows,
+    * non-tombstone arrivals run [[composedIndexRows]] against the
+    * FROZEN stored quantizers, and the merge lands as gen(N+1). With
+    * [[ivfPqStreamBatch]] on the serve side, the composed index now
+    * both ingests and serves continuously. Batch schema: (ent, vec_id,
+    * embedding, del); the first-arrival-wins caveat of the fp stream
+    * does not arise — entity merges are whole-batch anti-joins, so the
+    * contract is per-batch latest-wins, identical to the batch
+    * lifecycle's. StreamingSpec proves streamed generations ≡ the
+    * batch lifecycle's chain bit-for-bit. */
+  def ivfPqIngestStreamBatch(root: String)(batch: DataFrame,
+                                           batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val gens = Option(new java.io.File(root).list()).getOrElse(Array.empty)
+      .filter(_.startsWith("gen")).map(_.drop(3).toInt)
+    // fail fast with the precondition's name, not an `empty.max`
+    // (the ADVICE-r10 fpIndexStreamBatch lesson)
+    require(gens.nonEmpty,
+      s"ivfPqIngestStreamBatch: no genN directory under $root — the " +
+        "lifecycle build must seed gen0 before the stream starts")
+    val cur = gens.max
+    val stored = spark.read.parquet(s"$root/gen$cur")
+    val cents = spark.read.parquet(s"$root/centroids")
+    val cb = spark.read.parquet(s"$root/codebook")
+    val vecs = batch.filter(!col("del")).select(col("ent"), col("vec_id"))
+      .join(quantized(batch.select(col("vec_id"), col("embedding")), 1000),
+        "vec_id")
+    stored.join(batch.select(col("ent")), Seq("ent"), "left_anti")
+      .unionByName(composedIndexRows(vecs, cents, cb))
+      .write.mode("overwrite").parquet(s"$root/gen${cur + 1}")
     ()
   }
 
@@ -2406,9 +2452,32 @@ object Similarity {
     * promoted to the q187 store by a partitionBy(cluster) rewrite —
     * no recompute. */
   def ivfPqIndexLifecycle(embeddings: DataFrame): DataFrame = {
-    val spark = embeddings.sparkSession
     val scratch =
       java.nio.file.Files.createTempDirectory("graft_ivfpqgen_").toString
+    try ivfPqLifecycleTo(embeddings, scratch)
+    finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
+  }
+
+  /** One inverted-list row per (vector, subspace) of a pre-quantized
+    * batch against BOTH frozen quantizers — the composed lifecycle's
+    * arrivals kernel (q190 and its streaming ingest leg): the coarse
+    * cell label join carries (cluster, dist) onto each encode row, so
+    * the output IS the q187 serving row shape. */
+  private[llm] def composedIndexRows(vecs: DataFrame, cents: DataFrame,
+                                     cb: DataFrame): DataFrame =
+    frozenAssignQ(vecs, cents)
+      .join(frozenEncodeQ(vecs, cb)
+        .select(col("vec_id"), col("m"), col("cw"), col("d2")), "vec_id")
+      .select(col("ent"), col("vec_id"), col("cluster"), col("dist"),
+        col("m"), col("cw"), col("d2"))
+
+  /** [[ivfPqIndexLifecycle]]'s working body over an EXPLICIT root —
+    * split out so the promotion proof (SimilaritySpec) and the
+    * streaming ingest leg (StreamingSpec) can reach the stored
+    * centroids / codebook / genN tables the public wrapper deletes. */
+  private[graft] def ivfPqLifecycleTo(embeddings: DataFrame,
+                                    scratch: String): DataFrame = {
+    val spark = embeddings.sparkSession
     def sweepAfter[A](body: => A): A = {
       val sc = spark.sparkContext
       val before = sc.getPersistentRDDs.keySet
@@ -2418,7 +2487,7 @@ object Similarity {
         .values.foreach(_.unpersist(blocking = false))
       a
     }
-    try {
+    {
       val base = embeddings.select(
           floor(col("vec_id") / 4).cast("long").as("ent"),
           col("vec_id"), (col("vec_id") % 4).as("b"),
@@ -2438,21 +2507,15 @@ object Similarity {
       }
       val cents = spark.read.parquet(s"$scratch/centroids")
       val cb = spark.read.parquet(s"$scratch/codebook")
-      // one inverted-list row per (vector, subspace): the coarse cell
-      // label join carries (cluster, dist) onto each encode row
-      def indexBatch(vecs: DataFrame): DataFrame =
-        frozenAssignQ(vecs, cents)
-          .join(frozenEncodeQ(vecs, cb)
-            .select(col("vec_id"), col("m"), col("cw"), col("d2")), "vec_id")
-          .select(col("ent"), col("vec_id"), col("cluster"), col("dist"),
-            col("m"), col("cw"), col("d2"))
-      indexBatch(base.filter(col("b") === 0 && !col("del")))
+      composedIndexRows(base.filter(col("b") === 0 && !col("del")),
+          cents, cb)
         .write.mode("overwrite").parquet(s"$scratch/gen0")
       for (g <- 1 to 3) {
         val prev = spark.read.parquet(s"$scratch/gen${g - 1}")
         val batch = base.filter(col("b") === g)
         prev.join(batch.select(col("ent")), Seq("ent"), "left_anti")
-          .unionByName(indexBatch(batch.filter(!col("del"))))
+          .unionByName(composedIndexRows(batch.filter(!col("del")),
+            cents, cb))
           .write.mode("overwrite").parquet(s"$scratch/gen$g")
       }
       val audits = (0 to 3).map { g =>
@@ -2492,7 +2555,7 @@ object Similarity {
           col("mean_err"), col("retrain_ivf"), col("retrain_pq"))
         .orderBy(col("state"))
         .localCheckpoint()
-    } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
+    }
   }
 
   /** Oracle: both frozen quantizers from scratch (trained-Lloyd over

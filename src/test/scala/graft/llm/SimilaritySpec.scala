@@ -1,5 +1,7 @@
 package graft.llm
 
+import java.nio.file.Files
+
 import graft.{SparkSpec, Tables}
 
 class SimilaritySpec extends SparkSpec {
@@ -344,6 +346,43 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getLong(8) === 0L, s"${r.getString(0)}: spurious IVF retrain")
       assert(r.getLong(9) === 0L, s"${r.getString(0)}: spurious PQ retrain")
     }
+  }
+
+  test("a q190 generation IS the serving layout: gen3 promoted by a " +
+    "projection + partitionBy(cluster) rewrite serves identically to " +
+    "an unpartitioned copy of the same rows") {
+    // the q190 scaladoc's promotion claim, proven: the lifecycle's
+    // generation rows carry exactly the serving store's inverted-list
+    // schema, and the cell-partitioned rewrite loses nothing to the
+    // partition-pruned serve read (the pruning-correctness risk)
+    val emb = Tables.embeddings(spark, sf)
+    val root = Files.createTempDirectory("graft-promote").toString
+    try {
+      Similarity.ivfPqLifecycleTo(emb, root)
+      val gen3 = spark.read.parquet(s"$root/gen3")
+        .select("vec_id", "m", "cw", "cluster")
+      gen3.write.partitionBy("cluster").parquet(s"$root/invlists")
+      val probes = Similarity.probesFrame(emb, 10)
+      val served = Similarity.ivfPqServeRoot(root, probes, emb, k = 5)
+        .collect().toSeq
+      // reference: identical rows, flat (unpartitioned) layout — the
+      // serve plan's semantics must not depend on the physical layout
+      val floot = Files.createTempDirectory("graft-promote-flat").toString
+      try {
+        gen3.write.parquet(s"$floot/invlists")
+        for (t <- Seq("centroids", "codebook"))
+          spark.read.parquet(s"$root/$t").write.parquet(s"$floot/$t")
+        val flat = Similarity.ivfPqServeRoot(floot, probes, emb, k = 5)
+          .collect().toSeq
+        assert(served === flat)
+      } finally graft.FsUtil.deleteRecursively(new java.io.File(floot))
+      assert(served.nonEmpty)
+      // the served neighbors come from the generation's live set alone
+      val live = spark.read.parquet(s"$root/gen3")
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(served.forall(r => live(r.getLong(1))),
+        "serve leaked a vector outside the promoted generation")
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(root))
   }
 
   test("PQ retrain (q191): only the drifted generation fires; the " +

@@ -335,4 +335,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() === batch.count())
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
+
+  test("composed-index INGEST stream (q190 online): generations merged " +
+    "from arrival micro-batches equal the batch lifecycle's chain") {
+    import org.apache.spark.sql.functions.{col, floor}
+    import org.apache.spark.sql.types._
+    val emb = graft.Tables.embeddings(spark, sf)
+    // batch reference: the full lifecycle chain (deterministic kernels,
+    // so a second run over the same corpus rebuilds it bit-for-bit)
+    val rootB = Files.createTempDirectory("graft-ivfpq-ingb").toString
+    val rootS = Files.createTempDirectory("graft-ivfpq-ings").toString
+    val dir = Files.createTempDirectory("graft-ivfpq-arr").toString + "/arr"
+    try {
+      graft.llm.Similarity.ivfPqLifecycleTo(emb, rootB)
+      // streamed side: same frozen tables + gen0 seed, generations
+      // 1 and 2 arrive as micro-batches instead
+      graft.llm.Similarity.ivfPqLifecycleTo(emb, rootS)
+      for (g <- 1 to 3)
+        graft.FsUtil.deleteRecursively(new java.io.File(s"$rootS/gen$g"))
+      def arrivals(g: Int) = emb
+        .filter(col("vec_id") % 4 === g)
+        .select(floor(col("vec_id") / 4).cast("long").as("ent"),
+          col("vec_id"), col("embedding"),
+          (col("vec_id") % 7 === 0).as("del"))
+      arrivals(1).write.parquet(dir)
+      val schema = StructType(Seq(
+        StructField("ent", LongType), StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("del", BooleanType)))
+      val q = spark.readStream.schema(schema).parquet(dir)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.llm.Similarity.ivfPqIngestStreamBatch(rootS)(b, id))
+        .start()
+      try {
+        q.processAllAvailable()
+        arrivals(2).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      } finally q.stop()
+      for (g <- 1 to 2) {
+        val b = spark.read.parquet(s"$rootB/gen$g")
+        val s = spark.read.parquet(s"$rootS/gen$g")
+        assert(s.count() === b.count(), s"gen$g row count diverged")
+        assert(s.except(b).isEmpty && b.except(s).isEmpty,
+          s"gen$g streamed != batch")
+      }
+    } finally Seq(rootB, rootS).foreach(r =>
+      graft.FsUtil.deleteRecursively(new java.io.File(r)))
+  }
 }
