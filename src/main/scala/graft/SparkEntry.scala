@@ -284,7 +284,9 @@ object SparkEntry {
     "q190_ivfpq_lifecycle" -> ((s, d) =>
       Similarity.ivfPqIndexLifecycle(embeddings(s, d))),
     "q191_pq_retrain" -> ((s, d) =>
-      Similarity.pqIndexRetrain(embeddings(s, d)))
+      Similarity.pqIndexRetrain(embeddings(s, d))),
+    "q192_bucketed_merge" -> ((s, d) =>
+      Corpus.bucketedIndexMerge(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -494,6 +496,7 @@ object SparkEntry {
     "q188_lifecycle_retrain" -> Similarity.vectorIndexRetrainSql,
     "q189_pq_lifecycle" -> Similarity.pqIndexLifecycleSql,
     "q190_ivfpq_lifecycle" -> Similarity.ivfPqIndexLifecycleSql,
-    "q191_pq_retrain" -> Similarity.pqIndexRetrainSql
+    "q191_pq_retrain" -> Similarity.pqIndexRetrainSql,
+    "q192_bucketed_merge" -> Corpus.bucketedIndexMergeSql
   )
 }

@@ -1182,10 +1182,12 @@ object Corpus {
 
   /** q69's normalization, shared by the fingerprint index paths:
     * lowercase, non-alphanumerics to spaces, runs collapsed, trimmed. */
-  private def normFp: org.apache.spark.sql.Column =
-    md5(trim(regexp_replace(
+  private def normText: org.apache.spark.sql.Column =
+    trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
-      .cast("binary"))
+
+  private def normFp: org.apache.spark.sql.Column =
+    md5(normText.cast("binary"))
 
   /** Writes the two curation-index tables under `root`:
     * `fingerprints(doc_id, fp)` — q69's normalized md5 per document —
@@ -1663,6 +1665,167 @@ object Corpus {
       |    + CAST(concat('0x', substring(fp, 1, 8)) AS BIGINT)) AS BIGINT)
       |    AS checksum
       |FROM live GROUP BY g ORDER BY state""".stripMargin
+
+  /** q192: BUCKETED index merge — the generation write path made
+    * 100 TB-safe. Every lifecycle so far (q176/q181/q184/q189/q190)
+    * proves incremental-merge ≡ from-scratch, but each generation is a
+    * FULL rewrite of the index: `prev anti-join batch union survivors`
+    * materializes all N rows even when the batch touches 0.1% of
+    * entities — at 100 TB a daily merge would rewrite 100 TB. Here the
+    * store is hash-partitioned on `bkt = md5(ent) % 256` (the q63 split
+    * arithmetic — stable across engines, runs and cluster layouts) and
+    * a merge rewrites ONLY the dirty buckets:
+    *
+    *  1. dirty = distinct buckets of the batch's entities (a ≤256-row
+    *     driver-side list — the partition-pruning decision, the same
+    *     driver-scalar class as the q184 retrain trigger);
+    *  2. read back JUST those partitions (partition pruning on the
+    *     `bkt=` directory key — no clean-bucket IO at all);
+    *  3. the usual entity anti-join + non-tombstone append WITHIN the
+    *     dirty subset;
+    *  4. write with dynamic partition overwrite
+    *     (`partitionOverwriteMode=dynamic`), which replaces exactly the
+    *     partitions present in the output — clean buckets' files are
+    *     physically untouched (CorpusSpec pins their mtimes);
+    *  5. a dirty bucket whose merged row set ends EMPTY (every row
+    *     tombstoned, no survivors) is dropped explicitly — dynamic
+    *     overwrite only replaces partitions it writes, so an
+    *     all-deleted bucket would otherwise serve stale rows forever
+    *     (the classic dynamic-overwrite hole; CorpusSpec forces it).
+    *
+    * Fixture: entities = documents (`ent = doc_id`); gen0 indexes the
+    * whole corpus; batch g ∈ {1,2,3} revises docs with
+    * `doc_id % 200 ∈ {g, 4}` under a generation-salted fingerprint
+    * (`md5(norm_text ⧺ "#g" ⧺ g)`), so the `% 200 = 4` entities are
+    * revised in EVERY batch (latest-wins exercised through all three
+    * merges) and `doc_id % 3 = 0` arrivals are tombstones. Output is
+    * one audit row per generation read back from the FULL store (rows,
+    * entities, dirty-bucket count, id+fp checksum); the oracle
+    * recomputes every generation from scratch as one latest-wins
+    * window, so a green hash proves dirty-bucket-only-merge ≡
+    * full-recompute at every generation.
+    *
+    * 100 TB shape: per merge, IO is proportional to the DIRTY buckets
+    * (≈ batch entities when buckets ≫ batch, since each batch entity
+    * dirties at most one bucket), not to the index; bucket count is the
+    * knob — 256 here, ~1e5-1e6 at 100 TB so a daily batch rewrites
+    * ~batch-sized bytes. Clean buckets are never read, never shuffled,
+    * never rewritten. */
+  def bucketedIndexMerge(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val scratch = java.nio.file.Files.createTempDirectory("graft_bktidx_").toString
+    try {
+      val audits = bucketedMergeAt(documents, s"$scratch/store")
+      audits.reduce(_ unionAll _).orderBy(col("state")).localCheckpoint()
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
+  }
+
+  private val MergeBuckets = 256
+
+  private[llm] def bktOf(ent: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(ent.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % MergeBuckets
+
+  /** The q192 store driver, factored so CorpusSpec can probe the store
+    * layout (file mtimes, bucket dirs) between generations. Returns one
+    * checkpointed audit frame per generation g0..g3. */
+  private[llm] def bucketedMergeAt(documents: DataFrame,
+                                   store: String): Seq[DataFrame] = {
+    val spark = documents.sparkSession
+    documents
+      .select(col("doc_id").as("ent"), col("doc_id"), normFp.as("fp"))
+      .withColumn("bkt", bktOf(col("ent")))
+      .repartition(32, col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(store)
+    def audit(g: String, nDirty: Int): DataFrame =
+      spark.read.parquet(store)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("ent")).as("n_ents"),
+          sum(col("ent") * 100000L +
+            col("doc_id") +
+            conv(substring(col("fp"), 1, 8), 16, 10).cast("long"))
+            .as("checksum"))
+        .select(lit(g).as("state"), col("n_rows"), col("n_ents"),
+          lit(nDirty.toLong).as("n_dirty"), col("checksum"))
+        .localCheckpoint()
+    val g0 = audit("g0", 0)
+    g0 +: (1 to 3).map { g =>
+      val batch = documents
+        .filter(col("doc_id") % 200 === g || col("doc_id") % 200 === 4)
+        .select(col("doc_id").as("ent"), col("doc_id"),
+          md5(concat(normText, lit(s"#g$g")).cast("binary")).as("fp"),
+          (col("doc_id") % 3 === 0).as("del"))
+        .withColumn("bkt", bktOf(col("ent")))
+      audit(s"g$g", mergeBatchInto(store, batch))
+    }
+  }
+
+  /** One dirty-bucket-only merge of `batch(ent, doc_id, fp, del, bkt)`
+    * into the bucketed store. Returns the dirty-bucket count. */
+  private[llm] def mergeBatchInto(store: String, batch: DataFrame): Int = {
+    val spark = batch.sparkSession
+    val dirty: Seq[Long] = batch.select(col("bkt").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    if (dirty.nonEmpty) {
+      val storedDirty = spark.read.parquet(store)
+        .filter(col("bkt").isin(dirty: _*))
+        .withColumn("bkt", col("bkt").cast("long"))
+      // eager checkpoint: the merged set is batch-sized (dirty buckets
+      // only) and is consumed twice — the dynamic-overwrite write and
+      // the empty-bucket census below
+      val merged = storedDirty
+        .join(batch.select(col("ent")), Seq("ent"), "left_anti")
+        .unionByName(batch.filter(!col("del"))
+          .select(col("ent"), col("doc_id"), col("fp"), col("bkt")))
+        .localCheckpoint()
+      merged.repartition(col("bkt"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bkt").parquet(store)
+      // dynamic overwrite replaces only partitions PRESENT in the
+      // output — a dirty bucket with zero surviving rows must be
+      // dropped explicitly or its stale files keep serving
+      val still = merged.select(col("bkt")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      for (b <- dirty if !still(b))
+        graft.FsUtil.deleteRecursively(new java.io.File(s"$store/bkt=$b"))
+    }
+    dirty.size
+  }
+
+  /** Oracle: every generation recomputed from scratch — the q181
+    * latest-wins window over base ∪ salted revisions, tombstones drop —
+    * plus the dirty-bucket count from the same md5-bucket arithmetic
+    * the store partitions on. */
+  val bucketedIndexMergeSql: String =
+    """WITH nrm AS (SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |                        ' +', ' ', 'g')) AS nt
+      |  FROM documents),
+      |b0 AS (SELECT doc_id AS ent, doc_id, 0 AS b, md5(nt) AS fp, FALSE AS del
+      |  FROM nrm),
+      |rv AS (SELECT n.doc_id AS ent, n.doc_id, g.range AS b,
+      |    md5(n.nt || '#g' || g.range::VARCHAR) AS fp,
+      |    (n.doc_id % 3 = 0) AS del
+      |  FROM nrm n CROSS JOIN range(1, 4) g
+      |  WHERE n.doc_id % 200 = g.range OR n.doc_id % 200 = 4),
+      |al AS (SELECT * FROM b0 UNION ALL SELECT * FROM rv),
+      |st AS (SELECT i.range AS g, ent, doc_id, fp, del,
+      |    row_number() OVER (PARTITION BY i.range, ent ORDER BY b DESC) AS rn
+      |  FROM al CROSS JOIN range(4) i WHERE b <= i.range),
+      |live AS (SELECT g, ent, doc_id, fp FROM st WHERE rn = 1 AND NOT del),
+      |dirt AS (SELECT b AS g,
+      |    count(DISTINCT CAST(concat('0x', substring(md5(ent::VARCHAR), 1, 8))
+      |      AS BIGINT) % 256) AS n_dirty
+      |  FROM rv GROUP BY b)
+      |SELECT 'g' || l.g::VARCHAR AS state, count(*) AS n_rows,
+      |  count(DISTINCT l.ent) AS n_ents,
+      |  CAST(coalesce(any_value(d.n_dirty), 0) AS BIGINT) AS n_dirty,
+      |  CAST(sum(l.ent * 100000 + l.doc_id
+      |    + CAST(concat('0x', substring(l.fp, 1, 8)) AS BIGINT)) AS BIGINT)
+      |    AS checksum
+      |FROM live l LEFT JOIN dirt d ON l.g = d.g
+      |GROUP BY l.g ORDER BY state""".stripMargin
 
   /** q182: the end-to-end DAILY-PIPELINE composition (VERDICT r8 Next
     * #6 — the q143 lineage pattern applied to the LLM stack). One query

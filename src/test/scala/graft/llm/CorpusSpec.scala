@@ -693,4 +693,122 @@ class CorpusSpec extends SparkSpec {
         assert(!asg.contains(id), s"exact dup $id survived ingest")
     }
   }
+
+  // walk every data file under a bucketed store: path -> (length, mtime)
+  private def storeFiles(root: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(root))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+  }
+
+  test("bucketed merge (q192): clean buckets' files are physically untouched") {
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_bktspec_").toString
+    try {
+      val store = s"$scratch/store"
+      docs.select(col("doc_id").as("ent"), col("doc_id"),
+          md5(col("text").cast("binary")).as("fp"))
+        .withColumn("bkt", Corpus.bktOf(col("ent")))
+        .repartition(8, col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(store)
+      val before = storeFiles(store)
+      assert(before.nonEmpty)
+      // revise a handful of entities (and tombstone one of them)
+      val batch = docs.filter(col("doc_id") % 100 === 5)
+        .select(col("doc_id").as("ent"), col("doc_id"),
+          md5(concat(col("text"), lit("#rev")).cast("binary")).as("fp"),
+          (col("doc_id") % 3 === 0).as("del"))
+        .withColumn("bkt", Corpus.bktOf(col("ent")))
+      val dirtyBkts = batch.select(col("bkt").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(dirtyBkts.nonEmpty && dirtyBkts.size < 100,
+        s"fixture should dirty a strict subset of buckets: $dirtyBkts")
+      val nDirty = Corpus.mergeBatchInto(store, batch)
+      assert(nDirty === dirtyBkts.size)
+      val after = storeFiles(store)
+      def bucketOfPath(p: String): Long =
+        "bkt=([0-9]+)".r.findFirstMatchIn(p).get.group(1).toLong
+      // clean buckets: byte-identical file sets (same paths, lengths, mtimes)
+      val cleanBefore = before.filter { case (p, _) => !dirtyBkts(bucketOfPath(p)) }
+      val cleanAfter = after.filter { case (p, _) => !dirtyBkts(bucketOfPath(p)) }
+      assert(cleanAfter === cleanBefore,
+        "a clean bucket's files changed — the merge rewrote more than the dirty set")
+      // dirty buckets that still hold rows: fully new files (dynamic
+      // overwrite replaces the partition's contents)
+      val dirtyBeforePaths = before.keySet.filter(p => dirtyBkts(bucketOfPath(p)))
+      val dirtyAfterPaths = after.keySet.filter(p => dirtyBkts(bucketOfPath(p)))
+      assert(dirtyBeforePaths.intersect(dirtyAfterPaths).isEmpty,
+        "dynamic overwrite left an old file in a rewritten bucket")
+      // and the merged store equals a from-scratch latest-wins recompute
+      val got = spark.read.parquet(store)
+        .select(col("ent"), col("fp")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val baseFp = docs.select(col("doc_id"),
+          md5(col("text").cast("binary")).as("fp")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val revFp = docs.filter(col("doc_id") % 100 === 5)
+        .select(col("doc_id"),
+          md5(concat(col("text"), lit("#rev")).cast("binary")).as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expected = baseFp.keys.flatMap { id =>
+        if (id % 100 == 5) {
+          if (id % 3 == 0) None else Some(id -> revFp(id))
+        } else Some(id -> baseFp(id))
+      }.toMap
+      assert(got === expected)
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
+  }
+
+  test("bucketed merge (q192): an all-tombstoned bucket is dropped, not left stale") {
+    import spark.implicits._
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_bktspec2_").toString
+    try {
+      val store = s"$scratch/store"
+      val base = Seq.tabulate(40)(i => (i.toLong, s"doc body $i"))
+        .toDF("doc_id", "text")
+      base.select(col("doc_id").as("ent"), col("doc_id"),
+          md5(col("text").cast("binary")).as("fp"))
+        .withColumn("bkt", Corpus.bktOf(col("ent")))
+        .repartition(4, col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(store)
+      // pick a bucket holding exactly one entity (40 ents over 256
+      // buckets: singleton buckets dominate) and tombstone that entity
+      val byBkt = spark.read.parquet(store)
+        .groupBy(col("bkt").cast("long").as("b"))
+        .agg(count(lit(1)).as("n"), min(col("ent")).as("ent"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val (lone, _, loneEnt) = byBkt.find(_._2 == 1L)
+        .getOrElse(fail("no singleton bucket in fixture"))
+      val batch = Seq((loneEnt, loneEnt, "dead", true))
+        .toDF("ent", "doc_id", "fp", "del")
+        .withColumn("bkt", Corpus.bktOf(col("ent")))
+      Corpus.mergeBatchInto(store, batch)
+      assert(!new java.io.File(s"$store/bkt=$lone").exists(),
+        "an all-tombstoned bucket must be dropped — dynamic overwrite " +
+          "alone would have left its stale files in place")
+      val left = spark.read.parquet(store)
+      assert(left.filter(col("ent") === loneEnt).count() === 0)
+      assert(left.count() === 39)
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
+  }
+
+  test("bucketed merge (q192): audit generations are consistent") {
+    val out = Corpus.bucketedIndexMerge(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.map(_._1).toSeq === Seq("g0", "g1", "g2", "g3"))
+    val total = docs.count()
+    out.foreach { case (st, nRows, nEnts, nDirty, _) =>
+      assert(nRows === nEnts, s"$st: ent must stay a unique key")
+      assert(nRows <= total)
+      if (st == "g0") assert(nDirty === 0) else assert(nDirty > 0)
+    }
+    // generations only shed rows through tombstones; each batch is ~1%
+    // of the corpus, so the live set never collapses
+    assert(out.last._2 > total * 9 / 10)
+  }
 }
