@@ -1672,13 +1672,18 @@ object Corpus {
     * FULL rewrite of the index: `prev anti-join batch union survivors`
     * materializes all N rows even when the batch touches 0.1% of
     * entities — at 100 TB a daily merge would rewrite 100 TB. Here the
-    * store is hash-partitioned on `bkt = md5(ent) % 256` (the q63 split
-    * arithmetic — stable across engines, runs and cluster layouts) and
-    * a merge rewrites ONLY the dirty buckets:
+    * store is hash-partitioned on `bkt = md5(ent) % B` (the q63 split
+    * arithmetic — stable across engines, runs and cluster layouts),
+    * where B follows the at-scale sizing discipline: constant ROWS PER
+    * BUCKET, i.e. `B = max(16, ceil(N / 256))`, so buckets stay
+    * fixed-size as the corpus grows (~100 MB–1 GB each at 100 TB,
+    * giving ~1e5–1e6 buckets) and a batch of K entities always dirties
+    * ≤ K of them. A merge rewrites ONLY the dirty buckets:
     *
-    *  1. dirty = distinct buckets of the batch's entities (a ≤256-row
-    *     driver-side list — the partition-pruning decision, the same
-    *     driver-scalar class as the q184 retrain trigger);
+    *  1. dirty = distinct buckets of the batch's entities (a
+    *     batch-bounded driver-side list — the partition-pruning
+    *     decision, the same driver-scalar class as the q184 retrain
+    *     trigger);
     *  2. read back JUST those partitions (partition pruning on the
     *     `bkt=` directory key — no clean-bucket IO at all);
     *  3. the usual entity anti-join + non-tombstone append WITHIN the
@@ -1694,23 +1699,26 @@ object Corpus {
     *     (the classic dynamic-overwrite hole; CorpusSpec forces it).
     *
     * Fixture: entities = documents (`ent = doc_id`); gen0 indexes the
-    * whole corpus; batch g ∈ {1,2,3} revises docs with
-    * `doc_id % 200 ∈ {g, 4}` under a generation-salted fingerprint
-    * (`md5(norm_text ⧺ "#g" ⧺ g)`), so the `% 200 = 4` entities are
-    * revised in EVERY batch (latest-wins exercised through all three
-    * merges) and `doc_id % 3 = 0` arrivals are tombstones. Output is
-    * one audit row per generation read back from the FULL store (rows,
-    * entities, dirty-bucket count, id+fp checksum); the oracle
-    * recomputes every generation from scratch as one latest-wins
-    * window, so a green hash proves dirty-bucket-only-merge ≡
+    * whole corpus; batch g ∈ {1,2,3} revises an ABSOLUTE-sized band —
+    * docs with `doc_id < 96 AND doc_id % 4 ∈ {g, 0}` (a daily batch
+    * does not grow with the historical corpus) — under a
+    * generation-salted fingerprint (`md5(norm_text ⧺ "#g" ⧺ g)`), so
+    * the `% 4 = 0` entities are revised in EVERY batch (latest-wins
+    * exercised through all three merges) and `doc_id % 3 = 0` arrivals
+    * are tombstones. Output is one audit row per generation read back
+    * from the FULL store (rows, entities, dirty-bucket count, id+fp
+    * checksum); the oracle recomputes every generation from scratch as
+    * one latest-wins window (with B from the same `count(*)`
+    * arithmetic), so a green hash proves dirty-bucket-only-merge ≡
     * full-recompute at every generation.
     *
     * 100 TB shape: per merge, IO is proportional to the DIRTY buckets
     * (≈ batch entities when buckets ≫ batch, since each batch entity
-    * dirties at most one bucket), not to the index; bucket count is the
-    * knob — 256 here, ~1e5-1e6 at 100 TB so a daily batch rewrites
-    * ~batch-sized bytes. Clean buckets are never read, never shuffled,
-    * never rewritten. */
+    * dirties at most one bucket), not to the index. Because B grows
+    * with N at constant bucket size while the batch stays
+    * absolute-sized, per-merge bytes are ~CONSTANT as the corpus grows
+    * (measured in PERF.md r11: the sf0.1→sf1x ramp). Clean buckets are
+    * never read, never shuffled, never rewritten. */
   def bucketedIndexMerge(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     val scratch = java.nio.file.Files.createTempDirectory("graft_bktidx_").toString
@@ -1720,11 +1728,20 @@ object Corpus {
     } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
   }
 
-  private val MergeBuckets = 256
+  /** Target bucket size: B = max(16, ceil(N / MergeRowsPerBucket)) —
+    * constant rows per bucket, so bucket count grows with the corpus
+    * and a fixed-size daily batch dirties a shrinking FRACTION of the
+    * store (constant absolute bytes). 256 rows here stands in for the
+    * ~100 MB-1 GB a production bucket would hold. */
+  private val MergeRowsPerBucket = 256L
 
-  private[llm] def bktOf(ent: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[llm] def mergeBucketCount(n: Long): Long =
+    math.max(16L, (n + MergeRowsPerBucket - 1) / MergeRowsPerBucket)
+
+  private[llm] def bktOf(ent: org.apache.spark.sql.Column,
+                         nBuckets: Long): org.apache.spark.sql.Column =
     conv(substring(md5(ent.cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long") % MergeBuckets
+      .cast("long") % nBuckets
 
   /** The q192 store driver, factored so CorpusSpec can probe the store
     * layout (file mtimes, bucket dirs) between generations. Returns one
@@ -1732,9 +1749,12 @@ object Corpus {
   private[llm] def bucketedMergeAt(documents: DataFrame,
                                    store: String): Seq[DataFrame] = {
     val spark = documents.sparkSession
+    // the one corpus-sized action: sizes the bucket count (a driver
+    // scalar, same class as the dirty-bucket list below)
+    val nBuckets = mergeBucketCount(documents.count())
     documents
       .select(col("doc_id").as("ent"), col("doc_id"), normFp.as("fp"))
-      .withColumn("bkt", bktOf(col("ent")))
+      .withColumn("bkt", bktOf(col("ent"), nBuckets))
       .repartition(32, col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(store)
     def audit(g: String, nDirty: Int): DataFrame =
@@ -1751,11 +1771,12 @@ object Corpus {
     val g0 = audit("g0", 0)
     g0 +: (1 to 3).map { g =>
       val batch = documents
-        .filter(col("doc_id") % 200 === g || col("doc_id") % 200 === 4)
+        .filter(col("doc_id") < 96 &&
+          (col("doc_id") % 4 === g || col("doc_id") % 4 === 0))
         .select(col("doc_id").as("ent"), col("doc_id"),
           md5(concat(normText, lit(s"#g$g")).cast("binary")).as("fp"),
           (col("doc_id") % 3 === 0).as("del"))
-        .withColumn("bkt", bktOf(col("ent")))
+        .withColumn("bkt", bktOf(col("ent"), nBuckets))
       audit(s"g$g", mergeBatchInto(store, batch))
     }
   }
@@ -1796,9 +1817,12 @@ object Corpus {
   /** Oracle: every generation recomputed from scratch — the q181
     * latest-wins window over base ∪ salted revisions, tombstones drop —
     * plus the dirty-bucket count from the same md5-bucket arithmetic
-    * the store partitions on. */
+    * the store partitions on (bucket count from the same
+    * rows-per-bucket sizing rule, via count(*)). */
   val bucketedIndexMergeSql: String =
-    """WITH nrm AS (SELECT doc_id,
+    """WITH bb AS (SELECT greatest(16, CAST(ceil(count(*) / 256.0) AS BIGINT))
+      |    AS nb FROM documents),
+      |nrm AS (SELECT doc_id,
       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
       |                        ' +', ' ', 'g')) AS nt
       |  FROM documents),
@@ -1808,7 +1832,7 @@ object Corpus {
       |    md5(n.nt || '#g' || g.range::VARCHAR) AS fp,
       |    (n.doc_id % 3 = 0) AS del
       |  FROM nrm n CROSS JOIN range(1, 4) g
-      |  WHERE n.doc_id % 200 = g.range OR n.doc_id % 200 = 4),
+      |  WHERE n.doc_id < 96 AND (n.doc_id % 4 = g.range OR n.doc_id % 4 = 0)),
       |al AS (SELECT * FROM b0 UNION ALL SELECT * FROM rv),
       |st AS (SELECT i.range AS g, ent, doc_id, fp, del,
       |    row_number() OVER (PARTITION BY i.range, ent ORDER BY b DESC) AS rn
@@ -1816,7 +1840,7 @@ object Corpus {
       |live AS (SELECT g, ent, doc_id, fp FROM st WHERE rn = 1 AND NOT del),
       |dirt AS (SELECT b AS g,
       |    count(DISTINCT CAST(concat('0x', substring(md5(ent::VARCHAR), 1, 8))
-      |      AS BIGINT) % 256) AS n_dirty
+      |      AS BIGINT) % (SELECT nb FROM bb)) AS n_dirty
       |  FROM rv GROUP BY b)
       |SELECT 'g' || l.g::VARCHAR AS state, count(*) AS n_rows,
       |  count(DISTINCT l.ent) AS n_ents,

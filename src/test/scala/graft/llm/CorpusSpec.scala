@@ -711,7 +711,7 @@ class CorpusSpec extends SparkSpec {
       val store = s"$scratch/store"
       docs.select(col("doc_id").as("ent"), col("doc_id"),
           md5(col("text").cast("binary")).as("fp"))
-        .withColumn("bkt", Corpus.bktOf(col("ent")))
+        .withColumn("bkt", Corpus.bktOf(col("ent"), 64))
         .repartition(8, col("bkt"))
         .write.mode("overwrite").partitionBy("bkt").parquet(store)
       val before = storeFiles(store)
@@ -721,7 +721,7 @@ class CorpusSpec extends SparkSpec {
         .select(col("doc_id").as("ent"), col("doc_id"),
           md5(concat(col("text"), lit("#rev")).cast("binary")).as("fp"),
           (col("doc_id") % 3 === 0).as("del"))
-        .withColumn("bkt", Corpus.bktOf(col("ent")))
+        .withColumn("bkt", Corpus.bktOf(col("ent"), 64))
       val dirtyBkts = batch.select(col("bkt").cast("long")).distinct()
         .collect().map(_.getLong(0)).toSet
       assert(dirtyBkts.nonEmpty && dirtyBkts.size < 100,
@@ -772,10 +772,10 @@ class CorpusSpec extends SparkSpec {
         .toDF("doc_id", "text")
       base.select(col("doc_id").as("ent"), col("doc_id"),
           md5(col("text").cast("binary")).as("fp"))
-        .withColumn("bkt", Corpus.bktOf(col("ent")))
+        .withColumn("bkt", Corpus.bktOf(col("ent"), 64))
         .repartition(4, col("bkt"))
         .write.mode("overwrite").partitionBy("bkt").parquet(store)
-      // pick a bucket holding exactly one entity (40 ents over 256
+      // pick a bucket holding exactly one entity (40 ents over 64
       // buckets: singleton buckets dominate) and tombstone that entity
       val byBkt = spark.read.parquet(store)
         .groupBy(col("bkt").cast("long").as("b"))
@@ -785,7 +785,7 @@ class CorpusSpec extends SparkSpec {
         .getOrElse(fail("no singleton bucket in fixture"))
       val batch = Seq((loneEnt, loneEnt, "dead", true))
         .toDF("ent", "doc_id", "fp", "del")
-        .withColumn("bkt", Corpus.bktOf(col("ent")))
+        .withColumn("bkt", Corpus.bktOf(col("ent"), 64))
       Corpus.mergeBatchInto(store, batch)
       assert(!new java.io.File(s"$store/bkt=$lone").exists(),
         "an all-tombstoned bucket must be dropped — dynamic overwrite " +
@@ -807,8 +807,12 @@ class CorpusSpec extends SparkSpec {
       assert(nRows <= total)
       if (st == "g0") assert(nDirty === 0) else assert(nDirty > 0)
     }
-    // generations only shed rows through tombstones; each batch is ~1%
-    // of the corpus, so the live set never collapses
-    assert(out.last._2 > total * 9 / 10)
+    // generations only shed rows through tombstones, and a tombstoned
+    // entity is never revived by a later batch (the %4=0 always-revised
+    // class re-tombstones its %3=0 members every time), so the final
+    // live set is exactly the corpus minus the batch band's %3=0 ids
+    val deleted =
+      docs.filter(col("doc_id") < 96 && col("doc_id") % 3 === 0).count()
+    assert(out.last._2 === total - deleted)
   }
 }
