@@ -286,7 +286,9 @@ object SparkEntry {
     "q191_pq_retrain" -> ((s, d) =>
       Similarity.pqIndexRetrain(embeddings(s, d))),
     "q192_bucketed_merge" -> ((s, d) =>
-      Corpus.bucketedIndexMerge(documents(s, d)))
+      Corpus.bucketedIndexMerge(documents(s, d))),
+    "q193_lsm_vector_index" -> ((s, d) =>
+      Similarity.lsmVectorIndex(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -497,6 +499,7 @@ object SparkEntry {
     "q189_pq_lifecycle" -> Similarity.pqIndexLifecycleSql,
     "q190_ivfpq_lifecycle" -> Similarity.ivfPqIndexLifecycleSql,
     "q191_pq_retrain" -> Similarity.pqIndexRetrainSql,
-    "q192_bucketed_merge" -> Corpus.bucketedIndexMergeSql
+    "q192_bucketed_merge" -> Corpus.bucketedIndexMergeSql,
+    "q193_lsm_vector_index" -> Similarity.lsmVectorIndexSql
   )
 }

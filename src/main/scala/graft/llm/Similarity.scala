@@ -2944,4 +2944,198 @@ object Similarity {
       |SELECT method, n_truth, n_hits,
       |  CAST(floor(10000.0 * n_hits / n_truth) AS BIGINT) AS recall_bp
       |FROM m ORDER BY method""".stripMargin
+
+  /** Compaction threshold for the LSM vector index (q193), in percent
+    * of the base segment's rows — integer arithmetic, oracle-mirrored
+    * (the ADVICE-r10 one-constant lesson: both the operator and the
+    * oracle derive from this value). */
+  private[llm] val LsmDeltaPct = 5L
+
+  /** q193: LSM vector index — the WRITE path of the SERVING tier. The
+    * q192 dirty-bucket discipline cannot carry to the cell-partitioned
+    * vector store: cells number only ~⌈√N⌉ (71 at N=5000, ~3e5 at
+    * 1e11), so even a modest arrival batch touches MOST cells and a
+    * dirty-cell rewrite degenerates to a full one. The production shape
+    * for this tier is the LSM/segment pattern (Lucene-style): arrivals
+    * land as APPEND-ONLY per-generation delta segments — assignments of
+    * live arrivals against the frozen centroids plus explicit tombstone
+    * rows — and the BASE segment (partitionBy(cluster), q187's serving
+    * layout) is never touched by ingest. The served view resolves
+    * latest-wins at read time: base anti-join (broadcast) the delta
+    * entities, union the newest surviving delta row per entity. When
+    * the accumulated delta rows cross [[LsmDeltaPct]] percent of the
+    * base, COMPACTION folds the view into a fresh cell-partitioned base
+    * and clears the deltas — the amortized full rewrite, scheduled by
+    * the trigger exactly like q188's retrain.
+    *
+    * Fixture: ent = vec_id over the embedding corpus; gen0 = every
+    * vector, original embedding; batch g ∈ {1,2,3} revises
+    * `vec_id % 100 ∈ {g, 4}` (the %100=4 entities re-arrive every
+    * generation — latest-wins through multiple deltas) with the arrival
+    * embedding shifted +500·g milli-units per coordinate in the integer
+    * domain (the q188 drift trick — deterministic, oracle-exact, and it
+    * moves some entities across cells so tombstoned base rows and
+    * cell-moves are both real); `vec_id % 3 = 0` arrivals are
+    * tombstones. Cumulative delta fraction is 2/4/6%, so the trigger
+    * fires at g3 at EVERY corpus size (scale-invariant control flow).
+    * Output: one audit row per state g0..g3 + post-compaction g3c
+    * (rows/entities/cells of the SERVED VIEW, delta-row count,
+    * compacted flag, checksum); the oracle recomputes every state's
+    * view from scratch (frozen trained-Lloyd CTE, latest-wins window,
+    * per-vector argmin) and emits g3c behind the SAME integer trigger
+    * predicate — a green hash proves served-view-over-deltas ≡
+    * from-scratch rebuild at every generation AND across the compaction
+    * boundary.
+    *
+    * 100 TB shape: ingest cost is O(batch) — one delta segment write,
+    * no base IO at all (CorpusSpec-style mtime pin in SimilaritySpec);
+    * serve cost is the q187 probed-cell plan plus a broadcast anti-join
+    * against the (small) delta entity set; compaction is the one
+    * corpus-sized pass, paid only when the delta fraction crosses the
+    * threshold. */
+  def lsmVectorIndex(embeddings: DataFrame): DataFrame = {
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_lsmvec_").toString
+    try lsmVectorIndexTo(embeddings, scratch)
+    finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
+  }
+
+  /** [[lsmVectorIndex]]'s working body over an EXPLICIT root, split out
+    * so SimilaritySpec can pin the base segment's files untouched
+    * across delta generations and serve through the view directly. */
+  private[graft] def lsmVectorIndexTo(embeddings: DataFrame,
+                                      root: String,
+                                      onState: String => Unit = _ => ())
+      : DataFrame = {
+    val spark = embeddings.sparkSession
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val (_, cents0) =
+      trainLloyd(embeddings.select(col("vec_id"), col("embedding")))
+    cents0.write.mode("overwrite").parquet(s"$root/centroids")
+    sc.getPersistentRDDs.filterNot { case (id, _) => before(id) }
+      .values.foreach(_.unpersist(blocking = false))
+    val cents = spark.read.parquet(s"$root/centroids")
+    val q0 = quantized(embeddings.select(col("vec_id"), col("embedding")), 1000)
+    frozenAssignQ(
+        q0.select(col("vec_id").as("ent"), col("vec_id"), col("qe")), cents)
+      .repartition(32, col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$root/base")
+    var basePath = s"$root/base"
+    var deltaPaths = Vector.empty[String]
+    // latest-wins resolution at read time — base anti-join the delta
+    // entity set (broadcast: deltas are batch-sized), union the newest
+    // surviving delta row per entity
+    def view(): DataFrame = {
+      val b = spark.read.parquet(basePath)
+        .select(col("ent"), col("vec_id"),
+          col("cluster").cast("long").as("cluster"), col("dist"))
+      if (deltaPaths.isEmpty) b
+      else {
+        val ds = deltaPaths.zipWithIndex.map { case (p, i) =>
+            spark.read.parquet(p).withColumn("gen", lit(i.toLong))
+          }.reduce(_ unionByName _)
+        val latest = ds
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("ent")).orderBy(col("gen").desc)))
+          .filter(col("rn") === 1 && !col("del"))
+          .select(col("ent"), col("vec_id"), col("cluster"), col("dist"))
+        b.join(broadcast(ds.select(col("ent")).distinct()),
+            Seq("ent"), "left_anti")
+          .unionByName(latest)
+      }
+    }
+    def audit(state: String, nDelta: Long, compacted: Long): DataFrame =
+      view()
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("ent")).as("n_ents"),
+          countDistinct(col("cluster")).as("n_cells"),
+          sum(col("ent") * 100000L + col("vec_id") * 10L + col("cluster"))
+            .as("checksum"))
+        .select(lit(state).as("state"), col("n_rows"), col("n_ents"),
+          col("n_cells"), lit(nDelta).as("n_delta"),
+          lit(compacted).as("compacted"), col("checksum"))
+        .localCheckpoint()
+    val baseRows = spark.read.parquet(basePath).count()
+    var deltaRows = 0L
+    val audits = scala.collection.mutable.ArrayBuffer(audit("g0", 0L, 0L))
+    onState("g0")
+    for (g <- 1 to 3) {
+      val arr = q0
+        .filter(col("vec_id") % 100 === g || col("vec_id") % 100 === 4)
+        .select(col("vec_id").as("ent"), col("vec_id"),
+          transform(col("qe"), x => x + lit(500L * g)).as("qe"),
+          (col("vec_id") % 3 === 0).as("del"))
+      val delta = frozenAssignQ(arr.filter(!col("del")), cents)
+        .withColumn("del", lit(false))
+        .unionByName(arr.filter(col("del"))
+          .select(col("ent"), col("vec_id"), lit(-1L).as("cluster"),
+            lit(0L).as("dist"), lit(true).as("del")))
+      val p = s"$root/delta$g"
+      delta.write.mode("overwrite").parquet(p)
+      deltaPaths :+= p
+      deltaRows += spark.read.parquet(p).count()
+      audits += audit(s"g$g", deltaRows, 0L)
+      onState(s"g$g")
+      if (deltaRows * 100L > baseRows * LsmDeltaPct) {
+        val np = s"$root/base_c$g"
+        view().repartition(32, col("cluster"))
+          .write.mode("overwrite").partitionBy("cluster").parquet(np)
+        deltaPaths.foreach(d =>
+          graft.FsUtil.deleteRecursively(new java.io.File(d)))
+        deltaPaths = Vector.empty
+        basePath = np
+        deltaRows = 0L
+        audits += audit(s"g${g}c", 0L, 1L)
+        onState(s"g${g}c")
+      }
+    }
+    audits.reduce(_ unionAll _).orderBy(col("state")).localCheckpoint()
+  }
+
+  /** Oracle: the frozen trained-Lloyd CTE over the whole corpus, every
+    * state's served view from one latest-wins window (drifted arrivals
+    * in the same +500·g integer domain, tombstones drop, per-vector
+    * argmin), delta-row counts from the same band arithmetic, and the
+    * post-compaction row emitted behind the SAME integer trigger
+    * predicate ([[LsmDeltaPct]]). */
+  val lsmVectorIndexSql: String =
+    s"""$trainedLloydCteSql,
+      |arr AS (SELECT g.range AS b, q.vec_id AS ent, q.vec_id,
+      |    list_transform(q.qe, x -> x + 500 * g.range) AS qe,
+      |    (q.vec_id % 3 = 0) AS del
+      |  FROM q CROSS JOIN range(1, 4) g
+      |  WHERE q.vec_id % 100 = g.range OR q.vec_id % 100 = 4),
+      |bs0 AS (SELECT 0 AS b, vec_id AS ent, vec_id, qe, FALSE AS del FROM q),
+      |al AS (SELECT * FROM bs0 UNION ALL SELECT * FROM arr),
+      |stt AS (SELECT i.range AS g, ent, vec_id, qe, del,
+      |    row_number() OVER (PARTITION BY i.range, ent ORDER BY b DESC) AS rn
+      |  FROM al CROSS JOIN range(4) i WHERE b <= i.range),
+      |lvv AS (SELECT g, ent, vec_id, qe FROM stt WHERE rn = 1 AND NOT del),
+      |paa AS (SELECT lvv.g, lvv.ent, lvv.vec_id, c.cluster,
+      |    CAST(list_sum(list_transform(range(64), i ->
+      |      (lvv.qe[i + 1] - c.ce[i + 1]) * (lvv.qe[i + 1] - c.ce[i + 1])))
+      |      AS BIGINT) AS dist
+      |  FROM lvv CROSS JOIN c4 c),
+      |asgn AS (SELECT g, ent, vec_id, cluster FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY g, vec_id
+      |       ORDER BY dist, cluster) rn FROM paa) WHERE rn = 1),
+      |dr AS (SELECT i.range AS g, count(*) AS n_delta FROM arr
+      |  CROSS JOIN range(4) i WHERE arr.b <= i.range GROUP BY i.range),
+      |nb AS (SELECT count(*) AS n FROM q),
+      |ag AS (SELECT g, count(*) AS n_rows, count(DISTINCT ent) AS n_ents,
+      |    count(DISTINCT cluster) AS n_cells,
+      |    CAST(sum(ent * 100000 + vec_id * 10 + cluster) AS BIGINT)
+      |      AS checksum
+      |  FROM asgn GROUP BY g)
+      |SELECT 'g' || a.g::VARCHAR AS state, a.n_rows, a.n_ents, a.n_cells,
+      |  CAST(coalesce(d.n_delta, 0) AS BIGINT) AS n_delta,
+      |  CAST(0 AS BIGINT) AS compacted, a.checksum
+      |FROM ag a LEFT JOIN dr d ON a.g = d.g
+      |UNION ALL
+      |SELECT 'g3c', n_rows, n_ents, n_cells, CAST(0 AS BIGINT),
+      |  CAST(1 AS BIGINT), checksum
+      |FROM ag WHERE g = 3 AND (SELECT n_delta FROM dr WHERE g = 3) * 100 >
+      |  (SELECT n FROM nb) * $LsmDeltaPct
+      |ORDER BY state""".stripMargin
 }

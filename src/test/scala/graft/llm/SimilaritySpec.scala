@@ -493,4 +493,49 @@ class SimilaritySpec extends SparkSpec {
     assert(got("ivf_trained")._3 > got("ivf_label")._3,
       "trained IVF does not beat the label-mean baseline")
   }
+
+  test("lsm vector index (q193): ingest never touches the base segment; " +
+      "compaction preserves the served view") {
+    val emb = Tables.embeddings(spark, sf)
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_lsmspec_").toString
+    try {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      def baseFiles(): Map[String, (Long, Long)] =
+        walk(new java.io.File(s"$scratch/base"))
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+      var atG0: Map[String, (Long, Long)] = Map.empty
+      var atG3: Map[String, (Long, Long)] = Map.empty
+      val out = Similarity.lsmVectorIndexTo(emb, scratch, {
+        case "g0" => atG0 = baseFiles()
+        case "g3" => atG3 = baseFiles()
+        case _    => ()
+      }).collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+      // the LSM contract: three generations of ingest wrote ONLY delta
+      // segments — the base segment's files are byte-identical
+      assert(atG0.nonEmpty && atG3 === atG0,
+        "a delta generation rewrote the base segment")
+      // compaction fired at g3 (6% > 5%) and preserved the view exactly
+      assert(out.keySet === Set("g0", "g1", "g2", "g3", "g3c"))
+      val (g3, g3c) = (out("g3"), out("g3c"))
+      assert(g3c._1 === g3._1 && g3c._2 === g3._2 && g3c._3 === g3._3 &&
+        g3c._6 === g3._6, "compaction changed the served view")
+      assert(g3c._4 === 0L && g3c._5 === 1L)
+      assert(g3._4 > 0L && g3._5 === 0L)
+      // deltas are gone; the compacted base is the whole index, with
+      // every tombstoned entity really dropped
+      assert(!new java.io.File(s"$scratch/delta1").exists())
+      val compacted = spark.read.parquet(s"$scratch/base_c3")
+      assert(compacted.count() === g3._1)
+      val tombstoned = compacted.collect().map(_.getAs[Long]("ent"))
+        .filter(e => e % 3 == 0 && Set(1L, 2L, 3L, 4L)(e % 100))
+      assert(tombstoned.isEmpty,
+        s"tombstoned entities survived compaction: ${tombstoned.take(5).toSeq}")
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
+  }
 }
