@@ -3023,28 +3023,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$root/base")
     var basePath = s"$root/base"
     var deltaPaths = Vector.empty[String]
-    // latest-wins resolution at read time — base anti-join the delta
-    // entity set (broadcast: deltas are batch-sized), union the newest
-    // surviving delta row per entity
-    def view(): DataFrame = {
-      val b = spark.read.parquet(basePath)
-        .select(col("ent"), col("vec_id"),
-          col("cluster").cast("long").as("cluster"), col("dist"))
-      if (deltaPaths.isEmpty) b
-      else {
-        val ds = deltaPaths.zipWithIndex.map { case (p, i) =>
-            spark.read.parquet(p).withColumn("gen", lit(i.toLong))
-          }.reduce(_ unionByName _)
-        val latest = ds
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("ent")).orderBy(col("gen").desc)))
-          .filter(col("rn") === 1 && !col("del"))
-          .select(col("ent"), col("vec_id"), col("cluster"), col("dist"))
-        b.join(broadcast(ds.select(col("ent")).distinct()),
-            Seq("ent"), "left_anti")
-          .unionByName(latest)
-      }
-    }
+    def view(): DataFrame = lsmResolvedView(spark, basePath, deltaPaths)
     def audit(state: String, nDelta: Long, compacted: Long): DataFrame =
       view()
         .agg(count(lit(1)).as("n_rows"),
@@ -3091,6 +3070,84 @@ object Similarity {
       }
     }
     audits.reduce(_ unionAll _).orderBy(col("state")).localCheckpoint()
+  }
+
+  /** The LSM served view — latest-wins resolution at read time: base
+    * anti-join the delta entity set (broadcast: deltas are
+    * batch-sized), union the newest surviving delta row per entity.
+    * `deltaPaths` MUST be in ascending generation order. Shared by the
+    * batch lifecycle and the streaming ingest leg. */
+  private def lsmResolvedView(spark: org.apache.spark.sql.SparkSession,
+                              basePath: String,
+                              deltaPaths: Seq[String]): DataFrame = {
+    val b = spark.read.parquet(basePath)
+      .select(col("ent"), col("vec_id"),
+        col("cluster").cast("long").as("cluster"), col("dist"))
+    if (deltaPaths.isEmpty) b
+    else {
+      val ds = deltaPaths.zipWithIndex.map { case (p, i) =>
+          spark.read.parquet(p).withColumn("gen", lit(i.toLong))
+        }.reduce(_ unionByName _)
+      val latest = ds
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("ent")).orderBy(col("gen").desc)))
+        .filter(col("rn") === 1 && !col("del"))
+        .select(col("ent"), col("vec_id"), col("cluster"), col("dist"))
+      b.join(broadcast(ds.select(col("ent")).distinct()),
+          Seq("ent"), "left_anti")
+        .unionByName(latest)
+    }
+  }
+
+  /** q193 under STRUCTURED STREAMING — the LSM index's ingest leg (the
+    * [[ivfPqIngestStreamBatch]] pattern carried to the segment store):
+    * each arrival micro-batch appends ONE delta segment (frozen-centroid
+    * assignments of live arrivals + tombstone rows — zero base IO), then
+    * checks the [[LsmDeltaPct]] trigger against the CURRENT base and,
+    * on fire, compacts the resolved view into a fresh cell-partitioned
+    * base and clears the deltas — the same control flow as the batch
+    * lifecycle, driven by micro-batches. Batch schema: (ent, vec_id,
+    * qe, del) with qe PRE-QUANTIZED (array<bigint>, the [[quantized]]
+    * ×1000 domain) — the stream's upstream owns the float→int
+    * quantization, which keeps drifted-arrival fixtures bit-exact
+    * across the stream/batch boundary (float addition does not commute
+    * with rounding; integer addition does). StreamingSpec proves the
+    * streamed chain ≡ the batch lifecycle's: untouched base across
+    * non-compacting batches, identical compacted store after the
+    * trigger fires. */
+  def lsmIngestStreamBatch(root: String)(batch: DataFrame,
+                                         batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val dirs = Option(new java.io.File(root).list()).getOrElse(Array.empty)
+    require(dirs.contains("base") && dirs.contains("centroids"),
+      s"lsmIngestStreamBatch: no base/centroids under $root — the " +
+        "lifecycle build must seed the base segment before the stream")
+    val basePath = root + "/" + dirs
+      .filter(d => d == "base" || d.startsWith("base_c"))
+      .maxBy(d => if (d == "base") 0 else d.drop(6).toInt)
+    val prior = dirs.filter(_.startsWith("delta")).map(_.drop(5).toInt)
+      .sorted.toSeq
+    val next = if (prior.isEmpty) 1 else prior.max + 1
+    val cents = spark.read.parquet(s"$root/centroids")
+    frozenAssignQ(batch.filter(!col("del")), cents)
+      .withColumn("del", lit(false))
+      .unionByName(batch.filter(col("del"))
+        .select(col("ent"), col("vec_id"), lit(-1L).as("cluster"),
+          lit(0L).as("dist"), lit(true).as("del")))
+      .write.mode("overwrite").parquet(s"$root/delta$next")
+    val deltaPaths = (prior :+ next).map(i => s"$root/delta$i")
+    val deltaRows =
+      deltaPaths.map(p => spark.read.parquet(p).count()).sum
+    val baseRows = spark.read.parquet(basePath).count()
+    if (deltaRows * 100L > baseRows * LsmDeltaPct) {
+      lsmResolvedView(spark, basePath, deltaPaths)
+        .repartition(32, col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$root/base_c$next")
+      deltaPaths.foreach(p =>
+        graft.FsUtil.deleteRecursively(new java.io.File(p)))
+    }
+    ()
   }
 
   /** Oracle: the frozen trained-Lloyd CTE over the whole corpus, every

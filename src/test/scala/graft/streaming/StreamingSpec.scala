@@ -383,4 +383,71 @@ class StreamingSpec extends SparkSpec {
     } finally Seq(rootB, rootS).foreach(r =>
       graft.FsUtil.deleteRecursively(new java.io.File(r)))
   }
+
+  test("LSM INGEST stream (q193 online): delta appends + triggered " +
+    "compaction from micro-batches equal the batch lifecycle's store") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val rootB = Files.createTempDirectory("graft-lsm-ingb").toString
+    val rootS = Files.createTempDirectory("graft-lsm-ings").toString
+    val dir = Files.createTempDirectory("graft-lsm-arr").toString + "/arr"
+    try {
+      // batch reference: full lifecycle (ends compacted into base_c3)
+      graft.llm.Similarity.lsmVectorIndexTo(emb, rootB)
+      // streamed side: deterministic rebuild, then strip everything but
+      // the seed (centroids + the gen-0 base segment)
+      graft.llm.Similarity.lsmVectorIndexTo(emb, rootS)
+      graft.FsUtil.deleteRecursively(new java.io.File(s"$rootS/base_c3"))
+      // the q193 fixture's arrival bands, pre-quantized and drifted in
+      // the integer domain (the stream leg's contract)
+      def arrivals(g: Int) = emb
+        .filter(col("vec_id") % 100 === g || col("vec_id") % 100 === 4)
+        .select(col("vec_id").as("ent"), col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long") +
+              lit(500L * g)).as("qe"),
+          (col("vec_id") % 3 === 0).as("del"))
+      def baseFiles(): Set[String] =
+        Option(new java.io.File(s"$rootS/base").listFiles()).toSeq.flatten
+          .map(f => s"${f.getName}:${f.lastModified}").toSet
+      val seedFiles = baseFiles()
+      arrivals(1).write.parquet(dir)
+      val schema = StructType(Seq(
+        StructField("ent", LongType), StructField("vec_id", LongType),
+        StructField("qe", ArrayType(LongType)),
+        StructField("del", BooleanType)))
+      val q = spark.readStream.schema(schema).parquet(dir)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.llm.Similarity.lsmIngestStreamBatch(rootS)(b, id))
+        .start()
+      try {
+        q.processAllAvailable()
+        arrivals(2).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+        // two non-compacting micro-batches: deltas exist, base untouched
+        assert(new java.io.File(s"$rootS/delta1").exists())
+        assert(new java.io.File(s"$rootS/delta2").exists())
+        assert(baseFiles() === seedFiles,
+          "a streamed delta batch rewrote the base segment")
+        arrivals(3).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      } finally q.stop()
+      // third batch crossed 5%: compacted, deltas cleared
+      assert(!new java.io.File(s"$rootS/delta1").exists() &&
+        !new java.io.File(s"$rootS/delta3").exists(),
+        "compaction did not clear the delta segments")
+      val compS = spark.read.parquet(s"$rootS/base_c3")
+        .select(col("ent"), col("vec_id"),
+          col("cluster").cast("long").as("cluster"), col("dist"))
+      val compB = spark.read.parquet(s"$rootB/base_c3")
+        .select(col("ent"), col("vec_id"),
+          col("cluster").cast("long").as("cluster"), col("dist"))
+      assert(compS.count() === compB.count())
+      assert(compS.except(compB).isEmpty && compB.except(compS).isEmpty,
+        "streamed compacted store != batch lifecycle's")
+    } finally Seq(rootB, rootS).foreach(r =>
+      graft.FsUtil.deleteRecursively(new java.io.File(r)))
+  }
 }
