@@ -288,7 +288,9 @@ object SparkEntry {
     "q192_bucketed_merge" -> ((s, d) =>
       Corpus.bucketedIndexMerge(documents(s, d))),
     "q193_lsm_vector_index" -> ((s, d) =>
-      Similarity.lsmVectorIndex(embeddings(s, d)))
+      Similarity.lsmVectorIndex(embeddings(s, d))),
+    "q194_lsm_served" -> ((s, d) =>
+      Similarity.lsmServedTopK(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -500,6 +502,7 @@ object SparkEntry {
     "q190_ivfpq_lifecycle" -> Similarity.ivfPqIndexLifecycleSql,
     "q191_pq_retrain" -> Similarity.pqIndexRetrainSql,
     "q192_bucketed_merge" -> Corpus.bucketedIndexMergeSql,
-    "q193_lsm_vector_index" -> Similarity.lsmVectorIndexSql
+    "q193_lsm_vector_index" -> Similarity.lsmVectorIndexSql,
+    "q194_lsm_served" -> Similarity.lsmServedTopKSql
   )
 }

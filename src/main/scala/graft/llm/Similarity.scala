@@ -3008,19 +3008,7 @@ object Similarity {
                                       onState: String => Unit = _ => ())
       : DataFrame = {
     val spark = embeddings.sparkSession
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val (_, cents0) =
-      trainLloyd(embeddings.select(col("vec_id"), col("embedding")))
-    cents0.write.mode("overwrite").parquet(s"$root/centroids")
-    sc.getPersistentRDDs.filterNot { case (id, _) => before(id) }
-      .values.foreach(_.unpersist(blocking = false))
-    val cents = spark.read.parquet(s"$root/centroids")
-    val q0 = quantized(embeddings.select(col("vec_id"), col("embedding")), 1000)
-    frozenAssignQ(
-        q0.select(col("vec_id").as("ent"), col("vec_id"), col("qe")), cents)
-      .repartition(32, col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$root/base")
+    val (q0, cents) = lsmSeedTo(embeddings, root)
     var basePath = s"$root/base"
     var deltaPaths = Vector.empty[String]
     def view(): DataFrame = lsmResolvedView(spark, basePath, deltaPaths)
@@ -3040,18 +3028,9 @@ object Similarity {
     val audits = scala.collection.mutable.ArrayBuffer(audit("g0", 0L, 0L))
     onState("g0")
     for (g <- 1 to 3) {
-      val arr = q0
-        .filter(col("vec_id") % 100 === g || col("vec_id") % 100 === 4)
-        .select(col("vec_id").as("ent"), col("vec_id"),
-          transform(col("qe"), x => x + lit(500L * g)).as("qe"),
-          (col("vec_id") % 3 === 0).as("del"))
-      val delta = frozenAssignQ(arr.filter(!col("del")), cents)
-        .withColumn("del", lit(false))
-        .unionByName(arr.filter(col("del"))
-          .select(col("ent"), col("vec_id"), lit(-1L).as("cluster"),
-            lit(0L).as("dist"), lit(true).as("del")))
       val p = s"$root/delta$g"
-      delta.write.mode("overwrite").parquet(p)
+      lsmDeltaOf(lsmArrivals(q0, g), cents)
+        .write.mode("overwrite").parquet(p)
       deltaPaths :+= p
       deltaRows += spark.read.parquet(p).count()
       audits += audit(s"g$g", deltaRows, 0L)
@@ -3072,6 +3051,54 @@ object Similarity {
     audits.reduce(_ unionAll _).orderBy(col("state")).localCheckpoint()
   }
 
+  /** Trains the frozen centroids on the whole corpus and writes the
+    * seed tables (`centroids`, the cell-partitioned gen-0 `base` — an
+    * IVF-Flat layout: the quantized vector rides with its assignment,
+    * so the store SERVES without a side lookup). Returns the quantized
+    * corpus frame and the stored centroids. */
+  private def lsmSeedTo(embeddings: DataFrame,
+                        root: String): (DataFrame, DataFrame) = {
+    val spark = embeddings.sparkSession
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val (_, cents0) =
+      trainLloyd(embeddings.select(col("vec_id"), col("embedding")))
+    cents0.write.mode("overwrite").parquet(s"$root/centroids")
+    sc.getPersistentRDDs.filterNot { case (id, _) => before(id) }
+      .values.foreach(_.unpersist(blocking = false))
+    val cents = spark.read.parquet(s"$root/centroids")
+    val q0 = quantized(embeddings.select(col("vec_id"), col("embedding")), 1000)
+    frozenAssignQ(
+        q0.select(col("vec_id").as("ent"), col("vec_id"), col("qe")), cents)
+      .join(q0, "vec_id")
+      .select(col("ent"), col("vec_id"), col("cluster"), col("dist"),
+        col("qe"))
+      .repartition(32, col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$root/base")
+    (q0, cents)
+  }
+
+  /** The q193 fixture's generation-g arrival band: absolute entities
+    * `vec_id % 100 ∈ {g, 4}`, embedding drifted +500·g milli-units in
+    * the integer domain, `vec_id % 3 = 0` tombstoned. */
+  private def lsmArrivals(q0: DataFrame, g: Int): DataFrame = q0
+    .filter(col("vec_id") % 100 === g || col("vec_id") % 100 === 4)
+    .select(col("vec_id").as("ent"), col("vec_id"),
+      transform(col("qe"), x => x + lit(500L * g)).as("qe"),
+      (col("vec_id") % 3 === 0).as("del"))
+
+  /** One delta segment from an arrival frame (ent, vec_id, qe, del):
+    * frozen-centroid assignments of the live arrivals (vector
+    * co-stored) plus explicit tombstone rows. */
+  private def lsmDeltaOf(arr: DataFrame, cents: DataFrame): DataFrame =
+    frozenAssignQ(arr.filter(!col("del")), cents)
+      .join(arr.select(col("vec_id"), col("qe")), "vec_id")
+      .select(col("ent"), col("vec_id"), col("cluster"), col("dist"),
+        col("qe"), lit(false).as("del"))
+      .unionByName(arr.filter(col("del"))
+        .select(col("ent"), col("vec_id"), lit(-1L).as("cluster"),
+          lit(0L).as("dist"), col("qe"), lit(true).as("del")))
+
   /** The LSM served view — latest-wins resolution at read time: base
     * anti-join the delta entity set (broadcast: deltas are
     * batch-sized), union the newest surviving delta row per entity.
@@ -3082,7 +3109,8 @@ object Similarity {
                               deltaPaths: Seq[String]): DataFrame = {
     val b = spark.read.parquet(basePath)
       .select(col("ent"), col("vec_id"),
-        col("cluster").cast("long").as("cluster"), col("dist"))
+        col("cluster").cast("long").as("cluster"), col("dist"),
+        col("qe"))
     if (deltaPaths.isEmpty) b
     else {
       val ds = deltaPaths.zipWithIndex.map { case (p, i) =>
@@ -3092,7 +3120,8 @@ object Similarity {
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("ent")).orderBy(col("gen").desc)))
         .filter(col("rn") === 1 && !col("del"))
-        .select(col("ent"), col("vec_id"), col("cluster"), col("dist"))
+        .select(col("ent"), col("vec_id"), col("cluster"), col("dist"),
+          col("qe"))
       b.join(broadcast(ds.select(col("ent")).distinct()),
           Seq("ent"), "left_anti")
         .unionByName(latest)
@@ -3129,11 +3158,7 @@ object Similarity {
       .sorted.toSeq
     val next = if (prior.isEmpty) 1 else prior.max + 1
     val cents = spark.read.parquet(s"$root/centroids")
-    frozenAssignQ(batch.filter(!col("del")), cents)
-      .withColumn("del", lit(false))
-      .unionByName(batch.filter(col("del"))
-        .select(col("ent"), col("vec_id"), lit(-1L).as("cluster"),
-          lit(0L).as("dist"), lit(true).as("del")))
+    lsmDeltaOf(batch, cents)
       .write.mode("overwrite").parquet(s"$root/delta$next")
     val deltaPaths = (prior :+ next).map(i => s"$root/delta$i")
     val deltaRows =
@@ -3195,4 +3220,104 @@ object Similarity {
       |FROM ag WHERE g = 3 AND (SELECT n_delta FROM dr WHERE g = 3) * 100 >
       |  (SELECT n FROM nb) * $LsmDeltaPct
       |ORDER BY state""".stripMargin
+
+  /** q194: top-k search SERVED THROUGH THE LSM VIEW — the point of the
+    * segment design: queries answer correctly against base + live
+    * deltas WITHOUT waiting for compaction. Builds the q193 seed and
+    * TWO ingest generations (cumulative 4% — deliberately below the
+    * [[LsmDeltaPct]] trigger, so the store is mid-LSM: one base + two
+    * live delta segments), then runs the q37-shaped probed-cell search
+    * against the resolved view: rank the trained cells per probe by
+    * centroid cosine at the dynamic ⌈0.13·⌈√N⌉⌉ budget, score ONLY the
+    * view rows in probed cells (the quantized vector rides with its
+    * assignment — IVF-Flat, no side lookup), top-k by quantized cosine
+    * (scale-invariant, so the ×1000 integer domain ranks identically).
+    * The oracle recomputes the g2 view from scratch (latest-wins +
+    * frozen argmin) and searches it with the same CTEs — a green hash
+    * proves the LSM-served answer ≡ a from-scratch index of the current
+    * corpus state: deletes invisible, revisions visible at their NEW
+    * cells.
+    *
+    * 100 TB shape: the base scan is cell-partition-prunable to the
+    * probe budget (q187's layout); the delta contribution is a
+    * broadcast anti-join plus a batch-sized union — serving cost is the
+    * stored-index plan's plus O(delta). */
+  def lsmServedTopK(embeddings: DataFrame, nProbes: Int = 10,
+                    k: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_lsmsrv_").toString
+    try {
+      val (q0, cents) = lsmSeedTo(embeddings, scratch)
+      for (g <- 1 to 2)
+        lsmDeltaOf(lsmArrivals(q0, g), cents)
+          .write.mode("overwrite").parquet(s"$scratch/delta$g")
+      val view = lsmResolvedView(spark, s"$scratch/base",
+          Seq(1, 2).map(g => s"$scratch/delta$g"))
+        .withColumn("qvec", transform(col("qe"), x => x.cast("double")))
+        .withColumn("qn", l2norm(col("qvec")))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      broadcast(probeCellsOf(embeddings, cents, nProbes, 0)).join(view,
+          col("cell") === col("cluster") && col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", round(dot(col("pe"), col("qvec")) /
+          (col("pn") * col("qn")), 4))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("probe_id"), col("neighbor_id"), col("cos"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy(col("probe_id"), col("rnk"))
+        .localCheckpoint()
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
+  }
+
+  /** Oracle: the frozen trained-Lloyd CTE, the g2 LSM view from scratch
+    * (latest-wins over base ∪ two drifted arrival bands, tombstones
+    * drop, per-vector frozen argmin), then q37's probe/cell-selection
+    * CTEs and the quantized-cosine top-k over the view rows in probed
+    * cells. */
+  val lsmServedTopKSql: String =
+    s"""$trainedLloydCteSql,
+      |arr AS (SELECT g.range AS b, q.vec_id AS ent, q.vec_id,
+      |    list_transform(q.qe, x -> x + 500 * g.range) AS qe,
+      |    (q.vec_id % 3 = 0) AS del
+      |  FROM q CROSS JOIN range(1, 3) g
+      |  WHERE q.vec_id % 100 = g.range OR q.vec_id % 100 = 4),
+      |bs0 AS (SELECT 0 AS b, vec_id AS ent, vec_id, qe, FALSE AS del FROM q),
+      |al AS (SELECT * FROM bs0 UNION ALL SELECT * FROM arr),
+      |stt AS (SELECT ent, vec_id, qe, del,
+      |    row_number() OVER (PARTITION BY ent ORDER BY b DESC) AS rn
+      |  FROM al),
+      |lvv AS (SELECT ent, vec_id, qe FROM stt WHERE rn = 1 AND NOT del),
+      |paa AS (SELECT lvv.ent, lvv.vec_id, lvv.qe, c.cluster,
+      |    CAST(list_sum(list_transform(range(64), i ->
+      |      (lvv.qe[i + 1] - c.ce[i + 1]) * (lvv.qe[i + 1] - c.ce[i + 1])))
+      |      AS BIGINT) AS dist
+      |  FROM lvv CROSS JOIN c4 c),
+      |vw AS (SELECT ent, vec_id, qe, cluster FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |       ORDER BY dist, cluster) rn FROM paa) WHERE rn = 1),
+      |cells AS (SELECT cluster AS cell,
+      |            list_transform(ce, x -> x::DOUBLE) AS centroid
+      |          FROM c4),
+      |probes AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pn
+      |           FROM v WHERE vec_id < 10),
+      |pc AS (SELECT p.probe_id, p.pe, p.pn, c.cell,
+      |    list_sum(list_transform(list_zip(p.pe, c.centroid), z -> z[1]::DOUBLE * z[2]))
+      |      / (p.pn * sqrt(list_sum(list_transform(c.centroid, x -> x * x)))) AS ccos
+      |  FROM probes p CROSS JOIN cells c),
+      |pcr AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) crnk FROM pc),
+      |sel AS (SELECT probe_id, pe, pn, cell FROM pcr
+      |        WHERE crnk <= (SELECT CAST(ceil(0.13 * k) AS BIGINT) FROM kk)),
+      |pairs AS (SELECT sel.probe_id, w.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(range(64), dd ->
+      |        sel.pe[dd + 1]::DOUBLE * w.qe[dd + 1]::DOUBLE))
+      |      / (sel.pn * sqrt(list_sum(list_transform(w.qe,
+      |          x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
+      |  FROM sel JOIN vw w ON w.cluster = sel.cell AND w.vec_id != sel.probe_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) rnk FROM pairs)
+      |SELECT probe_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+      |ORDER BY probe_id, rnk""".stripMargin
 }
