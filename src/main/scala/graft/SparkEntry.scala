@@ -290,7 +290,13 @@ object SparkEntry {
     "q193_lsm_vector_index" -> ((s, d) =>
       Similarity.lsmVectorIndex(embeddings(s, d))),
     "q194_lsm_served" -> ((s, d) =>
-      Similarity.lsmServedTopK(embeddings(s, d)))
+      Similarity.lsmServedTopK(embeddings(s, d))),
+    "q195_lsm_serve_split" -> ((s, d) =>
+      Similarity.lsmServed(embeddings(s, d), d)),
+    "q196_lsm_composed" -> ((s, d) =>
+      Similarity.lsmComposedIndex(embeddings(s, d))),
+    "q197_lsm_composed_served" -> ((s, d) =>
+      Similarity.lsmComposedServed(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -503,6 +509,10 @@ object SparkEntry {
     "q191_pq_retrain" -> Similarity.pqIndexRetrainSql,
     "q192_bucketed_merge" -> Corpus.bucketedIndexMergeSql,
     "q193_lsm_vector_index" -> Similarity.lsmVectorIndexSql,
-    "q194_lsm_served" -> Similarity.lsmServedTopKSql
+    "q194_lsm_served" -> Similarity.lsmServedTopKSql,
+    // q194's oracle VERBATIM: the ServedRoots store ≡ the recompute
+    "q195_lsm_serve_split" -> Similarity.lsmServedTopKSql,
+    "q196_lsm_composed" -> Similarity.lsmComposedIndexSql,
+    "q197_lsm_composed_served" -> Similarity.lsmComposedServedSql
   )
 }

@@ -3106,11 +3106,12 @@ object Similarity {
     * batch lifecycle and the streaming ingest leg. */
   private def lsmResolvedView(spark: org.apache.spark.sql.SparkSession,
                               basePath: String,
-                              deltaPaths: Seq[String]): DataFrame = {
-    val b = spark.read.parquet(basePath)
-      .select(col("ent"), col("vec_id"),
-        col("cluster").cast("long").as("cluster"), col("dist"),
-        col("qe"))
+                              deltaPaths: Seq[String],
+                              payload: Seq[String] = Seq("qe")): DataFrame = {
+    val cols = Seq(col("ent"), col("vec_id"),
+      col("cluster").cast("long").as("cluster"), col("dist")) ++
+      payload.map(col)
+    val b = spark.read.parquet(basePath).select(cols: _*)
     if (deltaPaths.isEmpty) b
     else {
       val ds = deltaPaths.zipWithIndex.map { case (p, i) =>
@@ -3120,8 +3121,7 @@ object Similarity {
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("ent")).orderBy(col("gen").desc)))
         .filter(col("rn") === 1 && !col("del"))
-        .select(col("ent"), col("vec_id"), col("cluster"), col("dist"),
-          col("qe"))
+        .select(cols: _*)
       b.join(broadcast(ds.select(col("ent")).distinct()),
           Seq("ent"), "left_anti")
         .unionByName(latest)
@@ -3144,18 +3144,27 @@ object Similarity {
     * streamed chain ≡ the batch lifecycle's: untouched base across
     * non-compacting batches, identical compacted store after the
     * trigger fires. */
-  def lsmIngestStreamBatch(root: String)(batch: DataFrame,
-                                         batchId: Long): Unit = {
-    val spark = batch.sparkSession
+  /** Segment discovery over an LSM store root: the NEWEST base segment
+    * (`base`, or the highest-numbered `base_cN` if compaction ran) and
+    * the live delta generation numbers in ascending order. Shared by
+    * the ingest stream, the served leg (q195), and its probe stream —
+    * every reader resolves the store's current state the same way. */
+  private def lsmStorePaths(root: String): (String, Seq[Int]) = {
     val dirs = Option(new java.io.File(root).list()).getOrElse(Array.empty)
     require(dirs.contains("base") && dirs.contains("centroids"),
-      s"lsmIngestStreamBatch: no base/centroids under $root — the " +
-        "lifecycle build must seed the base segment before the stream")
+      s"lsmStorePaths: no base/centroids under $root — the lifecycle " +
+        "build must seed the base segment before the store is read")
     val basePath = root + "/" + dirs
       .filter(d => d == "base" || d.startsWith("base_c"))
       .maxBy(d => if (d == "base") 0 else d.drop(6).toInt)
-    val prior = dirs.filter(_.startsWith("delta")).map(_.drop(5).toInt)
-      .sorted.toSeq
+    (basePath,
+      dirs.filter(_.startsWith("delta")).map(_.drop(5).toInt).sorted.toSeq)
+  }
+
+  def lsmIngestStreamBatch(root: String)(batch: DataFrame,
+                                         batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val (basePath, prior) = lsmStorePaths(root)
     val next = if (prior.isEmpty) 1 else prior.max + 1
     val cents = spark.read.parquet(s"$root/centroids")
     lsmDeltaOf(batch, cents)
@@ -3244,33 +3253,104 @@ object Similarity {
     * stored-index plan's plus O(delta). */
   def lsmServedTopK(embeddings: DataFrame, nProbes: Int = 10,
                     k: Int = 5): DataFrame = {
-    val spark = embeddings.sparkSession
     val scratch =
       java.nio.file.Files.createTempDirectory("graft_lsmsrv_").toString
     try {
-      val (q0, cents) = lsmSeedTo(embeddings, scratch)
-      for (g <- 1 to 2)
-        lsmDeltaOf(lsmArrivals(q0, g), cents)
-          .write.mode("overwrite").parquet(s"$scratch/delta$g")
-      val view = lsmResolvedView(spark, s"$scratch/base",
-          Seq(1, 2).map(g => s"$scratch/delta$g"))
-        .withColumn("qvec", transform(col("qe"), x => x.cast("double")))
-        .withColumn("qn", l2norm(col("qvec")))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      broadcast(probeCellsOf(embeddings, cents, nProbes, 0)).join(view,
-          col("cell") === col("cluster") && col("vec_id") =!= col("probe_id"))
-        .withColumn("cos", round(dot(col("pe"), col("qvec")) /
-          (col("pn") * col("qn")), 4))
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-          col("cos"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= k)
-        .select(col("probe_id"), col("neighbor_id"), col("cos"),
-          col("rnk").cast("long").as("rnk"))
-        .orderBy(col("probe_id"), col("rnk"))
+      lsmMidStoreTo(embeddings, scratch)
+      lsmServeRoot(scratch, probesFrame(embeddings, nProbes), embeddings, k)
         .localCheckpoint()
     } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
+  }
+
+  /** Writes the q194/q195 MID-LIFECYCLE LSM store under `root`: the
+    * q193 seed (centroids + cell-partitioned gen-0 base) plus TWO
+    * ingest generations (cumulative 4% — deliberately below the
+    * [[LsmDeltaPct]] trigger, so the store holds one live base and two
+    * live delta segments). Shared by q194's self-contained run and
+    * q195's ServedRoots build. */
+  private[llm] def lsmMidStoreTo(embeddings: DataFrame,
+                                 root: String): Unit = {
+    val (q0, cents) = lsmSeedTo(embeddings, root)
+    for (g <- 1 to 2)
+      lsmDeltaOf(lsmArrivals(q0, g), cents)
+        .write.mode("overwrite").parquet(s"$root/delta$g")
+  }
+
+  /** The LSM serve plan over a STORED root and an arbitrary probe
+    * frame — segment discovery through [[lsmStorePaths]] (newest base +
+    * live deltas), latest-wins view resolution, then the q37-shaped
+    * probed-cell top-k over the view's co-stored quantized vectors.
+    * Shared by q194 (self-contained scratch store), q195 (ServedRoots
+    * cached store), and the probe-stream leg. */
+  private def lsmServeRoot(root: String, probes: DataFrame,
+                           embeddings: DataFrame, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cents = spark.read.parquet(s"$root/centroids")
+    val (basePath, deltas) = lsmStorePaths(root)
+    val view = lsmResolvedView(spark, basePath,
+        deltas.map(i => s"$root/delta$i"))
+      .withColumn("qvec", transform(col("qe"), x => x.cast("double")))
+      .withColumn("qn", l2norm(col("qvec")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probeCellsFor(probes, embeddings, cents, nProbe = 0,
+        frac = 0.13))
+      .join(view,
+        col("cell") === col("cluster") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(dot(col("pe"), col("qvec")) /
+        (col("pn") * col("qn")), 4))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** q195: q194's search timed on its SERVE leg (oracle: q194's
+    * VERBATIM — the store≡recompute proof): the mid-lifecycle store
+    * (frozen centroids + gen-0 base + two delta segments) is built once
+    * per corpus into the [[graft.FsUtil.ServedRoots]] cache; afterwards
+    * query-time work is exactly what the LSM serving tier pays per
+    * probe batch — broadcast the √N centroids, rank cells per probe,
+    * resolve the latest-wins view (base anti-join the broadcast
+    * batch-sized delta entity set, union the newest surviving delta
+    * rows), and scan ONLY probed cells' view rows. q194 measures
+    * build+serve; this is the q187-shaped split that shows the serve
+    * cost alone — the number a 100 TB deployment pays per query batch
+    * between compactions. */
+  def lsmServed(embeddings: DataFrame, corpusTag: String,
+                nProbes: Int = 10, k: Int = 5): DataFrame =
+    lsmServeFor(probesFrame(embeddings, nProbes), embeddings, corpusTag, k)
+
+  /** The serve plan over an arbitrary probe frame — shared by q195 and
+    * the streaming leg ([[lsmServeStreamBatch]]). */
+  private def lsmServeFor(probes: DataFrame, embeddings: DataFrame,
+                          corpusTag: String, k: Int): DataFrame =
+    lsmServeRoot(
+      graft.FsUtil.ServedRoots.getOrBuild(
+        corpusKey(embeddings, "vec_id", s"lsm:$corpusTag", embSig),
+        "graft_lsm_served_")(lsmMidStoreTo(embeddings, _)),
+      probes, embeddings, k)
+
+  /** q195 under STRUCTURED STREAMING — the LSM index's online serve
+    * half (with [[lsmIngestStreamBatch]] the segment store both ingests
+    * and serves continuously): probe vectors arrive as a stream and
+    * each micro-batch runs the full view-serve plan — segment
+    * discovery, latest-wins resolution, probed-cell top-k — against the
+    * SAME stored root as the batch leg, appending results to `outDir`.
+    * Per-probe results depend only on the probe row + the stored
+    * segments, so union-of-micro-batches ≡ one batch over all probes
+    * bit-for-bit (StreamingSpec proves it against q195). */
+  def lsmServeStreamBatch(embeddings: DataFrame, corpusTag: String,
+                          outDir: String, k: Int = 5)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val probes = batch.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pe"), l2norm(col("embedding")).as("pn"))
+    lsmServeFor(probes, embeddings, corpusTag, k)
+      .write.mode("append").parquet(outDir)
+    ()
   }
 
   /** Oracle: the frozen trained-Lloyd CTE, the g2 LSM view from scratch
@@ -3319,5 +3399,404 @@ object Similarity {
       |  FROM sel JOIN vw w ON w.cluster = sel.cell AND w.vec_id != sel.probe_id),
       |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) rnk FROM pairs)
       |SELECT probe_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+      |ORDER BY probe_id, rnk""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q196/q197: the LSM segment store for the COMPOSED (IVF-PQ) index —
+  // q193 gave the serving tier's write path for IVF-Flat rows; the
+  // production serving tier (q187) stores PQ encodings in cell-
+  // partitioned inverted lists, so ITS write path is the same segment
+  // pattern over composed rows: both quantizers frozen at gen 0,
+  // arrivals assigned + encoded per batch (batch-sized kernels), the
+  // base never touched by ingest, compaction behind the same trigger.
+  // -------------------------------------------------------------------
+
+  /** One composed store row per vector of a pre-quantized (ent, vec_id,
+    * qe) frame against BOTH frozen quantizers: coarse cell + dist
+    * ([[frozenAssignQ]]) and the m=16 codeword array in subspace order
+    * ([[frozenEncodeQ]] collapsed per vector) — with the quantized
+    * vector CO-STORED (the q193 IVF-Flat discipline: the store is also
+    * the raw-vector side table the exact-refine stage reads, so a
+    * revised entity's refine sees its CURRENT vector, not gen-0's). */
+  private def composedRowsQ(vecs: DataFrame, cents: DataFrame,
+                            cb: DataFrame): DataFrame =
+    frozenAssignQ(vecs, cents)
+      .join(frozenEncodeQ(vecs, cb)
+        .groupBy(col("vec_id"))
+        .agg(sort_array(collect_list(struct(col("m"), col("cw")))).as("l"))
+        .select(col("vec_id"),
+          transform(col("l"), x => x.getField("cw")).as("cws")),
+        "vec_id")
+      .join(vecs.select(col("vec_id"), col("qe")), "vec_id")
+      .select(col("ent"), col("vec_id"), col("cluster"), col("dist"),
+        col("qe"), col("cws"))
+
+  /** One composed delta segment from an arrival frame (ent, vec_id, qe,
+    * del): composed rows for the live arrivals plus explicit tombstone
+    * rows — the [[lsmDeltaOf]] shape carrying the codeword array. */
+  private def lsmComposedDeltaOf(arr: DataFrame, cents: DataFrame,
+                                 cb: DataFrame): DataFrame =
+    composedRowsQ(arr.filter(!col("del")), cents, cb)
+      .withColumn("del", lit(false))
+      .unionByName(arr.filter(col("del"))
+        .select(col("ent"), col("vec_id"), lit(-1L).as("cluster"),
+          lit(0L).as("dist"), col("qe"),
+          lit(null).cast("array<bigint>").as("cws"), lit(true).as("del")))
+
+  /** Trains BOTH quantizers on the gen-0 corpus, freezes them as stored
+    * tables, and writes the cell-partitioned gen-0 base of composed
+    * rows. Returns the quantized corpus frame (the delta fixtures'
+    * source) and the two stored quantizer frames. */
+  private def lsmComposedSeedTo(embeddings: DataFrame, root: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = embeddings.sparkSession
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val (_, cents0) =
+      trainLloyd(embeddings.select(col("vec_id"), col("embedding")))
+    cents0.write.mode("overwrite").parquet(s"$root/centroids")
+    trainPqCodebook(embeddings)
+      .write.mode("overwrite").parquet(s"$root/codebook")
+    sc.getPersistentRDDs.filterNot { case (id, _) => before(id) }
+      .values.foreach(_.unpersist(blocking = false))
+    val cents = spark.read.parquet(s"$root/centroids")
+    val cb = spark.read.parquet(s"$root/codebook")
+    val q0 = quantized(embeddings.select(col("vec_id"), col("embedding")), 1000)
+    composedRowsQ(
+        q0.select(col("vec_id").as("ent"), col("vec_id"), col("qe")),
+        cents, cb)
+      .repartition(32, col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$root/base")
+    (q0, cents, cb)
+  }
+
+  /** q196: the LSM segment store for the COMPOSED index — q193's
+    * append-only lifecycle carried to the production serving tier's row
+    * shape. Both quantizers are trained on generation 0 and FROZEN
+    * (q190's contract); each arrival batch lands as ONE delta segment
+    * of composed rows — coarse assignment + 16 frozen codewords +
+    * co-stored quantized vector, batch-sized kernels, zero base IO —
+    * and the cell-partitioned base (q187's inverted-list layout, with
+    * the vector riding along) is rewritten only by trigger-scheduled
+    * compaction ([[LsmDeltaPct]], fires at g3 on the 2/4/6% fixture at
+    * every corpus size). Audit rows carry the q193 view identity
+    * columns PLUS `enc_checksum` — the positional codeword checksum
+    * over the served view's encodings — so a green hash proves the
+    * incrementally-ingested COMPRESSED index ≡ a from-scratch
+    * assign+encode of every state's latest-wins corpus, across the
+    * compaction boundary too.
+    *
+    * 100 TB shape: ingest cost is O(batch) against two broadcast
+    * quantizers (√N·8 B centroids + ~256 KB codebook); serve cost is
+    * q197's probed-cell plan; compaction is the one amortized
+    * corpus-sized pass, exactly q193's contract on 16× smaller
+    * scoring bytes. */
+  def lsmComposedIndex(embeddings: DataFrame): DataFrame = {
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_lsmcmp_").toString
+    try lsmComposedIndexTo(embeddings, scratch)
+    finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
+  }
+
+  /** [[lsmComposedIndex]]'s working body over an EXPLICIT root — split
+    * out so the spec can pin the base untouched across generations and
+    * the streaming ingest leg can share the store. */
+  private[graft] def lsmComposedIndexTo(embeddings: DataFrame,
+                                        root: String,
+                                        onState: String => Unit = _ => ())
+      : DataFrame = {
+    val spark = embeddings.sparkSession
+    val (q0, cents, cb) = lsmComposedSeedTo(embeddings, root)
+    var basePath = s"$root/base"
+    var deltaPaths = Vector.empty[String]
+    def view(): DataFrame = lsmResolvedView(spark, basePath, deltaPaths,
+      payload = Seq("qe", "cws"))
+    def audit(state: String, nDelta: Long, compacted: Long): DataFrame = {
+      val v = view()
+      val enc = v.select(col("vec_id"), col("cluster"),
+          posexplode(col("cws")).as(Seq("m", "cw")))
+        .agg(sum(col("vec_id") * 1000000L + col("cluster") * 4096L +
+          col("m") * 256L + col("cw")).as("enc_checksum"))
+      v.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("ent")).as("n_ents"),
+          countDistinct(col("cluster")).as("n_cells"),
+          sum(col("ent") * 100000L + col("vec_id") * 10L + col("cluster"))
+            .as("checksum"))
+        .crossJoin(broadcast(enc))
+        .select(lit(state).as("state"), col("n_rows"), col("n_ents"),
+          col("n_cells"), lit(nDelta).as("n_delta"),
+          lit(compacted).as("compacted"), col("checksum"),
+          col("enc_checksum"))
+        .localCheckpoint()
+    }
+    val baseRows = spark.read.parquet(basePath).count()
+    var deltaRows = 0L
+    val audits = scala.collection.mutable.ArrayBuffer(audit("g0", 0L, 0L))
+    onState("g0")
+    for (g <- 1 to 3) {
+      val p = s"$root/delta$g"
+      lsmComposedDeltaOf(lsmArrivals(q0, g), cents, cb)
+        .write.mode("overwrite").parquet(p)
+      deltaPaths :+= p
+      deltaRows += spark.read.parquet(p).count()
+      audits += audit(s"g$g", deltaRows, 0L)
+      onState(s"g$g")
+      if (deltaRows * 100L > baseRows * LsmDeltaPct) {
+        val np = s"$root/base_c$g"
+        view().repartition(32, col("cluster"))
+          .write.mode("overwrite").partitionBy("cluster").parquet(np)
+        deltaPaths.foreach(d =>
+          graft.FsUtil.deleteRecursively(new java.io.File(d)))
+        deltaPaths = Vector.empty
+        basePath = np
+        deltaRows = 0L
+        audits += audit(s"g${g}c", 0L, 1L)
+        onState(s"g${g}c")
+      }
+    }
+    audits.reduce(_ unionAll _).orderBy(col("state")).localCheckpoint()
+  }
+
+  /** q196 under STRUCTURED STREAMING — [[lsmIngestStreamBatch]] for the
+    * composed store: each arrival micro-batch (ent, vec_id, qe
+    * PRE-QUANTIZED, del) appends one composed delta segment through the
+    * frozen stored quantizers, then compacts behind the same trigger.
+    * StreamingSpec proves the streamed chain ≡ the batch lifecycle's. */
+  def lsmComposedIngestStreamBatch(root: String)(batch: DataFrame,
+                                                 batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val (basePath, prior) = lsmStorePaths(root)
+    val next = if (prior.isEmpty) 1 else prior.max + 1
+    val cents = spark.read.parquet(s"$root/centroids")
+    val cb = spark.read.parquet(s"$root/codebook")
+    lsmComposedDeltaOf(batch, cents, cb)
+      .write.mode("overwrite").parquet(s"$root/delta$next")
+    val deltaPaths = (prior :+ next).map(i => s"$root/delta$i")
+    val deltaRows =
+      deltaPaths.map(p => spark.read.parquet(p).count()).sum
+    val baseRows = spark.read.parquet(basePath).count()
+    if (deltaRows * 100L > baseRows * LsmDeltaPct) {
+      lsmResolvedView(spark, basePath, deltaPaths,
+          payload = Seq("qe", "cws"))
+        .repartition(32, col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$root/base_c$next")
+      deltaPaths.foreach(p =>
+        graft.FsUtil.deleteRecursively(new java.io.File(p)))
+    }
+    ()
+  }
+
+  /** Writes the q197 mid-lifecycle composed store (seed + two delta
+    * segments, below the trigger) — q194's fixture over composed
+    * rows. */
+  private[llm] def lsmComposedMidStoreTo(embeddings: DataFrame,
+                                         root: String): Unit = {
+    val (q0, cents, cb) = lsmComposedSeedTo(embeddings, root)
+    for (g <- 1 to 2)
+      lsmComposedDeltaOf(lsmArrivals(q0, g), cents, cb)
+        .write.mode("overwrite").parquet(s"$root/delta$g")
+  }
+
+  /** q197: the q186-shaped ADC + fixed-R-refine search SERVED THROUGH
+    * the composed LSM view mid-lifecycle — the production serving tier
+    * answering correctly over base + live deltas WITHOUT waiting for
+    * compaction: probe the ⌈[[IvfPqProbeFrac]]·⌈√N⌉⌉ nearest cells,
+    * prune the view to probed cells FIRST, broadcast-decode only those
+    * rows' codeword arrays, ADC-rank to the absolute
+    * [[RegisteredFixedR]] shortlist, and exact-refine against the
+    * view's CO-STORED quantized vectors (the current corpus state — a
+    * revised entity's refine must see its revision, which gen-0 raw
+    * vectors would miss). Oracle: both frozen quantizers from scratch,
+    * the g2 view from scratch, its rows re-encoded, same three-stage
+    * search — green proves LSM-served ≡ a from-scratch composed index
+    * of the current state. */
+  def lsmComposedServed(embeddings: DataFrame, nProbes: Int = 10,
+                        k: Int = 5): DataFrame = {
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_lsmcsrv_").toString
+    try {
+      lsmComposedMidStoreTo(embeddings, scratch)
+      lsmComposedServeRoot(scratch, probesFrame(embeddings, nProbes),
+        embeddings, k).localCheckpoint()
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
+  }
+
+  /** The composed-view serve plan over a STORED root and an arbitrary
+    * probe frame — [[lsmServeRoot]]'s discovery + resolution with the
+    * hybrid's three-stage tail. */
+  private def lsmComposedServeRoot(root: String, probes: DataFrame,
+                                   embeddings: DataFrame,
+                                   k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cents = spark.read.parquet(s"$root/centroids")
+    val cb = spark.read.parquet(s"$root/codebook")
+    val (basePath, deltas) = lsmStorePaths(root)
+    val view = lsmResolvedView(spark, basePath,
+      deltas.map(i => s"$root/delta$i"), payload = Seq("qe", "cws"))
+    val pcells = broadcast(probeCellsFor(probes, embeddings, cents,
+      nProbe = 0, frac = IvfPqProbeFrac))
+    // prune FIRST, decode after (the q187 discipline): only probed
+    // cells' rows are exploded or decoded
+    val pruned = view
+      .join(broadcast(pcells.select(col("cell")).distinct()),
+        col("cluster") === col("cell")).drop("cell")
+    val labeled = pqDecodeLabeled(
+      pruned.select(col("vec_id"), col("cluster"),
+        posexplode(col("cws")).as(Seq("m", "cw"))), cb)
+    val wq = Window.partitionBy(col("probe_id"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+    val shortlist = pcells
+      .join(labeled, col("cell") === col("cluster") &&
+        col("vec_id") =!= col("probe_id"))
+      .withColumn("qcos", round(dot(col("pe"), col("qvec")) /
+        (col("pn") * sqrt(dot(col("qvec"), col("qvec")))), 4))
+      .withColumn("qrnk", row_number().over(wq))
+      .filter(col("qrnk") <= RegisteredFixedR)
+      .select(col("probe_id"), col("vec_id"))
+    // exact refine against the view's co-stored CURRENT vectors
+    val raw = view
+      .select(col("vec_id"),
+        transform(col("qe"), x => x.cast("double")).as("rvec"))
+      .withColumn("rnrm", l2norm(col("rvec")))
+    val wr = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist.join(raw, "vec_id").join(broadcast(probes), "probe_id")
+      .withColumn("cos", round(dot(col("pe"), col("rvec")) /
+        (col("pn") * col("rnrm")), 4))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Shared oracle midsection for the composed-LSM fixtures: arrival
+    * bands `arr` over generations [1, gHi), the per-state (or single
+    * mid-lifecycle) latest-wins resolution, the frozen coarse argmin,
+    * and the frozen per-subspace encode — all against the
+    * trained-Lloyd `q`/`c4` and the `pq`-prefixed codebook CTEs. */
+  private def lsmComposedViewCte(gHi: Int, perState: Boolean): String = {
+    val arr =
+      s"""arr AS (SELECT g.range AS b, q.vec_id AS ent, q.vec_id,
+         |    list_transform(q.qe, x -> x + 500 * g.range) AS qe,
+         |    (q.vec_id % 3 = 0) AS del
+         |  FROM q CROSS JOIN range(1, $gHi) g
+         |  WHERE q.vec_id % 100 = g.range OR q.vec_id % 100 = 4),
+         |bs0 AS (SELECT 0 AS b, vec_id AS ent, vec_id, qe, FALSE AS del FROM q),
+         |al AS (SELECT * FROM bs0 UNION ALL SELECT * FROM arr)""".stripMargin
+    val states =
+      if (perState)
+        s"""stt AS (SELECT i.range AS g, ent, vec_id, qe, del,
+           |    row_number() OVER (PARTITION BY i.range, ent ORDER BY b DESC) AS rn
+           |  FROM al CROSS JOIN range($gHi) i WHERE b <= i.range),
+           |lvv AS (SELECT g, ent, vec_id, qe FROM stt WHERE rn = 1 AND NOT del)""".stripMargin
+      else
+        s"""stt AS (SELECT 0 AS g, ent, vec_id, qe, del,
+           |    row_number() OVER (PARTITION BY ent ORDER BY b DESC) AS rn
+           |  FROM al),
+           |lvv AS (SELECT g, ent, vec_id, qe FROM stt WHERE rn = 1 AND NOT del)""".stripMargin
+    s"""$arr,
+       |$states,
+       |paa AS (SELECT lvv.g, lvv.ent, lvv.vec_id, lvv.qe, c.cluster,
+       |    CAST(list_sum(list_transform(range(64), i ->
+       |      (lvv.qe[i + 1] - c.ce[i + 1]) * (lvv.qe[i + 1] - c.ce[i + 1])))
+       |      AS BIGINT) AS dist
+       |  FROM lvv CROSS JOIN c4 c),
+       |vw AS (SELECT g, ent, vec_id, qe, cluster FROM
+       |    (SELECT *, row_number() OVER (PARTITION BY g, vec_id
+       |       ORDER BY dist, cluster) rn FROM paa) WHERE rn = 1),
+       |lsub AS (SELECT g, ent, vec_id, m.range AS m,
+       |    list_slice(qe, m.range * 4 + 1, m.range * 4 + 4) AS sq
+       |  FROM vw CROSS JOIN range(16) m),
+       |pev AS (SELECT l.g, l.ent, l.vec_id, l.m, c.cw,
+       |    CAST(list_sum(list_transform(range(4), i ->
+       |      (l.sq[i + 1] - c.cv[i + 1]) * (l.sq[i + 1] - c.cv[i + 1])))
+       |      AS BIGINT) AS d2
+       |  FROM lsub l JOIN pqc2 c USING (m)),
+       |ae AS (SELECT g, ent, vec_id, m, cw FROM
+       |    (SELECT *, row_number() OVER (PARTITION BY g, vec_id, m
+       |       ORDER BY d2, cw) rn FROM pev) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Oracle for [[lsmComposedIndex]]: both frozen quantizers from
+    * scratch, every state's view + encodings from scratch, the q193
+    * audit columns plus the positional codeword checksum, and the
+    * post-compaction row behind the SAME trigger predicate. */
+  val lsmComposedIndexSql: String =
+    s"""$trainedLloydCteSql,
+      |${pqCbTrainCte("pq", "q")},
+      |${lsmComposedViewCte(4, perState = true)},
+      |dr AS (SELECT i.range AS g, count(*) AS n_delta FROM arr
+      |  CROSS JOIN range(4) i WHERE arr.b <= i.range GROUP BY i.range),
+      |nb AS (SELECT count(*) AS n FROM q),
+      |ag AS (SELECT g, count(*) AS n_rows, count(DISTINCT ent) AS n_ents,
+      |    count(DISTINCT cluster) AS n_cells,
+      |    CAST(sum(ent * 100000 + vec_id * 10 + cluster) AS BIGINT)
+      |      AS checksum
+      |  FROM vw GROUP BY g),
+      |ec AS (SELECT e.g,
+      |    CAST(sum(e.vec_id * 1000000 + w.cluster * 4096 +
+      |             e.m * 256 + e.cw) AS BIGINT) AS enc_checksum
+      |  FROM ae e JOIN vw w ON w.g = e.g AND w.vec_id = e.vec_id
+      |  GROUP BY e.g)
+      |SELECT 'g' || a.g::VARCHAR AS state, a.n_rows, a.n_ents, a.n_cells,
+      |  CAST(coalesce(d.n_delta, 0) AS BIGINT) AS n_delta,
+      |  CAST(0 AS BIGINT) AS compacted, a.checksum, e.enc_checksum
+      |FROM ag a LEFT JOIN dr d ON a.g = d.g JOIN ec e ON e.g = a.g
+      |UNION ALL
+      |SELECT 'g3c', a.n_rows, a.n_ents, a.n_cells, CAST(0 AS BIGINT),
+      |  CAST(1 AS BIGINT), a.checksum, e.enc_checksum
+      |FROM ag a JOIN ec e ON e.g = a.g
+      |WHERE a.g = 3 AND (SELECT n_delta FROM dr WHERE g = 3) * 100 >
+      |  (SELECT n FROM nb) * $LsmDeltaPct
+      |ORDER BY state""".stripMargin
+
+  /** Oracle for [[lsmComposedServed]]: the g2 composed view + its
+    * frozen encodings from scratch, then the hybrid's three stages —
+    * cell selection at [[IvfPqProbeFrac]], ADC over probed view rows'
+    * reconstructions, fixed-R cut, exact refine against the view's
+    * CURRENT vectors. */
+  val lsmComposedServedSql: String =
+    s"""$trainedLloydCteSql,
+      |${pqCbTrainCte("pq", "q")},
+      |${lsmComposedViewCte(3, perState = false)},
+      |wqv AS (SELECT a.vec_id, flatten(list(c.cv ORDER BY a.m)) AS qvec
+      |  FROM ae a JOIN pqc2 c ON c.m = a.m AND c.cw = a.cw
+      |  GROUP BY a.vec_id),
+      |cells AS (SELECT cluster AS cell,
+      |            list_transform(ce, x -> x::DOUBLE) AS centroid
+      |          FROM c4),
+      |probes AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pn
+      |           FROM v WHERE vec_id < 10),
+      |pc AS (SELECT p.probe_id, p.pe, p.pn, c.cell,
+      |    list_sum(list_transform(list_zip(p.pe, c.centroid), z -> z[1]::DOUBLE * z[2]))
+      |      / (p.pn * sqrt(list_sum(list_transform(c.centroid, x -> x * x)))) AS ccos
+      |  FROM probes p CROSS JOIN cells c),
+      |pcr AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) crnk FROM pc),
+      |sel AS (SELECT probe_id, pe, pn, cell FROM pcr
+      |        WHERE crnk <= (SELECT CAST(ceil($IvfPqProbeFrac::DOUBLE * k) AS BIGINT) FROM kk)),
+      |adc AS (SELECT sel.probe_id, w.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(range(64), dd ->
+      |        sel.pe[dd + 1]::DOUBLE * r.qvec[dd + 1]::DOUBLE))
+      |      / (sel.pn * sqrt(list_sum(list_transform(r.qvec,
+      |          x -> x::DOUBLE * x::DOUBLE)))), 4) AS qcos
+      |  FROM sel JOIN vw w ON w.cluster = sel.cell AND w.vec_id != sel.probe_id
+      |           JOIN wqv r ON r.vec_id = w.vec_id),
+      |ar AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |         ORDER BY qcos DESC, neighbor_id) qrnk FROM adc),
+      |short AS (SELECT probe_id, neighbor_id FROM ar WHERE qrnk <= $RegisteredFixedR),
+      |ex AS (SELECT sh.probe_id, sh.neighbor_id,
+      |    round(list_sum(list_transform(range(64), dd ->
+      |        p.pe[dd + 1]::DOUBLE * w.qe[dd + 1]::DOUBLE))
+      |      / (p.pn * sqrt(list_sum(list_transform(w.qe,
+      |          x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
+      |  FROM short sh JOIN probes p ON p.probe_id = sh.probe_id
+      |                JOIN vw w ON w.vec_id = sh.neighbor_id),
+      |rr AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |         ORDER BY cos DESC, neighbor_id) rnk FROM ex)
+      |SELECT probe_id, neighbor_id, cos, rnk FROM rr WHERE rnk <= 5
       |ORDER BY probe_id, rnk""".stripMargin
 }

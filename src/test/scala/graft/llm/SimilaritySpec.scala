@@ -538,4 +538,83 @@ class SimilaritySpec extends SparkSpec {
         s"tombstoned entities survived compaction: ${tombstoned.take(5).toSeq}")
     } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
   }
+
+  test("lsm composed index (q196): ingest never touches the base; " +
+      "compaction preserves view AND encodings; tombstones drop") {
+    val emb = Tables.embeddings(spark, sf)
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_lsmcspec_").toString
+    try {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      def baseFiles(): Map[String, (Long, Long)] =
+        walk(new java.io.File(s"$scratch/base"))
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+      var atG0: Map[String, (Long, Long)] = Map.empty
+      var atG3: Map[String, (Long, Long)] = Map.empty
+      val out = Similarity.lsmComposedIndexTo(emb, scratch, {
+        case "g0" => atG0 = baseFiles()
+        case "g3" => atG3 = baseFiles()
+        case _    => ()
+      }).collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+      assert(atG0.nonEmpty && atG3 === atG0,
+        "a composed delta generation rewrote the base segment")
+      assert(out.keySet === Set("g0", "g1", "g2", "g3", "g3c"))
+      val (g3, g3c) = (out("g3"), out("g3c"))
+      // compaction preserves rows/ents/cells AND both checksums — the
+      // coarse one and the positional codeword one (the encodings
+      // survive the fold bit-for-bit)
+      assert(g3c._1 === g3._1 && g3c._2 === g3._2 && g3c._3 === g3._3 &&
+        g3c._6 === g3._6 && g3c._7 === g3._7,
+        "compaction changed the served composed view")
+      assert(g3c._4 === 0L && g3c._5 === 1L)
+      assert(g3._4 > 0L && g3._5 === 0L)
+      assert(!new java.io.File(s"$scratch/delta1").exists())
+      // the compacted base carries the full composed row shape
+      val comp = spark.read.parquet(s"$scratch/base_c3")
+      assert(comp.columns.toSet ===
+        Set("ent", "vec_id", "cluster", "dist", "qe", "cws"))
+      assert(comp.count() === g3._1)
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
+  }
+
+  test("lsm composed serve (q197): mid-lifecycle ADC+refine answers " +
+      "reflect revisions and tombstones; shape is per-probe top-5") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.lsmComposedServed(emb)
+    val rows = out.collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.size === 10)
+    assert(byProbe.values.forall(_.length === 5))
+    // tombstoned entities of the two live bands must be invisible:
+    // vec_id % 3 == 0 arrivals in bands {1, 2, 4} were deleted
+    val dead = rows.map(_.getLong(1))
+      .filter(v => v % 3 == 0 && Set(1L, 2L, 4L)(v % 100))
+    assert(dead.isEmpty,
+      s"tombstoned entities served as neighbors: ${dead.take(5).toSeq}")
+    // determinism: a second self-contained run rebuilds bit-for-bit
+    assert(Similarity.lsmComposedServed(emb).collect().toSeq === rows.toSeq)
+    // sanity of the refine stage: cosines are valid and descending
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val cos = g.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+      assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+    assert(out.columns.toSeq ===
+      Seq("probe_id", "neighbor_id", "cos", "rnk"))
+  }
+
+  test("lsm serve split (q195): ServedRoots store serves q194's answer " +
+      "bit-for-bit, twice (second call hits the session cache)") {
+    val emb = Tables.embeddings(spark, sf)
+    val self = Similarity.lsmServedTopK(emb).collect().toSeq
+    val served = Similarity.lsmServed(emb, s"lsm-spec-$sf").collect().toSeq
+    assert(served === self)
+    val again = Similarity.lsmServed(emb, s"lsm-spec-$sf").collect().toSeq
+    assert(again === self)
+  }
 }

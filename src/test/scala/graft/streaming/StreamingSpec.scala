@@ -384,6 +384,94 @@ class StreamingSpec extends SparkSpec {
       graft.FsUtil.deleteRecursively(new java.io.File(r)))
   }
 
+  test("COMPOSED LSM ingest stream (q196 online): composed delta appends " +
+    "+ triggered compaction from micro-batches equal the batch store") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val rootB = Files.createTempDirectory("graft-lsmc-ingb").toString
+    val rootS = Files.createTempDirectory("graft-lsmc-ings").toString
+    val dir = Files.createTempDirectory("graft-lsmc-arr").toString + "/arr"
+    try {
+      graft.llm.Similarity.lsmComposedIndexTo(emb, rootB)
+      graft.llm.Similarity.lsmComposedIndexTo(emb, rootS)
+      graft.FsUtil.deleteRecursively(new java.io.File(s"$rootS/base_c3"))
+      def arrivals(g: Int) = emb
+        .filter(col("vec_id") % 100 === g || col("vec_id") % 100 === 4)
+        .select(col("vec_id").as("ent"), col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long") +
+              lit(500L * g)).as("qe"),
+          (col("vec_id") % 3 === 0).as("del"))
+      arrivals(1).write.parquet(dir)
+      val schema = StructType(Seq(
+        StructField("ent", LongType), StructField("vec_id", LongType),
+        StructField("qe", ArrayType(LongType)),
+        StructField("del", BooleanType)))
+      val q = spark.readStream.schema(schema).parquet(dir)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.llm.Similarity.lsmComposedIngestStreamBatch(rootS)(b, id))
+        .start()
+      try {
+        q.processAllAvailable()
+        arrivals(2).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+        assert(new java.io.File(s"$rootS/delta1").exists() &&
+          new java.io.File(s"$rootS/delta2").exists())
+        arrivals(3).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(!new java.io.File(s"$rootS/delta1").exists(),
+        "compaction did not clear the composed delta segments")
+      def comp(root: String) = spark.read.parquet(s"$root/base_c3")
+        .select(col("ent"), col("vec_id"),
+          col("cluster").cast("long").as("cluster"), col("dist"),
+          // positional codeword checksum — arrays compare awkwardly
+          // under except, a weighted scalar pins them just as hard
+          aggregate(zip_with(col("cws"),
+              sequence(lit(1L), lit(16L)), (c, i) => c * i),
+            lit(0L), (s, x) => s + x).as("cwsum"))
+      val (compS, compB) = (comp(rootS), comp(rootB))
+      assert(compS.count() === compB.count())
+      assert(compS.except(compB).isEmpty && compB.except(compS).isEmpty,
+        "streamed compacted composed store != batch lifecycle's")
+    } finally Seq(rootB, rootS).foreach(r =>
+      graft.FsUtil.deleteRecursively(new java.io.File(r)))
+  }
+
+  test("LSM view serve on a probe STREAM equals the batch serve " +
+    "(q195 online; union of foreachBatch micro-batches == one batch)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dir = Files.createTempDirectory("graft-lsmsrc").toString + "/probes"
+    val out = Files.createTempDirectory("graft-lsmout").toString + "/res"
+    // the batch leg's probe set (vec_id < 10) arrives as TWO
+    // micro-batches over the SAME ServedRoots store (one tag)
+    emb.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding").write.parquet(dir)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val tag = s"lsm-stream-$sf"
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.llm.Similarity.lsmServeStreamBatch(emb, tag, out)(b, id))
+      .start()
+    try {
+      q.processAllAvailable()
+      emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select("vec_id", "embedding").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+    val batch = graft.llm.Similarity.lsmServed(emb, tag)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("LSM INGEST stream (q193 online): delta appends + triggered " +
     "compaction from micro-batches equal the batch lifecycle's store") {
     import org.apache.spark.sql.functions._
