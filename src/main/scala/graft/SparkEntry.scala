@@ -296,7 +296,9 @@ object SparkEntry {
     "q196_lsm_composed" -> ((s, d) =>
       Similarity.lsmComposedIndex(embeddings(s, d))),
     "q197_lsm_composed_served" -> ((s, d) =>
-      Similarity.lsmComposedServed(embeddings(s, d)))
+      Similarity.lsmComposedServed(embeddings(s, d))),
+    "q198_lsm_composed_split" -> ((s, d) =>
+      Similarity.lsmComposedServeSplit(embeddings(s, d), d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -513,6 +515,8 @@ object SparkEntry {
     // q194's oracle VERBATIM: the ServedRoots store ≡ the recompute
     "q195_lsm_serve_split" -> Similarity.lsmServedTopKSql,
     "q196_lsm_composed" -> Similarity.lsmComposedIndexSql,
-    "q197_lsm_composed_served" -> Similarity.lsmComposedServedSql
+    "q197_lsm_composed_served" -> Similarity.lsmComposedServedSql,
+    // q197's oracle VERBATIM: the ServedRoots store ≡ the recompute
+    "q198_lsm_composed_split" -> Similarity.lsmComposedServedSql
   )
 }

@@ -3673,6 +3673,42 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** q198: q197's search timed on its SERVE leg (oracle: q197's
+    * VERBATIM — store≡recompute): the mid-lifecycle composed store is
+    * built once per corpus into the [[graft.FsUtil.ServedRoots]] cache;
+    * afterwards query-time work is the production composed tier's
+    * per-batch serving cost — broadcast centroids + codebook, resolve
+    * the view, decode and ADC-rank ONLY probed cells' rows, refine at
+    * the fixed R against the co-stored vectors. */
+  def lsmComposedServeSplit(embeddings: DataFrame, corpusTag: String,
+                            nProbes: Int = 10, k: Int = 5): DataFrame =
+    lsmComposedServeFor(probesFrame(embeddings, nProbes), embeddings,
+      corpusTag, k)
+
+  /** The composed serve plan over an arbitrary probe frame — shared by
+    * q198 and its probe-stream leg ([[lsmComposedServeStreamBatch]]). */
+  private def lsmComposedServeFor(probes: DataFrame, embeddings: DataFrame,
+                                  corpusTag: String, k: Int): DataFrame =
+    lsmComposedServeRoot(
+      graft.FsUtil.ServedRoots.getOrBuild(
+        corpusKey(embeddings, "vec_id", s"lsmc:$corpusTag", embSig),
+        "graft_lsmc_served_")(lsmComposedMidStoreTo(embeddings, _)),
+      probes, embeddings, k)
+
+  /** q198 under STRUCTURED STREAMING: probe micro-batches served from
+    * the SAME stored composed root as the batch leg — per-probe results
+    * depend only on the probe row + the stored segments, so
+    * union-of-micro-batches ≡ one batch (StreamingSpec). */
+  def lsmComposedServeStreamBatch(embeddings: DataFrame, corpusTag: String,
+                                  outDir: String, k: Int = 5)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val probes = batch.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pe"), l2norm(col("embedding")).as("pn"))
+    lsmComposedServeFor(probes, embeddings, corpusTag, k)
+      .write.mode("append").parquet(outDir)
+    ()
+  }
+
   /** Shared oracle midsection for the composed-LSM fixtures: arrival
     * bands `arr` over generations [1, gHi), the per-state (or single
     * mid-lifecycle) latest-wins resolution, the frozen coarse argmin,

@@ -608,6 +608,18 @@ class SimilaritySpec extends SparkSpec {
       Seq("probe_id", "neighbor_id", "cos", "rnk"))
   }
 
+  test("lsm composed serve split (q198): ServedRoots store serves " +
+      "q197's answer bit-for-bit, twice") {
+    val emb = Tables.embeddings(spark, sf)
+    val self = Similarity.lsmComposedServed(emb).collect().toSeq
+    val served =
+      Similarity.lsmComposedServeSplit(emb, s"lsmc-spec-$sf").collect().toSeq
+    assert(served === self)
+    val again =
+      Similarity.lsmComposedServeSplit(emb, s"lsmc-spec-$sf").collect().toSeq
+    assert(again === self)
+  }
+
   test("lsm serve split (q195): ServedRoots store serves q194's answer " +
       "bit-for-bit, twice (second call hits the session cache)") {
     val emb = Tables.embeddings(spark, sf)

@@ -384,6 +384,36 @@ class StreamingSpec extends SparkSpec {
       graft.FsUtil.deleteRecursively(new java.io.File(r)))
   }
 
+  test("COMPOSED LSM view serve on a probe STREAM equals the batch serve " +
+    "(q198 online)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dir = Files.createTempDirectory("graft-lsmcsrc").toString + "/probes"
+    val out = Files.createTempDirectory("graft-lsmcout").toString + "/res"
+    emb.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding").write.parquet(dir)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val tag = s"lsmc-stream-$sf"
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.llm.Similarity.lsmComposedServeStreamBatch(emb, tag, out)(b, id))
+      .start()
+    try {
+      q.processAllAvailable()
+      emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select("vec_id", "embedding").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+    val batch = graft.llm.Similarity.lsmComposedServeSplit(emb, tag)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("COMPOSED LSM ingest stream (q196 online): composed delta appends " +
     "+ triggered compaction from micro-batches equal the batch store") {
     import org.apache.spark.sql.functions._
