@@ -298,7 +298,8 @@ object SparkEntry {
     "q197_lsm_composed_served" -> ((s, d) =>
       Similarity.lsmComposedServed(embeddings(s, d))),
     "q198_lsm_composed_split" -> ((s, d) =>
-      Similarity.lsmComposedServeSplit(embeddings(s, d), d))
+      Similarity.lsmComposedServeSplit(embeddings(s, d), d)),
+    "q199_fuzzy_join" -> ((s, d) => Dedup.fuzzyJoin(documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -517,6 +518,7 @@ object SparkEntry {
     "q196_lsm_composed" -> Similarity.lsmComposedIndexSql,
     "q197_lsm_composed_served" -> Similarity.lsmComposedServedSql,
     // q197's oracle VERBATIM: the ServedRoots store ≡ the recompute
-    "q198_lsm_composed_split" -> Similarity.lsmComposedServedSql
+    "q198_lsm_composed_split" -> Similarity.lsmComposedServedSql,
+    "q199_fuzzy_join" -> Dedup.fuzzyJoinSql
   )
 }

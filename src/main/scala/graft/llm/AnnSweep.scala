@@ -231,6 +231,23 @@ object AnnScale {
           .mode("overwrite").save()
         Similarity.pqRefineServed(emb, "annscale").write.format("noop")
           .mode("overwrite").save() })
+    // the LSM tier (r11 q195/q198): first call builds the mid-lifecycle
+    // segment store, second times the view serve alone — the claim under
+    // test is that latest-wins resolution (broadcast anti-join of the
+    // ~3%-of-corpus delta entity set) stays a serve-side noise term at
+    // N = 1e5, for both the IVF-Flat view and the composed ADC+refine
+    timed("lsm flat build+serve")(
+      Similarity.lsmServed(emb, "annscale").write.format("noop")
+        .mode("overwrite").save())
+    timed("lsm flat serve")(
+      Similarity.lsmServed(emb, "annscale").write.format("noop")
+        .mode("overwrite").save())
+    timed("lsm composed build+serve")(
+      Similarity.lsmComposedServeSplit(emb, "annscale").write.format("noop")
+        .mode("overwrite").save())
+    timed("lsm composed serve")(
+      Similarity.lsmComposedServeSplit(emb, "annscale").write.format("noop")
+        .mode("overwrite").save())
     spark.stop()
   }
 }

@@ -133,4 +133,27 @@ class DedupSpec extends SparkSpec {
       3L -> ((1L, 0L, 0L)),
       4L -> ((2L, 2L, 10000L))))
   }
+
+  test("fuzzy join (q199): every corrupted key resolves to a clean key " +
+      "IDENTICAL to its own — blocking recall is total by construction") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val out = Dedup.fuzzyJoin(docs)
+    assert(out.count() === n, "a corrupted key found no match")
+    // all clean keys are 40 chars and the corruption deletes exactly one
+    // char, so the best achievable distance is exactly 1 — anything else
+    // means the true block was missed
+    assert(out.filter(col("lev") =!= 1).count() === 0)
+    // the matched id may be a twin (duplicate prefix) but its KEY must
+    // equal the corrupted row's own clean key
+    val keys = docs.select(col("doc_id"),
+      expr("substring(text, 1, 40)").as("k"))
+    val wrong = out
+      .join(keys.select(col("doc_id"), col("k").as("own")), "doc_id")
+      .join(keys.select(col("doc_id").as("match_id"), col("k").as("got")),
+        "match_id")
+      .filter(col("own") =!= col("got"))
+    assert(wrong.count() === 0, "matched a key different from the source")
+  }
 }
