@@ -299,7 +299,9 @@ object SparkEntry {
       Similarity.lsmComposedServed(embeddings(s, d))),
     "q198_lsm_composed_split" -> ((s, d) =>
       Similarity.lsmComposedServeSplit(embeddings(s, d), d)),
-    "q199_fuzzy_join" -> ((s, d) => Dedup.fuzzyJoin(documents(s, d)))
+    "q199_fuzzy_join" -> ((s, d) => Dedup.fuzzyJoin(documents(s, d))),
+    "q200_fuzzy_served" -> ((s, d) =>
+      Dedup.fuzzyJoinServed(documents(s, d), d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -519,6 +521,8 @@ object SparkEntry {
     "q197_lsm_composed_served" -> Similarity.lsmComposedServedSql,
     // q197's oracle VERBATIM: the ServedRoots store ≡ the recompute
     "q198_lsm_composed_split" -> Similarity.lsmComposedServedSql,
-    "q199_fuzzy_join" -> Dedup.fuzzyJoinSql
+    "q199_fuzzy_join" -> Dedup.fuzzyJoinSql,
+    // q199's oracle VERBATIM: the stored variant index ≡ the recompute
+    "q200_fuzzy_served" -> Dedup.fuzzyJoinSql
   )
 }

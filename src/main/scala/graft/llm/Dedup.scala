@@ -523,26 +523,44 @@ object Dedup {
     * like any key join); the O(len·k) banded Levenshtein runs on
     * candidates only. No UDF anywhere. */
   def fuzzyJoin(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val clean = documents.select(col("doc_id").as("c_id"),
+    val clean = cleanKeys(documents)
+    fuzzyMatchTail(dirtyKeys(clean),
+      clean.select(col("c_id"), col("ckey"), delVars("ckey").as("v")))
+  }
+
+  /** The fixture's clean side: each document's 40-char prefix as a
+    * near-unique synthetic "title". */
+  private def cleanKeys(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id").as("c_id"),
       expr("substring(text, 1, 40)").as("ckey"))
-    val dirty = clean
-      .withColumn("pos", (col("c_id") % length(col("ckey"))).cast("int"))
-      .select(col("c_id").as("d_id"),
-        concat(expr("substring(ckey, 1, pos)"),
-          expr("substring(ckey, pos + 2, 1000)")).as("dkey"))
-    // the deletion neighborhood: the key itself + every 1-deletion
-    // variant, deduped (adjacent equal chars delete to the same string)
-    def vars(key: String): Column = explode(expr(
-      s"array_distinct(concat(array($key), " +
-        s"transform(sequence(0, length($key) - 1), " +
-        s"i -> concat(substring($key, 1, i), " +
-        s"substring($key, i + 2, 1000)))))"))
-    val cleanVar = clean.select(col("c_id"), col("ckey"),
-      vars("ckey").as("v"))
-    val dirtyVar = dirty.select(col("d_id"), col("dkey"),
-      vars("dkey").as("v"))
-    dirtyVar.join(cleanVar, "v")
+
+  /** The fixture's deterministic corruption: delete ONE character at
+    * position `id % length` — exact ground truth, oracle-mirrored. */
+  private def dirtyKeys(clean: DataFrame): DataFrame = clean
+    .withColumn("pos", (col("c_id") % length(col("ckey"))).cast("int"))
+    .select(col("c_id").as("d_id"),
+      concat(expr("substring(ckey, 1, pos)"),
+        expr("substring(ckey, pos + 2, 1000)")).as("dkey"))
+
+  /** The deletion neighborhood: the key itself + every 1-deletion
+    * variant, deduped (adjacent equal chars delete to the same
+    * string). */
+  private def delVars(key: String): Column = explode(expr(
+    s"array_distinct(concat(array($key), " +
+      s"transform(sequence(0, length($key) - 1), " +
+      s"i -> concat(substring($key, 1, i), " +
+      s"substring($key, i + 2, 1000)))))"))
+
+  /** The match tail shared by q199 (fresh variants), q200 (stored
+    * variant index), and the streaming match leg: dirty keys explode
+    * into their own deletion neighborhood, candidates come from the
+    * exact equi-join on the variant string, and only candidates pay
+    * the banded Levenshtein verify before the best-match cut. */
+  private def fuzzyMatchTail(dirty: DataFrame,
+                             cleanVar: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    dirty.select(col("d_id"), col("dkey"), delVars("dkey").as("v"))
+      .join(cleanVar, "v")
       .select(col("d_id"), col("dkey"), col("c_id"), col("ckey"))
       .distinct()
       // the THRESHOLD variant runs the banded O(len·k) DP and returns
@@ -558,6 +576,55 @@ object Dedup {
       .select(col("d_id").as("doc_id"), col("c_id").as("match_id"),
         col("lev"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Writes the q200 variant index — the FastSS dictionary as a stored
+    * table: one (c_id, ckey, v) row per key and deletion variant, the
+    * (len+1)·N-row structure that IS the fuzzy-match index at 100 TB
+    * (hash-partitioned on the variant string by the join). */
+  private[llm] def writeVariantIndex(documents: DataFrame,
+                                     root: String): Unit = {
+    val clean = cleanKeys(documents)
+    clean.select(col("c_id"), col("ckey"), delVars("ckey").as("v"))
+      .write.mode("overwrite").parquet(s"$root/variants")
+  }
+
+  /** q200: q199 timed on its SERVE leg (oracle: q199's VERBATIM —
+    * store ≡ recompute): the clean-side variant index builds once per
+    * corpus into the [[graft.FsUtil.ServedRoots]] cache; afterwards a
+    * match run pays only the dirty side's variant explode + the
+    * equi-join against the stored dictionary + the candidate verify —
+    * the shape of a production record-linkage service, where the
+    * reference corpus is indexed offline and lookups arrive
+    * continuously. */
+  def fuzzyJoinServed(documents: DataFrame, corpusTag: String): DataFrame = {
+    val spark = documents.sparkSession
+    val root = graft.FsUtil.ServedRoots.getOrBuild(
+      Similarity.corpusKey(documents, "doc_id", s"fuzzy:$corpusTag",
+        sum(length(col("text")))),
+      "graft_fuzzyidx_served_")(writeVariantIndex(documents, _))
+    fuzzyMatchTail(dirtyKeys(cleanKeys(documents)),
+      spark.read.parquet(s"$root/variants"))
+  }
+
+  /** q200 under STRUCTURED STREAMING — dirty records arrive as a
+    * stream of (d_id, dkey) micro-batches and each batch matches
+    * against the SAME stored variant index as the batch leg, appending
+    * to `outDir`. Per-record results depend only on the record + the
+    * stored dictionary, so union-of-micro-batches ≡ one batch
+    * (StreamingSpec proves it against q200). */
+  def fuzzyMatchStreamBatch(documents: DataFrame, corpusTag: String,
+                            outDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val root = graft.FsUtil.ServedRoots.getOrBuild(
+      Similarity.corpusKey(documents, "doc_id", s"fuzzy:$corpusTag",
+        sum(length(col("text")))),
+      "graft_fuzzyidx_served_")(writeVariantIndex(documents, _))
+    fuzzyMatchTail(batch.select(col("d_id"), col("dkey")),
+        spark.read.parquet(s"$root/variants"))
+      .write.mode("append").parquet(outDir)
+    ()
   }
 
   /** Oracle: the same corruption model, deletion neighborhoods

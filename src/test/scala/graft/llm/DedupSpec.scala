@@ -156,4 +156,14 @@ class DedupSpec extends SparkSpec {
       .filter(col("own") =!= col("got"))
     assert(wrong.count() === 0, "matched a key different from the source")
   }
+
+  test("fuzzy served (q200): the stored variant index serves q199's " +
+      "answer bit-for-bit, twice (second call hits the session cache)") {
+    val docs = Tables.documents(spark, sf)
+    val self = Dedup.fuzzyJoin(docs).collect().toSeq
+    val served = Dedup.fuzzyJoinServed(docs, s"fuzzy-spec-$sf").collect().toSeq
+    assert(served === self)
+    val again = Dedup.fuzzyJoinServed(docs, s"fuzzy-spec-$sf").collect().toSeq
+    assert(again === self)
+  }
 }

@@ -414,6 +414,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("fuzzy match on a dirty-record STREAM equals the batch serve " +
+    "(q200 online; union of foreachBatch micro-batches == one batch)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val docs = graft.Tables.documents(spark, sf)
+    val dir = Files.createTempDirectory("graft-fzsrc").toString + "/dirty"
+    val out = Files.createTempDirectory("graft-fzout").toString + "/res"
+    // the q199 fixture's dirty keys, arriving as TWO micro-batches
+    def dirtyOf(pred: org.apache.spark.sql.Column) = docs.filter(pred)
+      .select(col("doc_id").as("d_id"),
+        expr("substring(text, 1, 40)").as("ckey"))
+      .withColumn("pos", (col("d_id") % length(col("ckey"))).cast("int"))
+      .select(col("d_id"),
+        concat(expr("substring(ckey, 1, pos)"),
+          expr("substring(ckey, pos + 2, 1000)")).as("dkey"))
+    dirtyOf(col("doc_id") % 2 === 0).write.parquet(dir)
+    val schema = StructType(Seq(
+      StructField("d_id", LongType), StructField("dkey", StringType)))
+    val tag = s"fz-stream-$sf"
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.llm.Dedup.fuzzyMatchStreamBatch(docs, tag, out)(b, id))
+      .start()
+    try {
+      q.processAllAvailable()
+      dirtyOf(col("doc_id") % 2 === 1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+    val batch = graft.llm.Dedup.fuzzyJoinServed(docs, tag)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("COMPOSED LSM ingest stream (q196 online): composed delta appends " +
     "+ triggered compaction from micro-batches equal the batch store") {
     import org.apache.spark.sql.functions._
