@@ -1224,10 +1224,21 @@ object Similarity {
     * (decoded cell-partitioned inverted lists, already pruned). */
   private def ivfPqRank(pcells: DataFrame, labeled: DataFrame,
                         probes: DataFrame, embeddings: DataFrame,
-                        k: Int, refineR: Int): DataFrame = {
+                        k: Int, refineR: Int): DataFrame =
+    exactRerankFor(adcShortlist(pcells, labeled, refineR), probes,
+      embeddings, k)
+
+  /** The ADC shortlist stage alone — the per-probe quantized-cosine
+    * ranking over probed cells' reconstructions, cut at the absolute
+    * refine depth. Shared by [[ivfPqRank]] (q186/q187, raw-embedding
+    * refine) and [[lsmComposedServeRoot]] (q197/q198, view co-stored
+    * vector refine) so the scoring stage cannot diverge between the
+    * two serve tiers. */
+  private def adcShortlist(pcells: DataFrame, labeled: DataFrame,
+                           refineR: Int): DataFrame = {
     val wq = Window.partitionBy(col("probe_id"))
       .orderBy(col("qcos").desc, col("vec_id"))
-    val shortlist = pcells
+    pcells
       .join(labeled, col("cell") === col("cluster") &&
         col("vec_id") =!= col("probe_id"))
       .withColumn("qcos", round(dot(col("pe"), col("qvec")) /
@@ -1235,7 +1246,6 @@ object Similarity {
       .withColumn("qrnk", row_number().over(wq))
       .filter(col("qrnk") <= refineR)
       .select(col("probe_id"), col("vec_id"))
-    exactRerankFor(shortlist, probes, embeddings, k)
   }
 
   /** Shared oracle prefix for the per-subspace PQ codebook (q82/q178;
@@ -3161,11 +3171,30 @@ object Similarity {
       dirs.filter(_.startsWith("delta")).map(_.drop(5).toInt).sorted.toSeq)
   }
 
+  /** The compaction index of a base segment path: 0 for the seed
+    * `base`, N for `base_cN`. */
+  private def lsmBaseIdx(basePath: String): Int = {
+    val n = new java.io.File(basePath).getName
+    if (n == "base") 0 else n.drop(6).toInt
+  }
+
+  /** The next segment number for an ingest batch: strictly above every
+    * live delta AND the current base's compaction index. Delta numbers
+    * restart from nothing after a compaction clears them — without the
+    * base-index floor, the SECOND compaction cycle would pick a number
+    * ≤ the current base's and either overwrite the very base it is
+    * reading (Spark refuses: "Cannot overwrite a path that is also
+    * being read from") or write a LOWER-numbered base that
+    * [[lsmStorePaths]]' maxBy then ignores, silently dropping the
+    * cycle's arrivals. Spec-pinned across two full cycles. */
+  private def lsmNextSeg(basePath: String, prior: Seq[Int]): Int =
+    (prior :+ lsmBaseIdx(basePath)).max + 1
+
   def lsmIngestStreamBatch(root: String)(batch: DataFrame,
                                          batchId: Long): Unit = {
     val spark = batch.sparkSession
     val (basePath, prior) = lsmStorePaths(root)
-    val next = if (prior.isEmpty) 1 else prior.max + 1
+    val next = lsmNextSeg(basePath, prior)
     val cents = spark.read.parquet(s"$root/centroids")
     lsmDeltaOf(batch, cents)
       .write.mode("overwrite").parquet(s"$root/delta$next")
@@ -3566,7 +3595,7 @@ object Similarity {
                                                  batchId: Long): Unit = {
     val spark = batch.sparkSession
     val (basePath, prior) = lsmStorePaths(root)
-    val next = if (prior.isEmpty) 1 else prior.max + 1
+    val next = lsmNextSeg(basePath, prior)
     val cents = spark.read.parquet(s"$root/centroids")
     val cb = spark.read.parquet(s"$root/codebook")
     lsmComposedDeltaOf(batch, cents, cb)
@@ -3644,18 +3673,12 @@ object Similarity {
     val labeled = pqDecodeLabeled(
       pruned.select(col("vec_id"), col("cluster"),
         posexplode(col("cws")).as(Seq("m", "cw"))), cb)
-    val wq = Window.partitionBy(col("probe_id"))
-      .orderBy(col("qcos").desc, col("vec_id"))
-    val shortlist = pcells
-      .join(labeled, col("cell") === col("cluster") &&
-        col("vec_id") =!= col("probe_id"))
-      .withColumn("qcos", round(dot(col("pe"), col("qvec")) /
-        (col("pn") * sqrt(dot(col("qvec"), col("qvec")))), 4))
-      .withColumn("qrnk", row_number().over(wq))
-      .filter(col("qrnk") <= RegisteredFixedR)
-      .select(col("probe_id"), col("vec_id"))
-    // exact refine against the view's co-stored CURRENT vectors
-    val raw = view
+    val shortlist = adcShortlist(pcells, labeled, RegisteredFixedR)
+    // exact refine against the view's co-stored CURRENT vectors —
+    // built from the PRUNED frame: every shortlist vec_id lives in a
+    // probed cell, so this reads only probed partitions instead of
+    // re-resolving the whole view a second time per query batch
+    val raw = pruned
       .select(col("vec_id"),
         transform(col("qe"), x => x.cast("double")).as("rvec"))
       .withColumn("rnrm", l2norm(col("rvec")))

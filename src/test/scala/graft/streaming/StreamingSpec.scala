@@ -492,11 +492,15 @@ class StreamingSpec extends SparkSpec {
       def comp(root: String) = spark.read.parquet(s"$root/base_c3")
         .select(col("ent"), col("vec_id"),
           col("cluster").cast("long").as("cluster"), col("dist"),
-          // positional codeword checksum — arrays compare awkwardly
-          // under except, a weighted scalar pins them just as hard
+          // positional checksums — arrays compare awkwardly under
+          // except, weighted scalars pin them just as hard; qe is the
+          // column the q197/q198 refine reads, so it must be pinned too
           aggregate(zip_with(col("cws"),
               sequence(lit(1L), lit(16L)), (c, i) => c * i),
-            lit(0L), (s, x) => s + x).as("cwsum"))
+            lit(0L), (s, x) => s + x).as("cwsum"),
+          aggregate(zip_with(col("qe"),
+              sequence(lit(1L), lit(64L)), (c, i) => c * i),
+            lit(0L), (s, x) => s + x).as("qesum"))
       val (compS, compB) = (comp(rootS), comp(rootB))
       assert(compS.count() === compB.count())
       assert(compS.except(compB).isEmpty && compB.except(compS).isEmpty,
