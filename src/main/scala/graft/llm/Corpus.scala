@@ -26,9 +26,15 @@ object Corpus {
     * and cluster layouts — the property a train/val/test split must
     * have (resharding the corpus must not move documents between
     * splits). */
-  private def bucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  /** First 8 hex digits of md5(id) as an int64 — the shared primitive
+    * behind every hash split/sample/bucket in this file (one audited
+    * copy of the cross-engine-stable idiom; review r11). */
+  private[llm] def md5Hash(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long") % 100
+      .cast("long")
+
+  private def bucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5Hash(id) % 100
 
   /** Train/val/test split by deterministic hash bucket: 80/10/10. */
   def hashSplit(documents: DataFrame): DataFrame =
@@ -646,8 +652,7 @@ object Corpus {
         floor(lit(10000.0) *
           sqrt(col("n_min").cast("double") / col("n_docs").cast("double")))
           .cast("long").as("rate_bp"))
-    val b10k = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
-      16, 10).cast("long") % 10000
+    val b10k = md5Hash(col("doc_id")) % 10000
     documents.select(col("source"), b10k.as("b"))
       .join(broadcast(rates), "source")
       .groupBy(col("source"), col("n_docs"), col("rate_bp"))
@@ -922,8 +927,7 @@ object Corpus {
     * clocks are continuous so ties are measure-zero, with doc_id as the
     * formal tiebreak. */
   def weightedSample(documents: DataFrame, k: Int = 50): DataFrame = {
-    val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long")
+    val h = md5Hash(col("doc_id"))
     val clock = -log((h.cast("double") + 0.5) / 4294967296.0) / col("n_chars")
     documents
       .select(col("doc_id"), col("n_chars"), clock.as("clock_raw"))
@@ -986,8 +990,7 @@ object Corpus {
     * each anchor matches exactly one candidate per ring step, so the
     * join output is 2 rows per doc, never a bucket × bucket blow-up. */
   def contrastivePairs(documents: DataFrame, nBuckets: Int = 32): DataFrame = {
-    val b = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long") % nBuckets
+    val b = md5Hash(col("doc_id")) % nBuckets
     val base = documents.select(col("doc_id"), b.as("bucket"))
     val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
     val ranked = base
@@ -1740,8 +1743,7 @@ object Corpus {
 
   private[llm] def bktOf(ent: org.apache.spark.sql.Column,
                          nBuckets: Long): org.apache.spark.sql.Column =
-    conv(substring(md5(ent.cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long") % nBuckets
+    md5Hash(ent) % nBuckets
 
   /** The q192 store driver, factored so CorpusSpec can probe the store
     * layout (file mtimes, bucket dirs) between generations. Returns one

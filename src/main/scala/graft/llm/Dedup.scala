@@ -617,10 +617,14 @@ object Dedup {
                             outDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val root = graft.FsUtil.ServedRoots.getOrBuild(
-      Similarity.corpusKey(documents, "doc_id", s"fuzzy:$corpusTag",
-        sum(length(col("text")))),
-      "graft_fuzzyidx_served_")(writeVariantIndex(documents, _))
+    // resolve once per stream tag — the corpusKey aggregate must not
+    // scan the reference corpus per micro-batch (review r11)
+    val root = Similarity.streamRootFor(s"fuzzy:$corpusTag") {
+      graft.FsUtil.ServedRoots.getOrBuild(
+        Similarity.corpusKey(documents, "doc_id", s"fuzzy:$corpusTag",
+          sum(length(col("text")))),
+        "graft_fuzzyidx_served_")(writeVariantIndex(documents, _))
+    }
     fuzzyMatchTail(batch.select(col("d_id"), col("dkey")),
         spark.read.parquet(s"$root/variants"))
       .write.mode("append").parquet(outDir)

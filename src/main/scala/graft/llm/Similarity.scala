@@ -404,7 +404,7 @@ object Similarity {
   private[llm] def ivfCandidates(embeddings: DataFrame, asg: DataFrame,
                                  cents: DataFrame, nProbes: Int,
                                  nProbe: Int,
-                                 frac: Double = 0.13): DataFrame = {
+                                 frac: Double = IvfProbeFrac): DataFrame = {
     val v = embeddings.select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
       .join(asg, "vec_id")
@@ -424,9 +424,33 @@ object Similarity {
     * compressed. */
   private def probeCellsOf(embeddings: DataFrame, cents: DataFrame,
                            nProbes: Int, nProbe: Int,
-                           frac: Double = 0.13): DataFrame =
+                           frac: Double = IvfProbeFrac): DataFrame =
     probeCellsFor(probesFrame(embeddings, nProbes), embeddings, cents,
       nProbe, frac)
+
+  /** Runs `body`, then unpersists every RDD it newly pinned — the
+    * trainers end in localCheckpoint, and a long suite would otherwise
+    * fill the block store with dead training frames (the r6 eviction
+    * incident). ONE copy, shared by every build job and lifecycle body
+    * (review r11: this was hand-copied seven times). */
+  private[llm] def sweepAfter[A](spark: org.apache.spark.sql.SparkSession)(
+      body: => A): A = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val a = body
+    sc.getPersistentRDDs
+      .filterNot { case (id, _) => before(id) }
+      .values.foreach(_.unpersist(blocking = false))
+    a
+  }
+
+  /** The IVF tier's EXACT-scan probe budget: nProbe = ⌈IvfProbeFrac·k⌉
+    * of the ⌈√N⌉ trained cells. ONE constant shared by the operator
+    * defaults, the streaming leg, the LSM serve legs, and (via
+    * interpolation) every oracle's `ceil(0.13 * k)` scalar subquery —
+    * the RegisteredFixedR one-constant discipline (ADVICE r10) applied
+    * to the scan budget. */
+  val IvfProbeFrac: Double = 0.13
 
   /** The (probe_id, pe, pn) frame of the registered probe set — the
     * first nProbes corpus vectors. The streaming legs substitute a
@@ -1399,7 +1423,7 @@ object Similarity {
       |  FROM probes p CROSS JOIN cells c),
       |pcr AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) crnk FROM pc),
       |sel AS (SELECT probe_id, pe, pn, cell FROM pcr
-      |        WHERE crnk <= (SELECT CAST(ceil(0.13 * k) AS BIGINT) FROM kk)),
+      |        WHERE crnk <= (SELECT CAST(ceil($IvfProbeFrac * k) AS BIGINT) FROM kk)),
       |pairs AS (SELECT sel.probe_id, n.vec_id AS neighbor_id,
       |    round(list_sum(list_transform(list_zip(sel.pe, n.embedding),
       |      z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (sel.pn * n.nrm), 4) AS cos
@@ -1652,15 +1676,11 @@ object Similarity {
     // that Dataset.unpersist (a CacheManager call) cannot release
     // (review r8). Consumers use the written tables, not these frames,
     // so sweep exactly the RDD ids the training created.
-    val sc = embeddings.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val (asg, cents) = trainLloyd(embeddings, kCells, iters)
-    asg.write.mode("overwrite").parquet(s"$root/assignments")
-    cents.write.mode("overwrite").parquet(s"$root/centroids")
-    sc.getPersistentRDDs
-      .filterNot { case (id, _) => before(id) }
-      .values.foreach(_.unpersist(blocking = false))
-    ()
+    sweepAfter(embeddings.sparkSession) {
+      val (asg, cents) = trainLloyd(embeddings, kCells, iters)
+      asg.write.mode("overwrite").parquet(s"$root/assignments")
+      cents.write.mode("overwrite").parquet(s"$root/centroids")
+    }
   }
 
   /** q174: build + audit the materialized vector index — writes both
@@ -1779,17 +1799,12 @@ object Similarity {
   private[llm] def writePqIndex(embeddings: DataFrame, root: String,
                                 m: Int = 16, kCw: Int = 256,
                                 iters: Int = 2): Unit = {
-    // sweep the trainer's localCheckpoint RDDs, as writeVectorIndex does
-    val sc = embeddings.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val cb = trainPqCodebook(embeddings, m, kCw, iters)
-    cb.write.mode("overwrite").parquet(s"$root/codebook")
-    pqAssign(pqSubRows(embeddings, m, 64, sampled = false), cb)
-      .write.mode("overwrite").parquet(s"$root/encodings")
-    sc.getPersistentRDDs
-      .filterNot { case (id, _) => before(id) }
-      .values.foreach(_.unpersist(blocking = false))
-    ()
+    sweepAfter(embeddings.sparkSession) {
+      val cb = trainPqCodebook(embeddings, m, kCw, iters)
+      cb.write.mode("overwrite").parquet(s"$root/codebook")
+      pqAssign(pqSubRows(embeddings, m, 64, sampled = false), cb)
+        .write.mode("overwrite").parquet(s"$root/encodings")
+    }
   }
 
   /** q183: the q178 two-stage PQ-ADC + exact-refine search timed on its
@@ -1822,20 +1837,16 @@ object Similarity {
     * build job — never at query time. */
   private[llm] def writeIvfPqIndex(embeddings: DataFrame,
                                    root: String): Unit = {
-    val sc = embeddings.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val (asg, cents) = trainLloyd(embeddings)
-    cents.write.mode("overwrite").parquet(s"$root/centroids")
-    val cb = trainPqCodebook(embeddings)
-    cb.write.mode("overwrite").parquet(s"$root/codebook")
-    pqAssign(pqSubRows(embeddings, 16, 64, sampled = false), cb)
-      .join(asg, "vec_id")
-      .write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$root/invlists")
-    sc.getPersistentRDDs
-      .filterNot { case (id, _) => before(id) }
-      .values.foreach(_.unpersist(blocking = false))
-    ()
+    sweepAfter(embeddings.sparkSession) {
+      val (asg, cents) = trainLloyd(embeddings)
+      cents.write.mode("overwrite").parquet(s"$root/centroids")
+      val cb = trainPqCodebook(embeddings)
+      cb.write.mode("overwrite").parquet(s"$root/codebook")
+      pqAssign(pqSubRows(embeddings, 16, 64, sampled = false), cb)
+        .join(asg, "vec_id")
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$root/invlists")
+    }
   }
 
   /** q187: the q186 IVF-PQ hybrid timed on its SERVE leg (oracle:
@@ -1904,7 +1915,14 @@ object Similarity {
       batch: DataFrame, batchId: Long): Unit = {
     val probes = batch.select(col("vec_id").as("probe_id"),
       col("embedding").as("pe"), l2norm(col("embedding")).as("pn"))
-    ivfPqServeFor(probes, embeddings, corpusTag, k)
+    // resolve the root ONCE per stream tag — corpusKey's corpus-sized
+    // aggregate must not run per micro-batch on the serve hot path
+    val root = streamRootFor(s"ivfpq:$corpusTag") {
+      graft.FsUtil.ServedRoots.getOrBuild(
+        corpusKey(embeddings, "vec_id", s"ivfpq:$corpusTag", embSig),
+        "graft_ivfpq_served_")(writeIvfPqIndex(embeddings, _))
+    }
+    ivfPqServeRoot(root, probes, embeddings, k)
       .write.mode("append").parquet(outDir)
     ()
   }
@@ -2000,13 +2018,10 @@ object Similarity {
         col("embedding"), (col("vec_id") % 7 === 0).as("del"))
       val live0 = base.filter(col("b") === 0 && !col("del"))
         .select(col("vec_id"), col("embedding"))
-      val sc = spark.sparkContext
-      val before = sc.getPersistentRDDs.keySet
-      val (_, cents) = trainLloyd(live0)
-      cents.write.mode("overwrite").parquet(s"$scratch/centroids")
-      sc.getPersistentRDDs
-        .filterNot { case (id, _) => before(id) }
-        .values.foreach(_.unpersist(blocking = false))
+      sweepAfter(spark) {
+        val (_, cents) = trainLloyd(live0)
+        cents.write.mode("overwrite").parquet(s"$scratch/centroids")
+      }
       val stored = spark.read.parquet(s"$scratch/centroids")
       // one-round argmin against the frozen stored centroids — the
       // lloydAssign kernel shape (broadcast centroids, codegen'd int64
@@ -2128,18 +2143,9 @@ object Similarity {
     val spark = embeddings.sparkSession
     val scratch =
       java.nio.file.Files.createTempDirectory("graft_vecrt_").toString
-    val sc = spark.sparkContext
     // scoped sweeps (q184's discipline): training-leg checkpoints are
     // released as soon as their stored tables land — but NEVER the
     // returned audit frame's own checkpoint
-    def sweepAfter[A](body: => A): A = {
-      val before = sc.getPersistentRDDs.keySet
-      val a = body
-      sc.getPersistentRDDs
-        .filterNot { case (id, _) => before(id) }
-        .values.foreach(_.unpersist(blocking = false))
-      a
-    }
     try {
       // drifted fixture: q184's stream, +2000 milli/coord on b=3 arrivals
       val base = embeddings.select(
@@ -2152,7 +2158,7 @@ object Similarity {
       val live0 = embeddings
         .filter(col("vec_id") % 4 === 0 && col("vec_id") % 7 =!= 0)
         .select(col("vec_id"), col("embedding"))
-      sweepAfter {
+      sweepAfter(spark) {
         val (_, cents0) = trainLloyd(live0)
         cents0.write.mode("overwrite").parquet(s"$scratch/centroids")
       }
@@ -2192,7 +2198,7 @@ object Similarity {
         .join(spark.read.parquet(s"$scratch/gen3").select(col("vec_id")),
           "vec_id")
         .select(col("ent"), col("vec_id"), col("qe"))
-      sweepAfter {
+      sweepAfter(spark) {
         // checkpointed: the unrolled 4-round DAG re-reads it ~10 times
         val lq = live3.select(col("vec_id"), col("qe")).localCheckpoint()
         val kdyn = broadcast(lq.agg(
@@ -2310,22 +2316,13 @@ object Similarity {
     val spark = embeddings.sparkSession
     val scratch =
       java.nio.file.Files.createTempDirectory("graft_pqgen_").toString
-    def sweepAfter[A](body: => A): A = {
-      val sc = spark.sparkContext
-      val before = sc.getPersistentRDDs.keySet
-      val a = body
-      sc.getPersistentRDDs
-        .filterNot { case (id, _) => before(id) }
-        .values.foreach(_.unpersist(blocking = false))
-      a
-    }
     try {
       val base = embeddings.select(
           floor(col("vec_id") / 4).cast("long").as("ent"),
           col("vec_id"), (col("vec_id") % 4).as("b"),
           (col("vec_id") % 7 === 0).as("del"))
         .join(quantized(embeddings, 1000), "vec_id")
-      sweepAfter {
+      sweepAfter(spark) {
         // train on the EVEN-entity half of the gen-0 live corpus only:
         // the ODD-entity half is the held-out validation set whose
         // reconstruction error is the drift BASELINE. In-sample error
@@ -2488,22 +2485,13 @@ object Similarity {
   private[graft] def ivfPqLifecycleTo(embeddings: DataFrame,
                                     scratch: String): DataFrame = {
     val spark = embeddings.sparkSession
-    def sweepAfter[A](body: => A): A = {
-      val sc = spark.sparkContext
-      val before = sc.getPersistentRDDs.keySet
-      val a = body
-      sc.getPersistentRDDs
-        .filterNot { case (id, _) => before(id) }
-        .values.foreach(_.unpersist(blocking = false))
-      a
-    }
-    {
+    locally {
       val base = embeddings.select(
           floor(col("vec_id") / 4).cast("long").as("ent"),
           col("vec_id"), (col("vec_id") % 4).as("b"),
           (col("vec_id") % 7 === 0).as("del"))
         .join(quantized(embeddings, 1000), "vec_id")
-      sweepAfter {
+      sweepAfter(spark) {
         val live0 = embeddings
           .filter(col("vec_id") % 4 === 0 && col("vec_id") % 7 =!= 0)
           .select(col("vec_id"), col("embedding"))
@@ -2663,15 +2651,6 @@ object Similarity {
     val spark = embeddings.sparkSession
     val scratch =
       java.nio.file.Files.createTempDirectory("graft_pqrt_").toString
-    def sweepAfter[A](body: => A): A = {
-      val sc = spark.sparkContext
-      val before = sc.getPersistentRDDs.keySet
-      val a = body
-      sc.getPersistentRDDs
-        .filterNot { case (id, _) => before(id) }
-        .values.foreach(_.unpersist(blocking = false))
-      a
-    }
     try {
       val base = embeddings.select(
           floor(col("vec_id") / 4).cast("long").as("ent"),
@@ -2680,7 +2659,7 @@ object Similarity {
         .join(quantized(embeddings, 1000), "vec_id")
         .withColumn("qe", when(col("b") === 3,
           transform(col("qe"), x => x + lit(2000L))).otherwise(col("qe")))
-      sweepAfter {
+      sweepAfter(spark) {
         val train0 = embeddings
           .filter(col("vec_id") % 8 === 0 && col("vec_id") % 7 =!= 0)
           .select(col("vec_id"), col("embedding"))
@@ -2716,7 +2695,7 @@ object Similarity {
         .join(spark.read.parquet(s"$scratch/gen3")
           .select(col("vec_id")).distinct(), "vec_id")
         .select(col("ent"), col("vec_id"), col("qe"))
-      sweepAfter {
+      sweepAfter(spark) {
         // the 512-cap sample must key on the ENTITY, not vec_id: the
         // latest-wins live set's vec_ids are all ≡ 3 (mod 4), so a
         // vec_id modulo whose samp divides 4 keeps zero rows (measured
@@ -2887,7 +2866,7 @@ object Similarity {
         transform(col("ce"), x => x.cast("double")).as("centroid"))
       .agg(collect_list(struct(col("cell"), col("centroid"))).as("cells"))
     val plim = embeddings.agg(
-      ceil(lit(0.13) * ceil(sqrt(count(lit(1)).cast("double"))))
+      ceil(lit(IvfProbeFrac) * ceil(sqrt(count(lit(1)).cast("double"))))
         .cast("int").as("plim"))
     val topk = udaf(new graft.functions.TopKAggregator(k))
     probes
@@ -3033,7 +3012,15 @@ object Similarity {
           col("n_cells"), lit(nDelta).as("n_delta"),
           lit(compacted).as("compacted"), col("checksum"))
         .localCheckpoint()
-    val baseRows = spark.read.parquet(basePath).count()
+    var baseRows = spark.read.parquet(basePath).count()
+    // the oracle emits the compaction row only at g3 (the registered
+    // fixture's cumulative 2/4/6% bands first cross the 5% trigger
+    // there); below ~100 rows the integer band sizes round such that
+    // the trigger can fire earlier and the two sides diverge — fail
+    // loudly instead of hash-mismatching (review r11)
+    require(baseRows >= 100,
+      s"lsmVectorIndex: fixture needs >= 100 vectors (got $baseRows) " +
+        "for the oracle's fires-first-at-g3 trigger contract to hold")
     var deltaRows = 0L
     val audits = scala.collection.mutable.ArrayBuffer(audit("g0", 0L, 0L))
     onState("g0")
@@ -3053,6 +3040,10 @@ object Similarity {
           graft.FsUtil.deleteRecursively(new java.io.File(d)))
         deltaPaths = Vector.empty
         basePath = np
+        // re-anchor the trigger denominator on the COMPACTED base —
+        // the stream leg recounts the current base per batch, and the
+        // two legs must implement the same trigger (review r11)
+        baseRows = spark.read.parquet(np).count()
         deltaRows = 0L
         audits += audit(s"g${g}c", 0L, 1L)
         onState(s"g${g}c")
@@ -3069,13 +3060,11 @@ object Similarity {
   private def lsmSeedTo(embeddings: DataFrame,
                         root: String): (DataFrame, DataFrame) = {
     val spark = embeddings.sparkSession
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val (_, cents0) =
-      trainLloyd(embeddings.select(col("vec_id"), col("embedding")))
-    cents0.write.mode("overwrite").parquet(s"$root/centroids")
-    sc.getPersistentRDDs.filterNot { case (id, _) => before(id) }
-      .values.foreach(_.unpersist(blocking = false))
+    sweepAfter(spark) {
+      val (_, cents0) =
+        trainLloyd(embeddings.select(col("vec_id"), col("embedding")))
+      cents0.write.mode("overwrite").parquet(s"$root/centroids")
+    }
     val cents = spark.read.parquet(s"$root/centroids")
     val q0 = quantized(embeddings.select(col("vec_id"), col("embedding")), 1000)
     frozenAssignQ(
@@ -3112,8 +3101,12 @@ object Similarity {
   /** The LSM served view — latest-wins resolution at read time: base
     * anti-join the delta entity set (broadcast: deltas are
     * batch-sized), union the newest surviving delta row per entity.
-    * `deltaPaths` MUST be in ascending generation order. Shared by the
-    * batch lifecycle and the streaming ingest leg. */
+    * `deltaPaths` MUST be in ascending generation order. The ingest
+    * contract is ONE row per entity per batch (every registered
+    * fixture and stream leg honors it); should a caller violate it,
+    * the within-generation tie falls back deterministically to the
+    * highest vec_id rather than task-retry roulette (review r11).
+    * Shared by the batch lifecycle and the streaming ingest leg. */
   private def lsmResolvedView(spark: org.apache.spark.sql.SparkSession,
                               basePath: String,
                               deltaPaths: Seq[String],
@@ -3129,7 +3122,8 @@ object Similarity {
         }.reduce(_ unionByName _)
       val latest = ds
         .withColumn("rn", row_number().over(
-          Window.partitionBy(col("ent")).orderBy(col("gen").desc)))
+          Window.partitionBy(col("ent"))
+            .orderBy(col("gen").desc, col("vec_id").desc)))
         .filter(col("rn") === 1 && !col("del"))
         .select(cols: _*)
       b.join(broadcast(ds.select(col("ent")).distinct()),
@@ -3171,6 +3165,37 @@ object Similarity {
       dirs.filter(_.startsWith("delta")).map(_.drop(5).toInt).sorted.toSeq)
   }
 
+  /** Immutable-segment row-count cache for the ingest stream legs:
+    * without it, micro-batch k re-counts all k prior delta segments
+    * plus the corpus-sized base (O(segments²) cumulative IO over a
+    * long stream — review r11). Sound because segment paths are never
+    * reused within a root: delta numbers are monotonic past every
+    * compaction ([[lsmNextSeg]]) and base segments are written once;
+    * entries are dropped when compaction deletes their segment. */
+  private val segCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def segCount(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Long =
+    segCounts.computeIfAbsent(path,
+      p => spark.read.parquet(p).count()).longValue
+
+  private def dropSegCount(path: String): Unit = {
+    segCounts.remove(path); ()
+  }
+
+  /** Session cache of resolved ServedRoots for the STREAMING legs: the
+    * static side of a stream-static join cannot change mid-stream, so
+    * the corpus-sized [[corpusKey]] aggregate runs once per tag rather
+    * than once per micro-batch (review r11). A corpus genuinely
+    * changing under a reused tag within one session must use a fresh
+    * tag — the BATCH legs keep the content-signature guard. */
+  private val streamRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[llm] def streamRootFor(key: String)(resolve: => String): String =
+    streamRoots.computeIfAbsent(key, _ => resolve)
+
   /** The compaction index of a base segment path: 0 for the seed
     * `base`, N for `base_cN`. */
   private def lsmBaseIdx(basePath: String): Int = {
@@ -3199,16 +3224,19 @@ object Similarity {
     lsmDeltaOf(batch, cents)
       .write.mode("overwrite").parquet(s"$root/delta$next")
     val deltaPaths = (prior :+ next).map(i => s"$root/delta$i")
-    val deltaRows =
-      deltaPaths.map(p => spark.read.parquet(p).count()).sum
-    val baseRows = spark.read.parquet(basePath).count()
+    // memoized per immutable segment: batch k counts ONE new segment,
+    // not all k — ingest stays O(batch) as the scaladoc promises
+    val deltaRows = deltaPaths.map(p => segCount(spark, p)).sum
+    val baseRows = segCount(spark, basePath)
     if (deltaRows * 100L > baseRows * LsmDeltaPct) {
       lsmResolvedView(spark, basePath, deltaPaths)
         .repartition(32, col("cluster"))
         .write.mode("overwrite").partitionBy("cluster")
         .parquet(s"$root/base_c$next")
-      deltaPaths.foreach(p =>
-        graft.FsUtil.deleteRecursively(new java.io.File(p)))
+      deltaPaths.foreach { p =>
+        graft.FsUtil.deleteRecursively(new java.io.File(p))
+        dropSegCount(p)
+      }
     }
     ()
   }
@@ -3323,7 +3351,7 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(probeCellsFor(probes, embeddings, cents, nProbe = 0,
-        frac = 0.13))
+        frac = IvfProbeFrac))
       .join(view,
         col("cell") === col("cluster") && col("vec_id") =!= col("probe_id"))
       .withColumn("cos", round(dot(col("pe"), col("qvec")) /
@@ -3377,7 +3405,12 @@ object Similarity {
       batch: DataFrame, batchId: Long): Unit = {
     val probes = batch.select(col("vec_id").as("probe_id"),
       col("embedding").as("pe"), l2norm(col("embedding")).as("pn"))
-    lsmServeFor(probes, embeddings, corpusTag, k)
+    val root = streamRootFor(s"lsm:$corpusTag") {
+      graft.FsUtil.ServedRoots.getOrBuild(
+        corpusKey(embeddings, "vec_id", s"lsm:$corpusTag", embSig),
+        "graft_lsm_served_")(lsmMidStoreTo(embeddings, _))
+    }
+    lsmServeRoot(root, probes, embeddings, k)
       .write.mode("append").parquet(outDir)
     ()
   }
@@ -3419,7 +3452,7 @@ object Similarity {
       |  FROM probes p CROSS JOIN cells c),
       |pcr AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) crnk FROM pc),
       |sel AS (SELECT probe_id, pe, pn, cell FROM pcr
-      |        WHERE crnk <= (SELECT CAST(ceil(0.13 * k) AS BIGINT) FROM kk)),
+      |        WHERE crnk <= (SELECT CAST(ceil($IvfProbeFrac * k) AS BIGINT) FROM kk)),
       |pairs AS (SELECT sel.probe_id, w.vec_id AS neighbor_id,
       |    round(list_sum(list_transform(range(64), dd ->
       |        sel.pe[dd + 1]::DOUBLE * w.qe[dd + 1]::DOUBLE))
@@ -3479,15 +3512,13 @@ object Similarity {
   private def lsmComposedSeedTo(embeddings: DataFrame, root: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val spark = embeddings.sparkSession
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val (_, cents0) =
-      trainLloyd(embeddings.select(col("vec_id"), col("embedding")))
-    cents0.write.mode("overwrite").parquet(s"$root/centroids")
-    trainPqCodebook(embeddings)
-      .write.mode("overwrite").parquet(s"$root/codebook")
-    sc.getPersistentRDDs.filterNot { case (id, _) => before(id) }
-      .values.foreach(_.unpersist(blocking = false))
+    sweepAfter(spark) {
+      val (_, cents0) =
+        trainLloyd(embeddings.select(col("vec_id"), col("embedding")))
+      cents0.write.mode("overwrite").parquet(s"$root/centroids")
+      trainPqCodebook(embeddings)
+        .write.mode("overwrite").parquet(s"$root/codebook")
+    }
     val cents = spark.read.parquet(s"$root/centroids")
     val cb = spark.read.parquet(s"$root/codebook")
     val q0 = quantized(embeddings.select(col("vec_id"), col("embedding")), 1000)
@@ -3558,7 +3589,11 @@ object Similarity {
           col("enc_checksum"))
         .localCheckpoint()
     }
-    val baseRows = spark.read.parquet(basePath).count()
+    var baseRows = spark.read.parquet(basePath).count()
+    // same small-N oracle contract as lsmVectorIndexTo (review r11)
+    require(baseRows >= 100,
+      s"lsmComposedIndex: fixture needs >= 100 vectors (got $baseRows) " +
+        "for the oracle's fires-first-at-g3 trigger contract to hold")
     var deltaRows = 0L
     val audits = scala.collection.mutable.ArrayBuffer(audit("g0", 0L, 0L))
     onState("g0")
@@ -3578,6 +3613,8 @@ object Similarity {
           graft.FsUtil.deleteRecursively(new java.io.File(d)))
         deltaPaths = Vector.empty
         basePath = np
+        // re-anchor on the compacted base, as the stream leg does
+        baseRows = spark.read.parquet(np).count()
         deltaRows = 0L
         audits += audit(s"g${g}c", 0L, 1L)
         onState(s"g${g}c")
@@ -3601,17 +3638,18 @@ object Similarity {
     lsmComposedDeltaOf(batch, cents, cb)
       .write.mode("overwrite").parquet(s"$root/delta$next")
     val deltaPaths = (prior :+ next).map(i => s"$root/delta$i")
-    val deltaRows =
-      deltaPaths.map(p => spark.read.parquet(p).count()).sum
-    val baseRows = spark.read.parquet(basePath).count()
+    val deltaRows = deltaPaths.map(p => segCount(spark, p)).sum
+    val baseRows = segCount(spark, basePath)
     if (deltaRows * 100L > baseRows * LsmDeltaPct) {
       lsmResolvedView(spark, basePath, deltaPaths,
           payload = Seq("qe", "cws"))
         .repartition(32, col("cluster"))
         .write.mode("overwrite").partitionBy("cluster")
         .parquet(s"$root/base_c$next")
-      deltaPaths.foreach(p =>
-        graft.FsUtil.deleteRecursively(new java.io.File(p)))
+      deltaPaths.foreach { p =>
+        graft.FsUtil.deleteRecursively(new java.io.File(p))
+        dropSegCount(p)
+      }
     }
     ()
   }
@@ -3727,7 +3765,12 @@ object Similarity {
       batch: DataFrame, batchId: Long): Unit = {
     val probes = batch.select(col("vec_id").as("probe_id"),
       col("embedding").as("pe"), l2norm(col("embedding")).as("pn"))
-    lsmComposedServeFor(probes, embeddings, corpusTag, k)
+    val root = streamRootFor(s"lsmc:$corpusTag") {
+      graft.FsUtil.ServedRoots.getOrBuild(
+        corpusKey(embeddings, "vec_id", s"lsmc:$corpusTag", embSig),
+        "graft_lsmc_served_")(lsmComposedMidStoreTo(embeddings, _))
+    }
+    lsmComposedServeRoot(root, probes, embeddings, k)
       .write.mode("append").parquet(outDir)
     ()
   }
