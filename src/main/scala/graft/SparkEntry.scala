@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.Generator
-import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Corpus, Dedup, GraphAnn, Multimodal, Similarity, TextAnalysis}
 import graft.operators.{Relational, TpchSuite}
 import graft.streaming.EventWindows
 
@@ -301,7 +301,12 @@ object SparkEntry {
       Similarity.lsmComposedServeSplit(embeddings(s, d), d)),
     "q199_fuzzy_join" -> ((s, d) => Dedup.fuzzyJoin(documents(s, d))),
     "q200_fuzzy_served" -> ((s, d) =>
-      Dedup.fuzzyJoinServed(documents(s, d), d))
+      Dedup.fuzzyJoinServed(documents(s, d), d)),
+    "q201_knn_graph" -> ((s, d) => GraphAnn.knnGraph(embeddings(s, d))),
+    "q202_graph_beam_topk" -> ((s, d) =>
+      GraphAnn.beamTopK(embeddings(s, d))),
+    "q203_graph_beam_served" -> ((s, d) =>
+      GraphAnn.beamTopKServed(embeddings(s, d), d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -523,6 +528,10 @@ object SparkEntry {
     "q198_lsm_composed_split" -> Similarity.lsmComposedServedSql,
     "q199_fuzzy_join" -> Dedup.fuzzyJoinSql,
     // q199's oracle VERBATIM: the stored variant index ≡ the recompute
-    "q200_fuzzy_served" -> Dedup.fuzzyJoinSql
+    "q200_fuzzy_served" -> Dedup.fuzzyJoinSql,
+    "q201_knn_graph" -> GraphAnn.knnGraphSql,
+    "q202_graph_beam_topk" -> GraphAnn.beamTopKSql,
+    // q202's oracle VERBATIM: the stored graph ≡ the recompute
+    "q203_graph_beam_served" -> GraphAnn.beamTopKSql
   )
 }

@@ -422,7 +422,7 @@ object Similarity {
     * frac = 0.13 is the IVF tier's EXACT-scan budget; the hybrid probes
     * wider ([[IvfPqProbeFrac]]) because its within-cell scan is
     * compressed. */
-  private def probeCellsOf(embeddings: DataFrame, cents: DataFrame,
+  private[llm] def probeCellsOf(embeddings: DataFrame, cents: DataFrame,
                            nProbes: Int, nProbe: Int,
                            frac: Double = IvfProbeFrac): DataFrame =
     probeCellsFor(probesFrame(embeddings, nProbes), embeddings, cents,
@@ -572,8 +572,18 @@ object Similarity {
     * aggregates — the self-joins consumers run would duplicate that
     * subtree and hand Catalyst a plan that costs more to analyze than to
     * run (measured 55 s for 2000 vectors at sf0.1; ~2 s checkpointed). */
-  private def dynamicKBlocked(embeddings: DataFrame, targetBlock: Int,
-                              iters: Int, dim: Int): DataFrame = {
+  private[llm] def dynamicKBlocked(embeddings: DataFrame, targetBlock: Int,
+                              iters: Int, dim: Int): DataFrame =
+    dynamicKBlockedWithCents(embeddings, targetBlock, iters, dim)._1
+
+  /** [[dynamicKBlocked]] plus the UPDATED centroids of its final
+    * assignment (the oracle's `c2` — one extra recompute over `a2`).
+    * The kNN-graph builder (q201) ranks every node's nearest FOREIGN
+    * cells against these to place its bridge edges, and picks beam-
+    * search entry nodes by distance to their own centroid. */
+  private[llm] def dynamicKBlockedWithCents(
+      embeddings: DataFrame, targetBlock: Int,
+      iters: Int, dim: Int): (DataFrame, DataFrame) = {
     val q = quantized(embeddings, 1000)
     val kk = broadcast(embeddings.agg(
       ceil(count(lit(1)).cast("double") / lit(targetBlock.toDouble))
@@ -584,9 +594,10 @@ object Similarity {
     val asg = lloydAssign(q, init, iters, dim)
       .select(col("vec_id"), col("cluster"))
       .localCheckpoint()
-    embeddings.select(col("vec_id"), col("embedding"),
+    val v = embeddings.select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
       .join(asg, "vec_id")
+    (v, recomputeCentroids(asg, q, dim))
   }
 
   /** Unrolled-CTE Lloyd building blocks, shared by the dynamic-k
@@ -597,7 +608,7 @@ object Similarity {
   /** `qn` names the (vec_id, qe) source CTE — "q" for the corpus-level
     * chains; the q188 retrain chain re-runs the rounds over the drifted
     * generation-3 live set under prefixed names. */
-  private def lloydAssignCte(c: String, p: String, a: String,
+  private[llm] def lloydAssignCte(c: String, p: String, a: String,
                              qn: String = "q"): String =
     s"""$p AS (SELECT $qn.vec_id, $c.cluster,
        |    CAST(list_sum(list_transform(range(64), i ->
@@ -607,7 +618,7 @@ object Similarity {
        |    (SELECT *, row_number() OVER (PARTITION BY vec_id
        |       ORDER BY dist, cluster) rn FROM $p) WHERE rn = 1)""".stripMargin
 
-  private def lloydRecomputeCte(a: String, c: String,
+  private[llm] def lloydRecomputeCte(a: String, c: String,
                                 qn: String = "q"): String =
     s"""$c AS (SELECT cluster, list(cd ORDER BY d) AS ce FROM
        |    (SELECT $a.cluster, d.range AS d,
@@ -634,7 +645,7 @@ object Similarity {
   /** Shared oracle prefix: the unrolled-CTE Lloyd rounds with DYNAMIC k
     * (ceil(N/128) via a scalar subquery) and the mod-k-seeded round-0
     * centroids, ending in `v(vec_id, cluster, embedding, nrm)`. */
-  private val dynamicKBlockedCteSql: String =
+  private[llm] val dynamicKBlockedCteSql: String =
     s"""WITH RECURSIVE q AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qe
       |  FROM embeddings),
@@ -1526,7 +1537,7 @@ object Similarity {
   /** Milli-unit int64 quantization of the embedding column (shared by
     * the Lloyd paths): exact integer distances, so assignment is
     * bit-identical across engines and partitionings. */
-  private def quantized(embeddings: DataFrame, scale: Int): DataFrame =
+  private[llm] def quantized(embeddings: DataFrame, scale: Int): DataFrame =
     embeddings.select(col("vec_id"),
       transform(col("embedding"),
         x => round(x.cast("double") * scale).cast("long")).as("qe"))
@@ -1602,7 +1613,7 @@ object Similarity {
     * dimension, a map-side-combinable partial+final agg with O(k·dim)
     * state (never a (vec, dim) explode). Shared by the Lloyd loop and
     * [[semanticDedup]]'s layout-independent seeding. */
-  private def recomputeCentroids(assigned: DataFrame, q: DataFrame,
+  private[llm] def recomputeCentroids(assigned: DataFrame, q: DataFrame,
                                  dim: Int): DataFrame =
     assigned.join(q, "vec_id")
       .groupBy(col("cluster"))
