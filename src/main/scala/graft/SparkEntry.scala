@@ -306,7 +306,10 @@ object SparkEntry {
     "q202_graph_beam_topk" -> ((s, d) =>
       GraphAnn.beamTopK(embeddings(s, d))),
     "q203_graph_beam_served" -> ((s, d) =>
-      GraphAnn.beamTopKServed(embeddings(s, d), d))
+      GraphAnn.beamTopKServed(embeddings(s, d), d)),
+    "q204_filtered_ann" -> ((s, d) =>
+      Similarity.ivfTopKFiltered(embeddings(s, d))),
+    "q205_maxsim_topk" -> ((s, d) => Similarity.maxSimTopK(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -532,6 +535,8 @@ object SparkEntry {
     "q201_knn_graph" -> GraphAnn.knnGraphSql,
     "q202_graph_beam_topk" -> GraphAnn.beamTopKSql,
     // q202's oracle VERBATIM: the stored graph ≡ the recompute
-    "q203_graph_beam_served" -> GraphAnn.beamTopKSql
+    "q203_graph_beam_served" -> GraphAnn.beamTopKSql,
+    "q204_filtered_ann" -> Similarity.ivfTopKFilteredSql,
+    "q205_maxsim_topk" -> Similarity.maxSimTopKSql
   )
 }

@@ -31,9 +31,11 @@ import org.apache.spark.sql.functions._
   *  - symmetrization: the union with every edge reversed, distinct —
   *    undirected navigability, degree ≤ 2·(Degree+1).
   *
-  * Entry points are the per-cell medoids (min quantized distance to
-  * own centroid) of the [[Entries]] largest cells — deterministic, and
-  * spread across the densest regions.
+  * Entry points are PER-PROBE: each probe's beam seeds with the
+  * medoids (min quantized distance to own centroid, per cell) of its
+  * [[SeedCells]] nearest cells by centroid cosine — the DiskANN-style
+  * "start near the query" rule, measured 3× better than fixed global
+  * entries on the isotropic fixture (PERF.md r12).
   *
   * 100 TB shape: the build is the q147 kNN join plus one extra
   * N·targetBlock bridge join — row-linear candidate volume, document
@@ -51,25 +53,34 @@ object GraphAnn {
   val Degree: Int = 4
 
   /** Beam width of the search — candidates kept per probe per hop. */
-  val Beam: Int = 16
+  val Beam: Int = 24
 
   /** Hop budget — the number of frontier expansions. The search DAG is
     * statically unrolled H times (and the oracle's CTE chain with it),
     * so H is a structural constant, not a tuning knob. */
   val Hops: Int = 3
 
-  /** Number of entry cells (largest first) whose medoids seed beams. */
-  val Entries: Int = 4
+  /** Per-probe entry cells: each probe's beam is seeded with the
+    * MEDOIDS of its [[SeedCells]] nearest blocking cells (by centroid
+    * cosine — the IVF coarse-probe rank), the DiskANN-style
+    * "start near the query" rule. Measured on the sf0.1 fixture
+    * (PERF.md r12): probe-seeded entries more than triple the recall
+    * of fixed global entry points (1600 → 4800 bp) at the same beam
+    * budget, and at ~13% visited the graph matches the IVF tier's
+    * recall at its 13% scan budget while its per-probe vector reads
+    * stay bounded by Beam·degree·Hops — constant in N. */
+  val SeedCells: Int = 6
 
   private def dot = VectorFunctions.floatDot _
 
-  /** The three build frames: the blocked corpus `v(vec_id, embedding,
-    * nrm, cluster)`, the symmetrized adjacency `edges(src, dst, cos)`,
-    * and the [[Entries]]-row entry-node frame `entries(node)`. */
+  /** The build frames: the blocked corpus `v(vec_id, embedding, nrm,
+    * cluster)`, the symmetrized adjacency `edges(src, dst, cos)`, the
+    * per-cell entry medoids `medoids(cluster, node)`, and the blocking
+    * centroids `cents(cluster, ce)` the seed rank probes against. */
   private[llm] def graphFrames(embeddings: DataFrame,
                                targetBlock: Int = 128, iters: Int = 2,
                                dim: Int = 64)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (v, centsRaw) =
       Similarity.dynamicKBlockedWithCents(embeddings, targetBlock, iters, dim)
     // consumed by the bridge rank AND the entry medoids — materialize
@@ -119,22 +130,17 @@ object GraphAnn {
         dir.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
       .distinct()
 
-    // entry medoids of the Entries largest cells: TakeOrderedAndProject
-    // for the cell pick (never a global single-partition window)
-    val topc = v.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("cluster"))
-      .limit(Entries)
-      .select(col("cluster"))
+    // per-cell entry medoids: min distance to own centroid, tie vec_id
     val own = ranked.join(v.select(col("vec_id"), col("cluster")),
       Seq("vec_id", "cluster"))
     val we = Window.partitionBy(col("cluster"))
       .orderBy(col("dist"), col("vec_id"))
-    val entries = own.join(broadcast(topc), "cluster")
+    val medoids = own
       .withColumn("rn", row_number().over(we))
       .filter(col("rn") === 1)
-      .select(col("vec_id").as("node"))
+      .select(col("cluster"), col("vec_id").as("node"))
 
-    (v, edges, entries)
+    (v, edges, medoids, cents)
   }
 
   /** q201: the stored navigable-graph build, emitted as the adjacency
@@ -142,7 +148,7 @@ object GraphAnn {
     * oracle rebuilds it through the shared dynamic-k Lloyd CTE, so a
     * green hash pins BOTH edge layers and the symmetrization. */
   def knnGraph(embeddings: DataFrame): DataFrame = {
-    val (_, edges, _) = graphFrames(embeddings)
+    val (_, edges, _, _) = graphFrames(embeddings)
     edges.orderBy(col("src"), col("dst"))
   }
 
@@ -159,22 +165,38 @@ object GraphAnn {
         round(dot(col("pe"), col("embedding")) / (col("pn") * col("nrm")), 4))
       .select(col("probe_id"), col("node"), col("cos"))
 
-  /** Beam search over a prebuilt graph: [[Hops]] statically-unrolled
-    * frontier expansions from the entry medoids, beam [[Beam]] per
-    * probe, final top-k from the last beam. Every hop's beam is a tiny
+  /** Beam search over a prebuilt graph: each probe's beam is seeded
+    * with the medoids of its [[SeedCells]] nearest cells (centroid-
+    * cosine rank — the IVF coarse probe, so the graph serve pays the
+    * same O(probes·k) coarse cost the IVF tier already pays), then
+    * [[Hops]] statically-unrolled frontier expansions at beam [[Beam]],
+    * final top-k from the last beam. Every hop's beam is a tiny
     * (probes·B) frame — localCheckpoint'd so the unrolled DAG stays
     * flat for Catalyst (the dynamicKBlocked lineage lesson) and each
     * hop's joins replan against materialized sizes. */
   private[llm] def beamFrom(probes: DataFrame, base: DataFrame,
-                            edges: DataFrame, entries: DataFrame,
-                            k: Int): DataFrame = {
+                            edges: DataFrame, medoids: DataFrame,
+                            cents: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("node"))
     def rank(s: DataFrame, lim: Int): DataFrame =
       s.withColumn("rn", row_number().over(w)).filter(col("rn") <= lim)
 
-    val c0 = probes.select(col("probe_id")).crossJoin(broadcast(entries))
+    // seed: the probe's SeedCells nearest cells' medoids (probeCellsFor
+    // ranking — unrounded centroid cosine, ties on ascending cluster)
+    val cells = cents.select(col("cluster"),
+      transform(col("ce"), x => x.cast("double")).as("centroid"))
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ccos").desc, col("cluster"))
+    val selc = probes.crossJoin(broadcast(cells))
+      .withColumn("ccos", dot(col("pe"), col("centroid")) /
+        (col("pn") * Similarity.l2norm(col("centroid"))))
+      .withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= SeedCells)
+      .select(col("probe_id"), col("cluster"))
+    val c0 = selc.join(broadcast(medoids), "cluster")
       .filter(col("node") =!= col("probe_id"))
+      .select(col("probe_id"), col("node"))
     var beam = rank(scored(c0, base, probes), Beam)
       .select(col("probe_id"), col("node")).localCheckpoint()
     for (_ <- 1 to Hops) {
@@ -195,28 +217,31 @@ object GraphAnn {
   /** q202: build + search in one self-contained query — the registered
     * probe set (vec_id < nProbes) beam-searched through the fresh
     * graph. The oracle replays the whole chain: blocking, both edge
-    * layers, symmetrization, entry medoids, and all [[Hops]] unrolled
-    * expansions with identical rounding and tie rules. */
+    * layers, symmetrization, per-cell medoids, per-probe seed cells,
+    * and all [[Hops]] unrolled expansions with identical rounding and
+    * tie rules. */
   def beamTopK(embeddings: DataFrame, nProbes: Int = 10,
                k: Int = 5): DataFrame = {
-    val (v, edgesRaw, entriesRaw) = graphFrames(embeddings)
+    val (v, edgesRaw, medoidsRaw, cents) = graphFrames(embeddings)
     val edges = edgesRaw.localCheckpoint()
-    val entries = entriesRaw.localCheckpoint()
+    val medoids = medoidsRaw.localCheckpoint()
     val base = v.select(col("vec_id"), col("embedding"), col("nrm"))
     beamFrom(Similarity.probesFrame(embeddings, nProbes), base,
-      edges, entries, k)
+      edges, medoids, cents, k)
   }
 
-  /** Writes the two serving tables — `edges(src, dst, cos)` and
-    * `entries(node)` — under `root`. The build (Lloyd blocking + two
-    * kNN layers) runs here, once per corpus; the serve leg reads the
-    * adjacency back and pays only the H broadcast-join hops. */
+  /** Writes the three serving tables — `edges(src, dst, cos)`,
+    * `medoids(cluster, node)` and `centroids(cluster, ce)` — under
+    * `root`. The build (Lloyd blocking + two kNN layers) runs here,
+    * once per corpus; the serve leg reads them back and pays only the
+    * coarse seed rank plus the H broadcast-join hops. */
   private[llm] def writeGraphIndex(embeddings: DataFrame,
                                    root: String): Unit =
     Similarity.sweepAfter(embeddings.sparkSession) {
-      val (_, edges, entries) = graphFrames(embeddings)
+      val (_, edges, medoids, cents) = graphFrames(embeddings)
       edges.write.mode("overwrite").parquet(s"$root/edges")
-      entries.write.mode("overwrite").parquet(s"$root/entries")
+      medoids.write.mode("overwrite").parquet(s"$root/medoids")
+      cents.write.mode("overwrite").parquet(s"$root/centroids")
     }
 
   /** q203: the q202 search SERVED from the stored graph (oracle: q202's
@@ -243,7 +268,8 @@ object GraphAnn {
       Similarity.l2norm(col("embedding")).as("nrm"))
     beamFrom(probes, base,
       spark.read.parquet(s"$root/edges"),
-      spark.read.parquet(s"$root/entries"), k)
+      spark.read.parquet(s"$root/medoids"),
+      spark.read.parquet(s"$root/centroids"), k)
   }
 
   /** The q203 serve leg under Structured Streaming (foreachBatch):
@@ -335,18 +361,23 @@ object GraphAnn {
       .mkString(",\n")
     s"""${Similarity.dynamicKBlockedCteSql},
       |$edgesCteSql,
-      |topc AS (SELECT cluster FROM
-      |    (SELECT cluster, count(*) AS n FROM v GROUP BY cluster
-      |     ORDER BY n DESC, cluster LIMIT $Entries)),
       |nd AS (SELECT bp.vec_id, bp.cluster, bp.dist
-      |       FROM bp JOIN v ON v.vec_id = bp.vec_id AND v.cluster = bp.cluster
-      |               JOIN topc ON topc.cluster = bp.cluster),
-      |ent AS (SELECT vec_id AS node FROM
-      |    (SELECT vec_id, row_number() OVER (PARTITION BY cluster
+      |       FROM bp JOIN v ON v.vec_id = bp.vec_id AND v.cluster = bp.cluster),
+      |medo AS (SELECT cluster, vec_id AS node FROM
+      |    (SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
       |       ORDER BY dist, vec_id) rn FROM nd) WHERE rn = 1),
+      |cents AS (SELECT cluster,
+      |            list_transform(ce, x -> x::DOUBLE) AS centroid FROM c2),
       |probes AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pn
       |           FROM v WHERE vec_id < 10),
-      |b0c AS (SELECT probe_id, node FROM probes CROSS JOIN ent
+      |pcc AS (SELECT p.probe_id, c.cluster,
+      |    list_sum(list_transform(list_zip(p.pe, c.centroid), z -> z[1]::DOUBLE * z[2]))
+      |      / (p.pn * sqrt(list_sum(list_transform(c.centroid, x -> x * x)))) AS ccos
+      |  FROM probes p CROSS JOIN cents c),
+      |selc AS (SELECT probe_id, cluster FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |       ORDER BY ccos DESC, cluster) crnk FROM pcc) WHERE crnk <= $SeedCells),
+      |b0c AS (SELECT probe_id, node FROM selc JOIN medo USING (cluster)
       |        WHERE node != probe_id),
       |b0s AS (SELECT c.probe_id, c.node,
       |    round(list_sum(list_transform(list_zip(p.pe, n.embedding),

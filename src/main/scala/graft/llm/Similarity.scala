@@ -396,6 +396,118 @@ object Similarity {
     ivfTopKWith(embeddings, asg, cents, nProbes, k, nProbe)
   }
 
+  /** q204: FILTERED ANN — the q37 trained-IVF search under a metadata
+    * predicate (here: even `label`), the production "vector search
+    * with a filter" shape (what FAISS calls IDSelector and the vector
+    * databases call metadata filtering). The index is built ONCE on the
+    * FULL corpus — the filter is a per-query parameter, so it must not
+    * leak into training or assignments — and applied to the CANDIDATE
+    * side of the probed-cell scan, before scoring: post-filtering the
+    * final top-k instead would silently return < k rows whenever the
+    * unfiltered top-k is filter-poor (the classic filtered-ANN bug).
+    *
+    * 100 TB shape: identical to q37's — the predicate rides the
+    * candidate scan as a pushed parquet filter on the (label) column,
+    * so the filtered search is strictly CHEAPER than the unfiltered
+    * one; ranking still sees ⌈0.13·√N⌉ cells' survivors only. Recall
+    * caveat measured in PERF.md: a filter thins every probed cell, so
+    * fixed probe budgets lose recall as selectivity drops — the
+    * documented mitigation is widening nProbe with 1/selectivity. */
+  def ivfTopKFiltered(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
+                      nProbe: Int = 0): DataFrame = {
+    val (asg, cents) = trainLloyd(embeddings, 0, 4)
+    val v = embeddings.select(col("vec_id"), col("embedding"), col("label"),
+        l2norm(col("embedding")).as("nrm"))
+      .join(asg, "vec_id")
+    val cand = broadcast(probeCellsOf(embeddings, cents, nProbes, nProbe))
+      .join(v.filter(col("label") % 2 === 0),
+        col("cell") === col("cluster") && col("vec_id") =!= col("probe_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .withColumn("cos", round(dot(col("pe"), col("embedding")) /
+        (col("pn") * col("nrm")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** q205: MaxSim late-interaction retrieval (the ColBERT scoring
+    * model, Khattab & Zaharia 2020): each 64-dim embedding is read as
+    * FOUR 16-dim sub-vectors ("token vectors"), and a (probe, doc)
+    * pair scores sum over probe sub-vectors of the MAX cosine against
+    * any doc sub-vector — finer-grained than single-vector cosine
+    * (a probe facet can match different docs on different facets).
+    *
+    * Shape: the q35 brute scan (broadcast probes, stream the corpus,
+    * WindowGroupLimit top-k) with the pair kernel swapped — the 4×4
+    * sub-cosines stay INSIDE one row-level expression (slices + norms
+    * precomputed per side), so there is no fan-out and no extra
+    * shuffle. The 16 inner dots run as interpreted lambdas (~µs/pair —
+    * acceptable because pairs = probes·N, the same volume q35 already
+    * streams; the custom-Expression upgrade is the documented next step
+    * if this becomes a hot path). At 100 TB the production composition
+    * is MaxSim as the RERANK over an ANN shortlist (the q170 pattern);
+    * the registered query scores the full corpus so the oracle pins the
+    * kernel itself. */
+  def maxSimTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
+                 nSub: Int = 4, dim: Int = 64): DataFrame = {
+    val sd = dim / nSub
+    val subs = transform(sequence(lit(0), lit(nSub - 1)),
+      i => slice(col("embedding"), i * sd + 1, lit(sd)))
+    val norms = transform(sequence(lit(0), lit(nSub - 1)),
+      i => sqrt(aggregate(slice(col("embedding"), i * sd + 1, lit(sd)),
+        lit(0.0d), (a, x) => a + x.cast("double") * x.cast("double"))))
+    val base = embeddings.select(col("vec_id"), subs.as("sv"),
+      norms.as("sn"))
+    val probes = base.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("sv").as("pv"),
+        col("sn").as("pn"))
+    val maxsim = round(aggregate(sequence(lit(0), lit(nSub - 1)), lit(0.0d),
+      (acc, i) => acc + array_max(transform(sequence(lit(0), lit(nSub - 1)),
+        j => dot(element_at(col("pv"), i + 1), element_at(col("sv"), j + 1)) /
+          (element_at(col("pn"), i + 1) * element_at(col("sn"), j + 1))))), 4)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("maxsim").desc, col("vec_id"))
+    base.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("maxsim", maxsim)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("maxsim"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Oracle: the 4×4 sub-cosines via an explicit (i, j) range
+    * cross-join, max per (pair, i) then an ORDER-FORCED list_sum over i
+    * (group-by sum order is engine-defined; the Spark side accumulates
+    * i ascending). */
+  val maxSimTopKSql: String =
+    """WITH s AS (SELECT vec_id,
+      |    list_transform(range(4), i ->
+      |      embedding[i * 16 + 1 : i * 16 + 16]) AS sv,
+      |    list_transform(range(4), i ->
+      |      sqrt(list_sum(list_transform(embedding[i * 16 + 1 : i * 16 + 16],
+      |        x -> x::DOUBLE * x::DOUBLE)))) AS sn
+      |  FROM embeddings),
+      |sub AS (SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
+      |    i.range AS i,
+      |    max(list_sum(list_transform(list_zip(p.sv[i.range + 1], n.sv[j.range + 1]),
+      |      z -> z[1]::DOUBLE * z[2]::DOUBLE))
+      |      / (p.sn[i.range + 1] * n.sn[j.range + 1])) AS mc
+      |  FROM s p JOIN s n ON p.vec_id < 10 AND n.vec_id != p.vec_id
+      |  CROSS JOIN range(4) i CROSS JOIN range(4) j
+      |  GROUP BY p.vec_id, n.vec_id, i.range),
+      |sc AS (SELECT probe_id, neighbor_id,
+      |    round(list_sum(list(mc ORDER BY i)), 4) AS maxsim
+      |  FROM sub GROUP BY probe_id, neighbor_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |        ORDER BY maxsim DESC, neighbor_id) rnk FROM sc)
+      |SELECT probe_id, neighbor_id, maxsim, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+
   /** The candidate frame of the trained IVF search — (probe, candidate)
     * pairs BEFORE ranking. private[llm] so the spec can pin the scanned
     * fraction (candidates / (probes × corpus)) the multi-probe budget
@@ -1439,6 +1551,33 @@ object Similarity {
       |    round(list_sum(list_transform(list_zip(sel.pe, n.embedding),
       |      z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (sel.pn * n.nrm), 4) AS cos
       |  FROM sel JOIN v n ON n.cluster = sel.cell AND n.vec_id != sel.probe_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) rnk FROM pairs)
+      |SELECT probe_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+      |ORDER BY probe_id, rnk""".stripMargin
+
+  /** Oracle for [[ivfTopKFiltered]] (q204): q37's chain with the even-
+    * label predicate applied to the candidate side of the probed-cell
+    * scan — training, assignments and cell selection are the VERBATIM
+    * unfiltered prefix (the index must not see the filter). */
+  val ivfTopKFilteredSql: String =
+    s"""$trainedLloydCteSql,
+      |cells AS (SELECT cluster AS cell,
+      |            list_transform(ce, x -> x::DOUBLE) AS centroid
+      |          FROM c4),
+      |probes AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pn
+      |           FROM v WHERE vec_id < 10),
+      |pc AS (SELECT p.probe_id, p.pe, p.pn, c.cell,
+      |    list_sum(list_transform(list_zip(p.pe, c.centroid), z -> z[1]::DOUBLE * z[2]))
+      |      / (p.pn * sqrt(list_sum(list_transform(c.centroid, x -> x * x)))) AS ccos
+      |  FROM probes p CROSS JOIN cells c),
+      |pcr AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) crnk FROM pc),
+      |sel AS (SELECT probe_id, pe, pn, cell FROM pcr
+      |        WHERE crnk <= (SELECT CAST(ceil($IvfProbeFrac * k) AS BIGINT) FROM kk)),
+      |pairs AS (SELECT sel.probe_id, n.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(list_zip(sel.pe, n.embedding),
+      |      z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (sel.pn * n.nrm), 4) AS cos
+      |  FROM sel JOIN v n ON n.cluster = sel.cell AND n.vec_id != sel.probe_id
+      |           JOIN embeddings l ON l.vec_id = n.vec_id AND l.label % 2 = 0),
       |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) rnk FROM pairs)
       |SELECT probe_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
       |ORDER BY probe_id, rnk""".stripMargin

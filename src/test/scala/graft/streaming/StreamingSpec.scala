@@ -607,4 +607,36 @@ class StreamingSpec extends SparkSpec {
     } finally Seq(rootB, rootS).foreach(r =>
       graft.FsUtil.deleteRecursively(new java.io.File(r)))
   }
+  test("graph-ANN serve on a probe STREAM equals the batch serve " +
+    "(q203 online; union of foreachBatch micro-batches == one batch)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dir = Files.createTempDirectory("graft-gannsrc").toString + "/probes"
+    val out = Files.createTempDirectory("graft-gannout").toString + "/res"
+    // the batch leg's probe set (vec_id < 10) arrives as TWO
+    // micro-batches; per-probe results depend only on the probe row +
+    // the shared stored graph, so the union must be bit-identical
+    emb.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding").write.parquet(dir)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val tag = s"gann-stream-$sf"
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.llm.GraphAnn.graphSearchStreamBatch(emb, tag, out)(b, id))
+      .start()
+    try {
+      q.processAllAvailable()
+      emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select("vec_id", "embedding").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+    val batch = graft.llm.GraphAnn.beamTopKServed(emb, tag)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
 }
