@@ -406,20 +406,42 @@ object Similarity {
     * final top-k instead would silently return < k rows whenever the
     * unfiltered top-k is filter-poor (the classic filtered-ANN bug).
     *
+    * A filter thins every probed cell, so a FIXED probe budget loses
+    * recall as selectivity drops (measured: 4000/4200 bp at the 0.13
+    * budget vs 5400/4600 unfiltered, at ~0.5 selectivity). The budget
+    * therefore SELF-WIDENS by the measured selectivity: nProbe =
+    * ⌈0.13·⌈√N⌉·(N/N_eligible)⌉ — one extra 1-row broadcast aggregate,
+    * restoring the eligible-candidate volume of the unfiltered search
+    * (measured: 6800/5800 bp — see PERF.md r12).
+    *
     * 100 TB shape: identical to q37's — the predicate rides the
     * candidate scan as a pushed parquet filter on the (label) column,
-    * so the filtered search is strictly CHEAPER than the unfiltered
-    * one; ranking still sees ⌈0.13·√N⌉ cells' survivors only. Recall
-    * caveat measured in PERF.md: a filter thins every probed cell, so
-    * fixed probe budgets lose recall as selectivity drops — the
-    * documented mitigation is widening nProbe with 1/selectivity. */
-  def ivfTopKFiltered(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
-                      nProbe: Int = 0): DataFrame = {
+    * so the filtered search still scans a ~0.13·N/sel-cell slice, and
+    * the selectivity aggregate is one narrow parquet-stats-friendly
+    * count pair. */
+  def ivfTopKFiltered(embeddings: DataFrame, nProbes: Int = 10,
+                      k: Int = 5): DataFrame = {
     val (asg, cents) = trainLloyd(embeddings, 0, 4)
     val v = embeddings.select(col("vec_id"), col("embedding"), col("label"),
         l2norm(col("embedding")).as("nrm"))
       .join(asg, "vec_id")
-    val cand = broadcast(probeCellsOf(embeddings, cents, nProbes, nProbe))
+    val plim = broadcast(embeddings.agg(
+      ceil(lit(IvfProbeFrac) *
+          ceil(sqrt(count(lit(1)).cast("double"))) *
+          (count(lit(1)).cast("double") /
+            sum((col("label") % 2 === 0).cast("long")).cast("double")))
+        .cast("long").as("plim")))
+    val cells = cents.select(col("cluster").as("cell"),
+      transform(col("ce"), x => x.cast("double")).as("centroid"))
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val sel = probesFrame(embeddings, nProbes).crossJoin(broadcast(cells))
+      .withColumn("ccos", dot(col("pe"), col("centroid")) /
+        (col("pn") * l2norm(col("centroid"))))
+      .withColumn("crnk", row_number().over(wc))
+      .crossJoin(plim).filter(col("crnk") <= col("plim"))
+      .select(col("probe_id"), col("pe"), col("pn"), col("cell"))
+    val cand = broadcast(sel)
       .join(v.filter(col("label") % 2 === 0),
         col("cell") === col("cluster") && col("vec_id") =!= col("probe_id"))
     val w = Window.partitionBy(col("probe_id"))
@@ -1557,13 +1579,17 @@ object Similarity {
 
   /** Oracle for [[ivfTopKFiltered]] (q204): q37's chain with the even-
     * label predicate applied to the candidate side of the probed-cell
-    * scan — training, assignments and cell selection are the VERBATIM
-    * unfiltered prefix (the index must not see the filter). */
+    * scan — training, assignments and cell ranking are the VERBATIM
+    * unfiltered prefix (the index must not see the filter) — and the
+    * probe budget widened by the measured 1/selectivity. */
   val ivfTopKFilteredSql: String =
     s"""$trainedLloydCteSql,
       |cells AS (SELECT cluster AS cell,
       |            list_transform(ce, x -> x::DOUBLE) AS centroid
       |          FROM c4),
+      |selz AS (SELECT count(*) AS cnt,
+      |           count(*) FILTER (WHERE label % 2 = 0) AS fcnt
+      |         FROM embeddings),
       |probes AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pn
       |           FROM v WHERE vec_id < 10),
       |pc AS (SELECT p.probe_id, p.pe, p.pn, c.cell,
@@ -1572,7 +1598,8 @@ object Similarity {
       |  FROM probes p CROSS JOIN cells c),
       |pcr AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) crnk FROM pc),
       |sel AS (SELECT probe_id, pe, pn, cell FROM pcr
-      |        WHERE crnk <= (SELECT CAST(ceil($IvfProbeFrac * k) AS BIGINT) FROM kk)),
+      |        WHERE crnk <= (SELECT CAST(ceil($IvfProbeFrac * k * (cnt::DOUBLE / fcnt)) AS BIGINT)
+      |                       FROM kk, selz)),
       |pairs AS (SELECT sel.probe_id, n.vec_id AS neighbor_id,
       |    round(list_sum(list_transform(list_zip(sel.pe, n.embedding),
       |      z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (sel.pn * n.nrm), 4) AS cos

@@ -675,4 +675,58 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.lsmServed(emb, s"lsm-spec-$sf").collect().toSeq
     assert(again === self)
   }
+  test("filtered ANN (q204): only eligible neighbors, self-widened probe " +
+      "budget restores the unfiltered tier's recall against filtered truth") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val r = Similarity.ivfTopKFiltered(emb).localCheckpoint()
+    assert(r.count() === 50)
+    // the predicate holds on every returned neighbor
+    val lbl = emb.select(col("vec_id").as("neighbor_id"), col("label"))
+    assert(r.join(lbl, "neighbor_id").filter(col("label") % 2 =!= 0).isEmpty,
+      "an odd-label neighbor leaked through the filter")
+    // filtered brute truth: unfiltered probes, eligible candidates only
+    val base = emb.select(col("vec_id"), col("embedding"), col("label"),
+      Similarity.l2norm(col("embedding")).as("nrm"))
+    val probes = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("nrm").as("pn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    val truth = base.filter(col("label") % 2 === 0)
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(Similarity.dot(col("pe"), col("embedding")) /
+        (col("pn") * col("nrm")), 4))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val got = r.select(col("probe_id"), col("neighbor_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val recall = (truth intersect got).size.toDouble / truth.size
+    // measured 7000 bp at this fixture with the 1/selectivity widening
+    // (PERF.md r12); 4000 bp without it — the floor pins the widening
+    assert(recall >= 0.55, s"filtered recall $recall below 5500 bp")
+  }
+
+  test("MaxSim (q205): identical vectors score exactly 4.0, and the " +
+      "registered output keeps the rank contract") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // kernel anchor: a duplicate pair scores sum over 4 facets of 1.0
+    val vec = (1 to 64).map(i => (i % 7 + 1).toFloat)
+    val two = Seq((0L, vec), (1L, vec)).toDF("vec_id", "embedding")
+    val anchor = Similarity.maxSimTopK(two, nProbes = 1, k = 1).collect()
+    assert(anchor.length === 1 && anchor(0).getDouble(2) === 4.0)
+    val emb = Tables.embeddings(spark, sf)
+    val r = Similarity.maxSimTopK(emb).localCheckpoint()
+    assert(r.count() === 50)
+    assert(r.filter(col("neighbor_id") === col("probe_id")).isEmpty)
+    assert(r.filter(col("maxsim") > 4.0 || col("maxsim") < -4.0).isEmpty)
+    // maxsim is non-increasing in rnk within each probe
+    val a = r.select(col("probe_id"), col("rnk"), col("maxsim"))
+    val b = r.select(col("probe_id"), (col("rnk") - 1).as("rnk"),
+      col("maxsim").as("nxt"))
+    assert(a.join(b, Seq("probe_id", "rnk"))
+      .filter(col("maxsim") < col("nxt")).isEmpty)
+  }
 }
