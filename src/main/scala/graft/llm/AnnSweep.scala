@@ -231,6 +231,21 @@ object AnnScale {
           .mode("overwrite").save()
         Similarity.pqRefineServed(emb, "annscale").write.format("noop")
           .mode("overwrite").save() })
+    // the graph tier (r12 q201–q203): build once, then time the serve
+    // alone; per-probe vector reads are Beam·degree·Hops — constant in
+    // N — so the serve wall tracks the H adjacency/embedding scans
+    timed("graph build+serve")(
+      GraphAnn.beamTopKServed(emb, "annscale").write.format("noop")
+        .mode("overwrite").save())
+    timed("graph serve")(
+      GraphAnn.beamTopKServed(emb, "annscale").write.format("noop")
+        .mode("overwrite").save())
+    println(f"graph beam (T=${GraphAnn.SeedCells} B=${GraphAnn.Beam} " +
+      f"H=${GraphAnn.Hops}): recall=${recallOf(
+        GraphAnn.beamTopKServed(emb, "annscale")) * 10000}%5.0f bp")
+    timed("maxsim brute scan")(
+      Similarity.maxSimTopK(emb).write.format("noop")
+        .mode("overwrite").save())
     // the LSM tier (r11 q195/q198): first call builds the mid-lifecycle
     // segment store, second times the view serve alone — the claim under
     // test is that latest-wins resolution (broadcast anti-join of the
