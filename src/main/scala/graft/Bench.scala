@@ -24,6 +24,20 @@ import org.apache.spark.sql.SparkSession
   * `noisy_after_topup` count — the run-level contamination verdict; the
   * round-gate rule (which artifact is THE number) is documented in
   * PERF.md §"Round gate".
+  *
+  * Build-class single-sampling (VERDICT r12 #1): at 206 queries ×
+  * 3–5 samples the full suite outgrew the driver's bench window
+  * (BENCH_r12.json rc=124, parsed null). The ~38 deterministic
+  * build-composites (Lloyd trainers, CC loops, index builds, pipeline
+  * compositions — each ≥3 s clean median, together 66% of the suite's
+  * median mass) re-pay their full index build per sample, and a
+  * deterministic build has no plan-level variance worth 3 samples —
+  * so [[buildClass]] queries run EXACTLY ONCE (pass 1 only, excluded
+  * from every top-up; spread 1.0 by construction). Their noise guard
+  * is run-level: the `build_single` list in BENCH.json names them so a
+  * gate ruling can cross-check any suspect single sample against
+  * BENCH_HISTORY. Targeted SPARK_GRAFT_BENCH_ONLY runs ignore the rule
+  * (perf work on a build query wants real samples).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -80,6 +94,26 @@ object Bench {
     // their DEFINITION, not a regression signal (r5 judge Next #5).
     val validationOnly = Set("q33_ngram_jaccard", "q36_embedding_neardup",
       "q144_containment_exact")
+    // Deterministic build-composites: every sample re-pays a full index
+    // build / training loop / pipeline, so one sample IS the number
+    // (see the header). Sorted by r12 clean-gate median; the serve-leg
+    // twins (q179/q187/q195/q198/q203...) stay multi-sampled — their
+    // builders hit the in-JVM ServedRoots cache after the first call and
+    // the serve cost is the tracked number.
+    val buildClass = Set(
+      "q196_lsm_composed", "q188_lifecycle_retrain", "q193_lsm_vector_index",
+      "q182_daily_pipeline", "q197_lsm_composed_served", "q39_ann_recall",
+      "q83_curation_pipeline", "q77_semantic_dedup", "q190_ivfpq_lifecycle",
+      "q194_lsm_served", "q186_ivfpq_topk", "q191_pq_retrain",
+      "q184_vector_lifecycle", "q202_graph_beam_topk", "q174_vector_index",
+      "q175_ivf_indexed", "q37_ivf_topk", "q33_ngram_jaccard",
+      "q143_etl_lineage", "q204_filtered_ann", "q173_incremental_ingest",
+      "q168_leakage_safe_split", "q171_curation_index", "q192_bucketed_merge",
+      "q201_knn_graph", "q68_neardup_components", "q93_cluster_keep_best",
+      "q94_pagerank", "q172_keep_best_indexed", "q189_pq_lifecycle",
+      "q144_containment_exact", "q177_hard_negatives", "q185_pq_refine_fixed",
+      "q82_pq_adc", "q178_pq_refine", "q84_bucketed_join", "q147_knn_join",
+      "q88_kmeans_lloyd", "q206_graph_lifecycle", "q208_maxsim_rerank")
     val sfValue = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).toDouble).getOrElse(0.0)
     // Optional regex restriction for targeted perf work (not set by the
@@ -97,8 +131,14 @@ object Bench {
     // cannot own all of one query's samples.
     def passOrder(pass: Int, ns: Seq[String]): Seq[String] =
       new scala.util.Random(pass.toLong * 0x9e3779b9L).shuffle(ns)
+    // build-class queries run in pass 1 only (header rationale); a
+    // targeted ONLY run keeps full sampling for them
+    val singleSample: Set[String] =
+      if (only.isDefined) Set.empty else buildClass
+    def passNames(p: Int): Seq[String] =
+      if (p == 1) names else names.filterNot(singleSample)
     val baseSamples: Seq[(String, Either[String, Double])] =
-      (1 to iters).flatMap(p => passOrder(p, names).map(n => n -> once(n)))
+      (1 to iters).flatMap(p => passOrder(p, passNames(p)).map(n => n -> once(n)))
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -119,7 +159,7 @@ object Bench {
     // samples — cheap by definition — so their reported median is
     // median-of-5; heavyweight queries keep the 3-run cost.
     val subSecond = mediansOf(baseSamples).collect {
-      case (n, t) if t < 1.5 => n
+      case (n, t) if t < 1.5 && !singleSample(n) => n
     }.toSet
     val extraSamples: Seq[(String, Either[String, Double])] =
       if (iters >= 5 || subSecond.isEmpty) Nil
@@ -140,7 +180,8 @@ object Bench {
     }
     val withSubsec = baseSamples ++ extraSamples
     val noisy = mediansOf(withSubsec).collect {
-      case (n, t) if t >= 1.5 && spreadOf(withSubsec, n) > 1.5 => n
+      case (n, t) if t >= 1.5 && !singleSample(n) &&
+        spreadOf(withSubsec, n) > 1.5 => n
     }.toSet
     val burstSamples: Seq[(String, Either[String, Double])] =
       if (iters >= 5 || noisy.isEmpty) Nil
@@ -197,11 +238,15 @@ object Bench {
     } + "\""
     val onlyTag = only.map(r => jstr(r.regex)).getOrElse("null")
     // sample-count provenance: sub-1.5s queries report median-of-subsecIters
-    // while heavy queries report median-of-iters (r8 bench change)
+    // while heavy queries report median-of-iters (r8 bench change); the
+    // build_single list names the 1-sample build-class queries (r13)
     val subsecIters = if (extraSamples.nonEmpty) 5 else iters
+    val bs = names.filter(singleSample).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
       s""""subsec_iters":$subsecIters,"noisy_after_topup":$noisyLeft,""" +
-      s""""only":$onlyTag,"queries":$qs,"spread":$sp,"failures":$fs,"sf":"$sfDir"}"""
+      s""""only":$onlyTag,"build_single":$bs,""" +
+      s""""queries":$qs,"spread":$sp,"failures":$fs,"sf":"$sfDir"}"""
     // a targeted run must not clobber the headline full-suite BENCH.json
     // the driver parses (ADVICE r7); it still lands in the history below
     if (only.isEmpty)
@@ -226,6 +271,7 @@ object Bench {
     // absolute final stdout line.
     val short = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""iters":$iters,"n_queries":${medians.size},""" +
+      s""""n_build_single":${names.count(singleSample)},""" +
       s""""noisy_after_topup":$noisyLeft,"failures":$fs,"sf":"$sfDir"}"""
     println(s"BENCH_JSON: $short")
     println(short)

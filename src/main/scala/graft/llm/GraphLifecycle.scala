@@ -1,0 +1,559 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** WRITE PATH of the graph-ANN tier (q206) — the one serving tier that
+  * was still build-once/static after r12 (VERDICT r12 missing #2; the
+  * IVF-flat and composed tiers got their LSM write paths in q193–q198).
+  * The DiskANN incremental story re-expressed in segments:
+  *
+  *  - the gen-0 build freezes the two-level blocking
+  *    ([[Similarity.twoLevelBlockedQ]]) and writes the node segment
+  *    (`nodes0`: vec_id, cluster, qe), the edge segment (`edges0` —
+  *    in-cell kNN + foreign-candidate bridge, symmetrized) and the
+  *    serving tables (fine + coarse centroids);
+  *  - an arrival batch appends ONE node delta (frozen two-level
+  *    assignment of live arrivals + tombstone rows — never touching
+  *    the base) and ONE edge delta: each live arrival's
+  *    [[GraphAnn.Degree]] nearest CURRENT live members of its cell
+  *    plus one bridge edge into its nearest foreign candidate cell,
+  *    both directions stored — O(batch) ingest;
+  *  - the served graph resolves LIVENESS at read time: an edge from
+  *    segment s is live iff neither endpoint was re-written after s
+  *    and neither is tombstoned — a re-arrived node's stale edges die
+  *    with its old vector (the lazy-repair degree erosion every
+  *    incremental graph accepts until compaction);
+  *  - when cumulative arrival rows cross [[Similarity.LsmDeltaPct]]
+  *    percent of the base node count (the q193 trigger arithmetic,
+  *    verbatim), COMPACTION rebuilds the whole graph FROM SCRATCH over
+  *    the current live corpus — fresh blocking, fresh edges — and
+  *    clears the deltas.
+  *
+  * Everything lives in the QUANTIZED integer domain (node vectors are
+  * the milli-unit qe arrays; edge weights are round(qdot/(|a||b|), 4)
+  * over int64 dots): arrival drift composes bit-exactly there, so the
+  * oracle replays every generation — frozen assignments, same-batch
+  * visibility, liveness, the trigger, and the post-compaction rebuild
+  * through the z-prefixed from-scratch chain — hash-exactly.
+  *
+  * 100 TB shape: ingest touches the batch alone (the node delta is a
+  * frozen two-level assignment — √k coarse broadcast + parent-join
+  * children; the edge delta joins the batch against the probed cells'
+  * live members only); serve-time liveness is one window over the
+  * batch-sized delta union broadcast against the base; compaction is
+  * the one corpus-sized pass, amortized by the trigger. */
+object GraphLifecycle {
+
+  /** qe L2 norm as a double — exact: Σx² ≤ 64·(8·10³)² ≪ 2⁵³. */
+  private def qNorm(qe: Column): Column =
+    sqrt(aggregate(qe, lit(0L), (a, x) => a + x * x).cast("double"))
+
+  /** round(int64 dot / (|a|·|b|), 4) — the lifecycle's edge weight. */
+  private def qCos(aQe: Column, bQe: Column, aN: Column, bN: Column): Column =
+    round(aggregate(zip_with(aQe, bQe, (x, y) => x * y), lit(0L),
+      (s, v) => s + v).cast("double") / (aN * bN), 4)
+
+  /** Frozen two-level assignment + candidate distances of a batch
+    * against the stored centroids: (vec_id, qe) →
+    * (vec_id, cluster, dist) over the batch's candidate cells — the
+    * argmin row is the assignment, the rest feed the bridge rank. */
+  private def frozenCand2L(batch: DataFrame, coarse: DataFrame,
+                           fine: DataFrame): DataFrame = {
+    val wg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("gcell"))
+    val gtop = batch.crossJoin(broadcast(coarse.select(
+        col("cluster").as("gcell"), col("ce").as("gce"))))
+      .withColumn("dist", graft.functions.VectorFunctions.longSqDist(
+        col("qe"), col("gce")))
+      .withColumn("rn", row_number().over(wg))
+      .filter(col("rn") <= Similarity.BlockCoarseProbes)
+      .select(col("vec_id"), col("qe"), col("gcell"))
+    gtop.join(fine.select(col("parent"), col("cluster"), col("ce")),
+        col("gcell") === col("parent"))
+      .withColumn("dist", graft.functions.VectorFunctions.longSqDist(
+        col("qe"), col("ce")))
+      .select(col("vec_id"), col("cluster"), col("dist"))
+  }
+
+  private def argminCell(cand: DataFrame): DataFrame =
+    cand.groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"))
+
+  /** The DIRECTED insert edges of `arr` (vec_id, qe, nq, cluster, with
+    * `cand` distances) against the live member set `live` (vec_id, qe,
+    * nq, cluster): in-cell kNN at [[GraphAnn.Degree]] by (qcos desc,
+    * dst), plus one bridge edge — the nearest live member of the
+    * arrival's nearest FOREIGN candidate cell. Gen-0 build = inserting
+    * everything against itself. */
+  private def insertEdges(arr: DataFrame, cand: DataFrame,
+                          live: DataFrame): DataFrame = {
+    val wk = Window.partitionBy(col("a.vec_id"))
+      .orderBy(col("cos").desc, col("b.vec_id"))
+    def cosAB: Column = qCos(col("a.qe"), col("b.qe"),
+      col("a.nq"), col("b.nq"))
+    val knn = arr.as("a").join(live.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos", cosAB)
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= GraphAnn.Degree)
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        col("cos"))
+    val wb = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cluster"))
+    val bcell = cand
+      .join(arr.select(col("vec_id"), col("cluster").as("ocell")), "vec_id")
+      .filter(col("cluster") =!= col("ocell"))
+      .withColumn("rn", row_number().over(wb))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster").as("bcell"))
+    val bridge = arr.as("a")
+      .join(bcell, col("a.vec_id") === bcell("vec_id"))
+      .join(live.as("b"),
+        col("b.cluster") === col("bcell") &&
+          col("b.vec_id") =!= col("a.vec_id"))
+      .withColumn("cos", cosAB)
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") === 1)
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        col("cos"))
+    knn.unionAll(bridge)
+  }
+
+  /** Both directions of the insert edges — the stored segment rows. */
+  private def symmetrized(dir: DataFrame): DataFrame =
+    dir.unionAll(dir.select(col("dst").as("src"), col("src").as("dst"),
+      col("cos")))
+
+  /** The node segments' resolved view at the current store state:
+    * latest-wins per entity across base ∪ deltas (ascending `gens`),
+    * carrying (vec_id, qe, nq, cluster, gen, del). */
+  private def resolvedNodes(spark: SparkSession, base: String,
+                            deltas: Seq[String]): DataFrame = {
+    val segs = (base +: deltas).zipWithIndex.map { case (p, i) =>
+      spark.read.parquet(p).withColumn("segi", lit(i.toLong))
+    }.reduce(_ unionByName _)
+    segs.withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("segi").desc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("qe"), col("cluster"), col("gen"),
+        col("del"))
+      .withColumn("nq", qNorm(col("qe")))
+  }
+
+  /** The LIVE edge view: an edge from segment s survives iff neither
+    * endpoint was re-written after s and neither is tombstoned;
+    * symmetrization dedup happens here (distinct). Only the TOUCHED
+    * entity set (re-written or tombstoned since the base — delta-
+    * bounded, never the corpus) joins in: an untouched endpoint passes
+    * every liveness test by construction, so the broadcast stays
+    * batch-sized at any corpus size. */
+  private def liveEdges(spark: SparkSession, nodes: DataFrame,
+                        edgeSegs: Seq[(String, Long)]): DataFrame = {
+    val es = edgeSegs.map { case (p, g) =>
+        spark.read.parquet(p).withColumn("seg", lit(g))
+      }.reduce(_ unionByName _)
+    val touched = nodes.filter(col("gen") > 0 || col("del"))
+      .select(col("vec_id"), col("gen"), col("del"))
+    es.join(broadcast(touched.select(col("vec_id").as("src"),
+        col("gen").as("sg"), col("del").as("sd"))), Seq("src"), "left")
+      .join(broadcast(touched.select(col("vec_id").as("dst"),
+        col("gen").as("dg"), col("del").as("dd"))), Seq("dst"), "left")
+      .filter(coalesce(col("sg"), lit(0L)) <= col("seg") &&
+        coalesce(col("dg"), lit(0L)) <= col("seg") &&
+        !coalesce(col("sd"), lit(false)) && !coalesce(col("dd"), lit(false)))
+      .select(col("src"), col("dst"), col("cos"))
+      .distinct()
+  }
+
+  /** Writes the gen-0 graph store under `root` from a quantized corpus
+    * (vec_id, qe): frozen blocking tables, node segment, edge segment.
+    * Node cells use the UNIFORM frozen rule — argmin over the node's
+    * candidate cells against the stored fine centroids — the same rule
+    * every later arrival is assigned by. */
+  private def seedStore(q0: DataFrame, root: String, gen: Long): Unit = {
+    val spark = q0.sparkSession
+    Similarity.sweepAfter(spark) {
+      val b = Similarity.twoLevelBlockedQ(q0, 128, 2, 64)
+      b.cents.write.mode("overwrite").parquet(s"$root/centroids")
+      b.coarse.write.mode("overwrite").parquet(s"$root/coarse")
+    }
+    val fine = spark.read.parquet(s"$root/centroids")
+    val coarse = spark.read.parquet(s"$root/coarse")
+    val cand = frozenCand2L(q0, coarse, fine).localCheckpoint()
+    val nodes = q0.join(argminCell(cand), "vec_id")
+      .select(col("vec_id"), col("qe"), col("cluster"),
+        lit(gen).as("gen"), lit(false).as("del"))
+      .localCheckpoint()
+    nodes.write.mode("overwrite").parquet(s"$root/nodes0")
+    val full = nodes.withColumn("nq", qNorm(col("qe")))
+      .select(col("vec_id"), col("qe"), col("nq"), col("cluster"))
+    symmetrized(insertEdges(full, cand, full))
+      .write.mode("overwrite").parquet(s"$root/edges0")
+  }
+
+  /** The CURRENT base root under a lifecycle store: the
+    * highest-numbered `b<i>` (b0 = the seed; compaction writes b1, b2,
+    * … — segment paths are never reused, the lsmStorePaths
+    * discipline). Every reader — batch lifecycle, streaming ingest,
+    * audits — resolves the store state this way. */
+  private def currentBase(root: String): String = {
+    val dirs = Option(new java.io.File(root).list()).getOrElse(Array.empty)
+    val bs = dirs.filter(_.matches("b\\d+"))
+    require(bs.nonEmpty,
+      s"graph lifecycle store not seeded under $root — seedStore first")
+    s"$root/${bs.maxBy(_.drop(1).toInt)}"
+  }
+
+  /** Live delta generation numbers (ascending) under a base root. */
+  private def deltaGens(base: String): Seq[Int] =
+    Option(new java.io.File(base).list()).getOrElse(Array.empty)
+      .filter(_.matches("nodes[1-9]\\d*")).map(_.drop(5).toInt).sorted.toSeq
+
+  private def nodeSegs(base: String): (String, Seq[String]) =
+    (s"$base/nodes0", deltaGens(base).map(g => s"$base/nodes$g"))
+
+  private def edgeSegPaths(base: String): Seq[(String, Long)] =
+    (s"$base/edges0", 0L) +:
+      deltaGens(base).map(g => s"$base/edges$g" -> g.toLong)
+
+  /** One arrival batch (vec_id, qe, del) appended as node + edge delta
+    * segments `nodes$g`/`edges$g` under the CURRENT base: frozen
+    * assignment of live arrivals, tombstone node rows, insert edges
+    * against the POST-batch live view (same-batch arrivals see each
+    * other — deterministic, no within-batch order). Touches the batch
+    * + the probed cells only — never the base segments. */
+  private def ingestBatch(spark: SparkSession, base: String,
+                          batch: DataFrame, g: Long): Unit = {
+    val fine = spark.read.parquet(s"$base/centroids")
+    val coarse = spark.read.parquet(s"$base/coarse")
+    val liveArr = batch.filter(!col("del")).select(col("vec_id"), col("qe"))
+    val cand = frozenCand2L(liveArr, coarse, fine).localCheckpoint()
+    val nodes = liveArr.join(argminCell(cand), "vec_id")
+      .select(col("vec_id"), col("qe"), col("cluster"),
+        lit(g).as("gen"), lit(false).as("del"))
+      .unionByName(batch.filter(col("del"))
+        .select(col("vec_id"), col("qe"), lit(-1L).as("cluster"),
+          lit(g).as("gen"), lit(true).as("del")))
+      .localCheckpoint()
+    nodes.write.mode("overwrite").parquet(s"$base/nodes$g")
+    // the post-batch live view (latest-wins including this delta)
+    val (b0, ds) = nodeSegs(base)
+    val lv = resolvedNodes(spark, b0, ds)
+      .filter(!col("del"))
+      .select(col("vec_id"), col("qe"), col("nq"), col("cluster"))
+    val arr = nodes.filter(!col("del"))
+      .withColumn("nq", qNorm(col("qe")))
+      .select(col("vec_id"), col("qe"), col("nq"), col("cluster"))
+    symmetrized(insertEdges(arr, cand, lv))
+      .write.mode("overwrite").parquet(s"$base/edges$g")
+  }
+
+  /** Fires the q193 trigger against the current store state and, when
+    * it fires, rebuilds FROM SCRATCH over the live corpus into the
+    * next `b<i+1>` root (fresh blocking, fresh edges) and drops the old
+    * base's delta segments. Returns whether compaction ran. Shared by
+    * the batch lifecycle and the streaming ingest leg — one trigger,
+    * two drivers. */
+  private def maybeCompact(spark: SparkSession, root: String): Boolean = {
+    val base = currentBase(root)
+    val (b0, ds) = nodeSegs(base)
+    val baseRows = spark.read.parquet(b0).count()
+    val deltaRows =
+      if (ds.isEmpty) 0L else ds.map(spark.read.parquet(_).count()).sum
+    val fires = deltaRows * 100L > baseRows * Similarity.LsmDeltaPct
+    if (fires) {
+      val lq = resolvedNodes(spark, b0, ds)
+        .filter(!col("del"))
+        .select(col("vec_id"), col("qe"))
+        .localCheckpoint()
+      val idx = base.split('/').last.drop(1).toInt
+      seedStore(lq, s"$root/b${idx + 1}", 0L)
+      deltaGens(base).foreach { g =>
+        graft.FsUtil.deleteRecursively(new java.io.File(s"$base/nodes$g"))
+        graft.FsUtil.deleteRecursively(new java.io.File(s"$base/edges$g"))
+      }
+    }
+    fires
+  }
+
+  /** q206: the graph-ANN lifecycle audit — gen-0 build, three arrival
+    * generations (the q193 fixture bands: entities vec_id%100 ∈ {g,4},
+    * +500·g milli-unit drift in the integer domain, vec_id%3 = 0
+    * tombstoned), the [[Similarity.LsmDeltaPct]] trigger, and the
+    * post-compaction from-scratch rebuild. One audit row per state
+    * g0..g3 + g3c: live nodes, live edges, cumulative delta rows,
+    * compacted flag, edge checksum. The oracle recomputes every state's
+    * live edge view from scratch — frozen chain, per-generation
+    * arrivals with same-batch visibility, the liveness rule — and the
+    * g3c row through a fresh z-prefixed two-level chain over the g3
+    * live set, behind the SAME integer trigger predicate. */
+  def graphLifecycle(embeddings: DataFrame): DataFrame = {
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_gannlc_").toString
+    try graphLifecycleTo(embeddings, scratch)
+    finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
+  }
+
+  /** The q193 fixture band in the quantized domain. */
+  private def arrivals(q0: DataFrame, g: Int): DataFrame = q0
+    .filter(col("vec_id") % 100 === g || col("vec_id") % 100 === 4)
+    .select(col("vec_id"),
+      transform(col("qe"), x => x + lit(500L * g)).as("qe"),
+      (col("vec_id") % 3 === 0).as("del"))
+
+  /** One audit row over the CURRENT store state: live nodes, the live
+    * edge view's count + checksum, cumulative delta rows, compacted
+    * flag. */
+  private def auditState(spark: SparkSession, root: String, state: String,
+                         compacted: Long): DataFrame = {
+    val base = currentBase(root)
+    val (b0, ds) = nodeSegs(base)
+    val nodes = resolvedNodes(spark, b0, ds).localCheckpoint()
+    val nDelta =
+      if (ds.isEmpty) 0L else ds.map(spark.read.parquet(_).count()).sum
+    liveEdges(spark, nodes, edgeSegPaths(base))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("src") * 100000L + col("dst") +
+          round(col("cos") * 10000).cast("long")).as("checksum"))
+      .crossJoin(broadcast(nodes.filter(!col("del"))
+        .agg(count(lit(1)).as("n_nodes"))))
+      .select(lit(state).as("state"), col("n_nodes"), col("n_edges"),
+        lit(nDelta).as("n_delta"), lit(compacted).as("compacted"),
+        col("checksum"))
+      .localCheckpoint()
+  }
+
+  private[graft] def graphLifecycleTo(embeddings: DataFrame, root: String,
+                                      onState: String => Unit = _ => ())
+      : DataFrame = {
+    val spark = embeddings.sparkSession
+    val q0 = Similarity.quantized(
+      embeddings.select(col("vec_id"), col("embedding")), 1000)
+      .localCheckpoint()
+    seedStore(q0, s"$root/b0", 0L)
+    require(spark.read.parquet(s"$root/b0/nodes0").count() >= 100,
+      "graphLifecycle: fixture needs >= 100 vectors for the oracle's " +
+        "fires-first-at-g3 trigger contract to hold (the q193 guard)")
+    val audits = scala.collection.mutable.ArrayBuffer(
+      auditState(spark, root, "g0", 0L))
+    onState("g0")
+    for (g <- 1 to 3) {
+      ingestBatch(spark, currentBase(root), arrivals(q0, g), g.toLong)
+      audits += auditState(spark, root, s"g$g", 0L)
+      onState(s"g$g")
+      if (maybeCompact(spark, root)) {
+        audits += auditState(spark, root, s"g${g}c", 1L)
+        onState(s"g${g}c")
+      }
+    }
+    audits.reduce(_ unionAll _).orderBy(col("state")).localCheckpoint()
+  }
+
+  /** Test hooks: the resolved (nodes, live-edge view) of the current
+    * store state, and the fixture band — GraphLifecycleSpec pins the
+    * liveness contract and the stream ≡ batch store equivalence
+    * through these. */
+  private[llm] def liveViewAt(spark: SparkSession,
+                              root: String): (DataFrame, DataFrame) = {
+    val base = currentBase(root)
+    val (b0, ds) = nodeSegs(base)
+    val nodes = resolvedNodes(spark, b0, ds)
+    (nodes, liveEdges(spark, nodes, edgeSegPaths(base)))
+  }
+
+  private[llm] def arrivalsOf(q0: DataFrame, g: Int): DataFrame =
+    arrivals(q0, g)
+
+  private[llm] def currentBaseOf(root: String): String = currentBase(root)
+
+  /** The q206 ingest leg under Structured Streaming (foreachBatch):
+    * arrival micro-batches (vec_id, qe, del — pre-quantized, the q193
+    * stream contract) append one node + one edge delta each to the
+    * store under `root` (seeded on the first batch from `embeddings`),
+    * then run the SAME trigger → from-scratch compaction as the batch
+    * lifecycle. StreamingSpec proves the streamed store state ≡ the
+    * batch lifecycle's at every generation. Batch numbering continues
+    * monotonically past any prior segment (paths never reused). */
+  def graphIngestStreamBatch(embeddings: DataFrame, root: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (!new java.io.File(s"$root/b0").exists()) {
+      val q0 = Similarity.quantized(
+        embeddings.select(col("vec_id"), col("embedding")), 1000)
+        .localCheckpoint()
+      seedStore(q0, s"$root/b0", 0L)
+    }
+    val base = currentBase(root)
+    val g = (0 +: deltaGens(base)).max + 1
+    ingestBatch(spark, base, batch, g.toLong)
+    maybeCompact(spark, root)
+    ()
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle
+  // ---------------------------------------------------------------------
+
+  private def qCosSql(a: String, b: String): String =
+    s"round(list_sum(list_transform(list_zip($a.qe, $b.qe), " +
+      s"z -> z[1] * z[2]))::DOUBLE / ($a.nq * $b.nq), 4)"
+
+  private def qNormSql: String =
+    "sqrt(list_sum(list_transform(qe, x -> x * x))::DOUBLE)"
+
+  /** The whole lifecycle recomputed from scratch: frozen two-level
+    * chain over the gen-0 corpus (the shared blocked prefix), uniform
+    * frozen-rule node cells (`fpdx`), per-generation arrivals with
+    * frozen assignments and same-batch visibility, both edge layers per
+    * segment, the liveness rule per state, the q193 trigger, and the
+    * post-compaction rebuild through the z-prefixed from-scratch
+    * chain. */
+  val graphLifecycleSql: String = {
+    val P = Similarity.BlockCoarseProbes
+    val D = GraphAnn.Degree
+    val pct = Similarity.LsmDeltaPct
+    s"""${Similarity.dynamicKBlockedCteSql},
+      |n0 AS MATERIALIZED (SELECT q.vec_id, q.qe, o.cluster, $qNormSql AS nq
+      |       FROM q JOIN fpdx o USING (vec_id)),
+      |ar AS MATERIALIZED (SELECT g.range AS g, q.vec_id,
+      |    list_transform(q.qe, x -> x + 500 * g.range) AS qe,
+      |    (q.vec_id % 3 = 0) AS del
+      |  FROM q CROSS JOIN range(1, 4) g
+      |  WHERE q.vec_id % 100 = g.range OR q.vec_id % 100 = 4),
+      |agtd AS (SELECT a.g, a.vec_id, c.cluster,
+      |    CAST(list_sum(list_transform(range(64), i ->
+      |      (a.qe[i + 1] - c.ce[i + 1]) * (a.qe[i + 1] - c.ce[i + 1]))) AS BIGINT) AS dist
+      |  FROM (SELECT * FROM ar WHERE NOT del) a CROSS JOIN gc2 c),
+      |agtop AS (SELECT g, vec_id, cluster AS ccell FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY g, vec_id
+      |       ORDER BY dist, cluster) rn FROM agtd) WHERE rn <= $P),
+      |acand AS MATERIALIZED (SELECT t.g, t.vec_id, f.cluster,
+      |    CAST(list_sum(list_transform(range(64), i ->
+      |      (a.qe[i + 1] - f.ce[i + 1]) * (a.qe[i + 1] - f.ce[i + 1]))) AS BIGINT) AS dist
+      |  FROM agtop t
+      |  JOIN ar a ON a.g = t.g AND a.vec_id = t.vec_id AND NOT a.del
+      |  JOIN fc2 f ON f.cluster // (SELECT k FROM kk) = t.ccell),
+      |aasg AS MATERIALIZED (SELECT g, vec_id, cluster FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY g, vec_id
+      |       ORDER BY dist, cluster) rn FROM acand) WHERE rn = 1),
+      |nd AS MATERIALIZED (SELECT 0 AS gen, vec_id, qe, cluster, FALSE AS del FROM n0
+      |  UNION ALL
+      |  SELECT a.g, a.vec_id, a.qe, s.cluster, FALSE
+      |  FROM ar a JOIN aasg s ON s.g = a.g AND s.vec_id = a.vec_id
+      |  WHERE NOT a.del
+      |  UNION ALL
+      |  SELECT g, vec_id, qe, -1, TRUE FROM ar WHERE del),
+      |lvn AS MATERIALIZED (SELECT s, vec_id, qe, cluster, gen, del, $qNormSql AS nq FROM
+      |    (SELECT i.range AS s, nd.*, row_number() OVER (
+      |       PARTITION BY i.range, vec_id ORDER BY gen DESC) rn
+      |     FROM nd CROSS JOIN range(4) i WHERE gen <= i.range)
+      |  WHERE rn = 1),
+      |lv AS (SELECT * FROM lvn WHERE NOT del),
+      |e0k AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    ${qCosSql("a", "b")} AS cos
+      |  FROM n0 a JOIN n0 b ON a.cluster = b.cluster AND a.vec_id != b.vec_id),
+      |e0kr AS (SELECT src, dst, cos FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY src
+      |       ORDER BY cos DESC, dst) rn FROM e0k) WHERE rn <= $D),
+      |e0bc AS (SELECT vec_id, cluster AS bcell FROM
+      |    (SELECT d.vec_id, d.cluster, row_number() OVER (PARTITION BY d.vec_id
+      |       ORDER BY d.dist, d.cluster) rn
+      |     FROM fpd d JOIN fpdx o ON o.vec_id = d.vec_id
+      |                           AND d.cluster != o.cluster) WHERE rn = 1),
+      |e0b AS (SELECT src, dst, cos FROM
+      |    (SELECT a.vec_id AS src, b.vec_id AS dst, ${qCosSql("a", "b")} AS cos,
+      |       row_number() OVER (PARTITION BY a.vec_id
+      |         ORDER BY ${qCosSql("a", "b")} DESC, b.vec_id) rn
+      |     FROM n0 a JOIN e0bc bc ON bc.vec_id = a.vec_id
+      |               JOIN n0 b ON b.cluster = bc.bcell AND b.vec_id != a.vec_id)
+      |  WHERE rn = 1),
+      |av AS MATERIALIZED (SELECT a.g, a.vec_id, a.qe, s.cluster, $qNormSql AS nq
+      |  FROM ar a JOIN aasg s ON s.g = a.g AND s.vec_id = a.vec_id
+      |  WHERE NOT a.del),
+      |ek AS (SELECT a.g, a.vec_id AS src, m.vec_id AS dst,
+      |    ${qCosSql("a", "m")} AS cos
+      |  FROM av a JOIN lv m ON m.s = a.g AND m.cluster = a.cluster
+      |                     AND m.vec_id != a.vec_id),
+      |ekr AS (SELECT g, src, dst, cos FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY g, src
+      |       ORDER BY cos DESC, dst) rn FROM ek) WHERE rn <= $D),
+      |abc AS (SELECT g, vec_id, cluster AS bcell FROM
+      |    (SELECT c.g, c.vec_id, c.cluster, row_number() OVER (
+      |       PARTITION BY c.g, c.vec_id ORDER BY c.dist, c.cluster) rn
+      |     FROM acand c JOIN aasg o ON o.g = c.g AND o.vec_id = c.vec_id
+      |                            AND c.cluster != o.cluster) WHERE rn = 1),
+      |ab AS (SELECT g, src, dst, cos FROM
+      |    (SELECT a.g, a.vec_id AS src, m.vec_id AS dst, ${qCosSql("a", "m")} AS cos,
+      |       row_number() OVER (PARTITION BY a.g, a.vec_id
+      |         ORDER BY ${qCosSql("a", "m")} DESC, m.vec_id) rn
+      |     FROM av a JOIN abc bc ON bc.g = a.g AND bc.vec_id = a.vec_id
+      |               JOIN lv m ON m.s = a.g AND m.cluster = bc.bcell
+      |                        AND m.vec_id != a.vec_id)
+      |  WHERE rn = 1),
+      |edir AS (SELECT 0 AS seg, src, dst, cos FROM e0kr
+      |  UNION ALL SELECT 0, src, dst, cos FROM e0b
+      |  UNION ALL SELECT g, src, dst, cos FROM ekr
+      |  UNION ALL SELECT g, src, dst, cos FROM ab),
+      |eseg AS MATERIALIZED (SELECT seg, src, dst, cos FROM edir
+      |  UNION ALL SELECT seg, dst, src, cos FROM edir),
+      |lve AS (SELECT DISTINCT st.range AS s, e.src, e.dst, e.cos
+      |  FROM eseg e CROSS JOIN range(4) st
+      |  JOIN lvn a ON a.s = st.range AND a.vec_id = e.src
+      |  JOIN lvn b ON b.s = st.range AND b.vec_id = e.dst
+      |  WHERE e.seg <= st.range AND a.gen <= e.seg AND b.gen <= e.seg
+      |    AND NOT a.del AND NOT b.del),
+      |dc AS MATERIALIZED (SELECT i.range AS s, count(*) AS c
+      |  FROM ar CROSS JOIN range(4) i WHERE g <= i.range GROUP BY i.range),
+      |states AS (SELECT 'g' || s::VARCHAR AS state,
+      |    (SELECT count(*) FROM lv l WHERE l.s = e.s) AS n_nodes,
+      |    count(*) AS n_edges,
+      |    (SELECT coalesce(max(c), 0) FROM dc WHERE dc.s = e.s) AS n_delta,
+      |    CAST(0 AS BIGINT) AS compacted,
+      |    CAST(sum(src * 100000 + dst +
+      |      CAST(round(cos * 10000) AS BIGINT)) AS BIGINT) AS checksum
+      |  FROM lve e GROUP BY s),
+      |zq AS MATERIALIZED (SELECT vec_id, qe FROM lv WHERE s = 3),
+      |${Similarity.twoLevelCtesQ("z", "zq")},
+      |zn0 AS MATERIALIZED (SELECT zq.vec_id, zq.qe, o.cluster, $qNormSql AS nq
+      |        FROM zq JOIN zfpdx o USING (vec_id)),
+      |ze0k AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    ${qCosSql("a", "b")} AS cos
+      |  FROM zn0 a JOIN zn0 b ON a.cluster = b.cluster AND a.vec_id != b.vec_id),
+      |ze0kr AS (SELECT src, dst, cos FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY src
+      |       ORDER BY cos DESC, dst) rn FROM ze0k) WHERE rn <= $D),
+      |ze0bc AS (SELECT vec_id, cluster AS bcell FROM
+      |    (SELECT d.vec_id, d.cluster, row_number() OVER (PARTITION BY d.vec_id
+      |       ORDER BY d.dist, d.cluster) rn
+      |     FROM zfpd d JOIN zfpdx o ON o.vec_id = d.vec_id
+      |                            AND d.cluster != o.cluster) WHERE rn = 1),
+      |ze0b AS (SELECT src, dst, cos FROM
+      |    (SELECT a.vec_id AS src, b.vec_id AS dst, ${qCosSql("a", "b")} AS cos,
+      |       row_number() OVER (PARTITION BY a.vec_id
+      |         ORDER BY ${qCosSql("a", "b")} DESC, b.vec_id) rn
+      |     FROM zn0 a JOIN ze0bc bc ON bc.vec_id = a.vec_id
+      |                JOIN zn0 b ON b.cluster = bc.bcell AND b.vec_id != a.vec_id)
+      |  WHERE rn = 1),
+      |zed AS (SELECT src, dst, cos FROM ze0kr UNION ALL SELECT * FROM ze0b),
+      |zes AS (SELECT DISTINCT src, dst, cos FROM
+      |    (SELECT src, dst, cos FROM zed
+      |     UNION ALL SELECT dst, src, cos FROM zed)),
+      |g3c AS (SELECT 'g3c' AS state,
+      |    (SELECT count(*) FROM zn0) AS n_nodes,
+      |    count(*) AS n_edges, CAST(0 AS BIGINT) AS n_delta,
+      |    CAST(1 AS BIGINT) AS compacted,
+      |    CAST(sum(src * 100000 + dst +
+      |      CAST(round(cos * 10000) AS BIGINT)) AS BIGINT) AS checksum
+      |  FROM zes
+      |  HAVING (SELECT max(c) FROM dc WHERE s = 3) * 100 >
+      |         (SELECT count(*) FROM n0) * $pct)
+      |SELECT state, n_nodes, n_edges, n_delta, compacted, checksum
+      |FROM (SELECT * FROM states UNION ALL SELECT * FROM g3c)
+      |ORDER BY state""".stripMargin
+  }
+}

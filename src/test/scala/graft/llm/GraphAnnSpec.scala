@@ -8,7 +8,7 @@ class GraphAnnSpec extends SparkSpec {
   private def emb = Tables.embeddings(spark, sf)
 
   test("adjacency is symmetric, self-loop-free, and edge-count bounded") {
-    val (_, edgesRaw, _, _) = GraphAnn.graphFrames(emb)
+    val (_, edgesRaw, _, _, _) = GraphAnn.graphFrames(emb)
     val edges = edgesRaw.localCheckpoint()
     assert(edges.filter(col("src") === col("dst")).isEmpty,
       "self loop in adjacency")
@@ -27,7 +27,7 @@ class GraphAnnSpec extends SparkSpec {
   }
 
   test("medoids: exactly one per populated cell, each a cell member") {
-    val (v, _, medoidsRaw, _) = GraphAnn.graphFrames(emb)
+    val (v, _, medoidsRaw, _, _) = GraphAnn.graphFrames(emb)
     val medoids = medoidsRaw.localCheckpoint()
     val nCells = v.select(col("cluster")).distinct().count()
     assert(medoids.count() === nCells)

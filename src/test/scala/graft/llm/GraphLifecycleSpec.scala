@@ -1,0 +1,141 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class GraphLifecycleSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sf)
+
+  test("lifecycle audit: five states, compaction only at g3, " +
+    "delta counter resets, base segments never touched by ingest") {
+    val root = Files.createTempDirectory("graft-gannlc").toString
+    // mtime pin: capture the base segments' file stamps per state
+    def stamps(): Map[String, Long] = {
+      val b0 = new java.io.File(s"$root/b0")
+      def files(d: String) = Option(new java.io.File(b0, d).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+      (files("nodes0") ++ files("edges0"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    var pinned: Map[String, Long] = Map.empty
+    try {
+      val out = GraphLifecycle.graphLifecycleTo(emb, root, {
+        case "g0" => pinned = stamps()
+        case "g1" | "g2" | "g3" =>
+          assert(stamps() === pinned,
+            "ingest modified a base segment file")
+        case _ => ()
+      }).collect()
+      val states = out.map(_.getString(0)).toSeq
+      assert(states === Seq("g0", "g1", "g2", "g3", "g3c"))
+      val byState = out.map(r => r.getString(0) -> r).toMap
+      // compacted flag only on g3c; delta counter accumulates then resets
+      assert(byState("g3c").getLong(4) === 1L)
+      assert(Seq("g0", "g1", "g2", "g3").forall(byState(_).getLong(4) === 0L))
+      assert(byState("g0").getLong(3) === 0L)
+      assert(byState("g1").getLong(3) > 0L)
+      assert(byState("g3").getLong(3) > byState("g2").getLong(3))
+      assert(byState("g3c").getLong(3) === 0L)
+      // compaction preserves the LIVE NODE set (it rebuilds edges, not
+      // membership)
+      assert(byState("g3c").getLong(1) === byState("g3").getLong(1))
+      // every state serves a non-empty graph
+      assert(out.forall(_.getLong(2) > 0L))
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(root))
+  }
+
+  test("liveness contract: no live edge touches a tombstoned or " +
+    "stale-vector endpoint; the view is symmetric and self-loop-free") {
+    val root = Files.createTempDirectory("graft-gannlv").toString
+    try {
+      GraphLifecycle.graphLifecycleTo(emb, root)
+      val (nodes, edges0) = GraphLifecycle.liveViewAt(spark, root)
+      val edges = edges0.localCheckpoint()
+      val live = nodes.filter(!col("del")).select(col("vec_id"))
+      assert(edges.filter(col("src") === col("dst")).isEmpty)
+      assert(edges.select(col("src").as("vec_id")).except(live).isEmpty &&
+        edges.select(col("dst").as("vec_id")).except(live).isEmpty,
+        "live edge references a non-live node")
+      val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("cos"))
+      assert(edges.except(rev).isEmpty && rev.except(edges).isEmpty,
+        "live view is not symmetric")
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(root))
+  }
+
+  test("mid-lifecycle liveness: a re-arrived node's pre-arrival edges " +
+    "die; tombstoned nodes keep no edges") {
+    val root = Files.createTempDirectory("graft-gannml").toString
+    try {
+      val q0 = Similarity.quantized(
+        emb.select(col("vec_id"), col("embedding")), 1000)
+      // run only through g1 by driving the pieces directly: seed + one
+      // ingest — the mid-lifecycle state the audit rows summarize
+      GraphLifecycle.graphIngestStreamBatch(emb, root)(
+        GraphLifecycle.arrivalsOf(q0, 1), 0L)
+      val (nodes, edges) = GraphLifecycle.liveViewAt(spark, root)
+      val arr1 = GraphLifecycle.arrivalsOf(q0, 1).localCheckpoint()
+      val dead = arr1.filter(col("del")).select(col("vec_id"))
+      assert(edges.join(dead, edges("src") === dead("vec_id")).isEmpty &&
+        edges.join(dead, edges("dst") === dead("vec_id")).isEmpty,
+        "tombstoned node still has live edges")
+      // re-arrived (live) node: every surviving edge touching it must
+      // come from its OWN re-insert segment — all gen-0 edges died
+      val re = arr1.filter(!col("del")).select(col("vec_id")).localCheckpoint()
+      val base = GraphLifecycle.currentBaseOf(root)
+      val gen0 = spark.read.parquet(s"$base/edges0")
+      val gen0Touching = gen0.join(re,
+        gen0("src") === re("vec_id") || gen0("dst") === re("vec_id"))
+        .select(col("src"), col("dst"), col("cos"))
+      assert(edges.intersect(gen0Touching.distinct()).isEmpty,
+        "a stale gen-0 edge of a re-arrived node survived")
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(root))
+  }
+
+  test("streamed ingest (q206 online) equals the batch lifecycle's " +
+    "final store state bit-for-bit, through the compaction boundary") {
+    import org.apache.spark.sql.types._
+    val rootB = Files.createTempDirectory("graft-gannsb").toString
+    val rootS = Files.createTempDirectory("graft-gannss").toString
+    val dir = Files.createTempDirectory("graft-gannarr").toString + "/arr"
+    try {
+      GraphLifecycle.graphLifecycleTo(emb, rootB)
+      val q0 = Similarity.quantized(
+        emb.select(col("vec_id"), col("embedding")), 1000)
+      GraphLifecycle.arrivalsOf(q0, 1).write.parquet(dir)
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("qe", ArrayType(LongType)),
+        StructField("del", BooleanType)))
+      val q = spark.readStream.schema(schema).parquet(dir)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+          GraphLifecycle.graphIngestStreamBatch(emb, rootS)(b, id))
+        .start()
+      try {
+        q.processAllAvailable()
+        GraphLifecycle.arrivalsOf(q0, 2).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+        GraphLifecycle.arrivalsOf(q0, 3).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      } finally q.stop()
+      // both stores compacted into b1; their resolved views must match
+      assert(GraphLifecycle.currentBaseOf(rootB).endsWith("b1"))
+      assert(GraphLifecycle.currentBaseOf(rootS).endsWith("b1"))
+      val (nb, eb) = GraphLifecycle.liveViewAt(spark, rootB)
+      val (ns, es) = GraphLifecycle.liveViewAt(spark, rootS)
+      val nbs = nb.select(col("vec_id"), col("cluster"), col("gen"),
+        col("del"))
+      val nss = ns.select(col("vec_id"), col("cluster"), col("gen"),
+        col("del"))
+      assert(nss.except(nbs).isEmpty && nbs.except(nss).isEmpty,
+        "streamed node view != batch")
+      assert(es.except(eb).isEmpty && eb.except(es).isEmpty,
+        "streamed edge view != batch")
+    } finally Seq(rootB, rootS).foreach(r =>
+      graft.FsUtil.deleteRecursively(new java.io.File(r)))
+  }
+}

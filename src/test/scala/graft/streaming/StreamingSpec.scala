@@ -541,6 +541,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("FILTERED ANN serve on a probe STREAM equals the batch serve " +
+    "(q207 online; union of foreachBatch micro-batches == one batch)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dir = Files.createTempDirectory("graft-fltsrc").toString + "/probes"
+    val out = Files.createTempDirectory("graft-fltout").toString + "/res"
+    emb.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding").write.parquet(dir)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val tag = s"flt-stream-$sf"
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.llm.Similarity.filteredSearchStreamBatch(emb, tag, out)(b, id))
+      .start()
+    try {
+      q.processAllAvailable()
+      emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select("vec_id", "embedding").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+    val batch = graft.llm.Similarity.ivfTopKFilteredServed(emb, tag)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    // the stream answered only filter-eligible neighbors
+    val labels = emb.select(col("vec_id").as("neighbor_id"), col("label"))
+    assert(streamed.join(labels, "neighbor_id")
+      .filter(col("label") % 2 =!= 0).isEmpty)
+  }
+
   test("LSM INGEST stream (q193 online): delta appends + triggered " +
     "compaction from micro-batches equal the batch lifecycle's store") {
     import org.apache.spark.sql.functions._
