@@ -27,7 +27,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Build-class single-sampling (VERDICT r12 #1): at 206 queries ×
   * 3–5 samples the full suite outgrew the driver's bench window
-  * (BENCH_r12.json rc=124, parsed null). The ~38 deterministic
+  * (BENCH_r12.json rc=124, parsed null). The ~42 deterministic
   * build-composites (Lloyd trainers, CC loops, index builds, pipeline
   * compositions — each ≥3 s clean median, together 66% of the suite's
   * median mass) re-pay their full index build per sample, and a
@@ -113,7 +113,8 @@ object Bench {
       "q94_pagerank", "q172_keep_best_indexed", "q189_pq_lifecycle",
       "q144_containment_exact", "q177_hard_negatives", "q185_pq_refine_fixed",
       "q82_pq_adc", "q178_pq_refine", "q84_bucketed_join", "q147_knn_join",
-      "q88_kmeans_lloyd", "q206_graph_lifecycle", "q208_maxsim_rerank")
+      "q88_kmeans_lloyd", "q176_fp_index_update", "q181_index_lifecycle",
+      "q206_graph_lifecycle", "q208_maxsim_rerank")
     val sfValue = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).toDouble).getOrElse(0.0)
     // Optional regex restriction for targeted perf work (not set by the
@@ -155,11 +156,17 @@ object Bench {
 
     // Sub-second queries swing >1.7× run-to-run on a contended host, which
     // trips mechanical bench diffs with pure noise (r7 judge: q163/q98).
-    // Queries whose 3-run median lands under 1.5 s get topped up to 5
-    // samples — cheap by definition — so their reported median is
+    // Queries whose 3-run median lands under 1.5 s AND whose 3 samples
+    // already disagree (spread > 1.3 — a tight triple needs no more
+    // evidence; r13, part of fitting the suite in the driver's window)
+    // get topped up to 5 samples, so their reported median is
     // median-of-5; heavyweight queries keep the 3-run cost.
+    def spreadOf3(n: String): Double = {
+      val ok = baseSamples.collect { case (`n`, Right(t)) => t }
+      if (ok.size < 2 || ok.min <= 0) 1.0 else ok.max / ok.min
+    }
     val subSecond = mediansOf(baseSamples).collect {
-      case (n, t) if t < 1.5 && !singleSample(n) => n
+      case (n, t) if t < 1.5 && !singleSample(n) && spreadOf3(n) > 1.3 => n
     }.toSet
     val extraSamples: Seq[(String, Either[String, Double])] =
       if (iters >= 5 || subSecond.isEmpty) Nil

@@ -150,6 +150,56 @@ object PqSweep {
   }
 }
 
+/** Dev-only beam/hop sweep of the graph tier at N≈1e5 (r13): builds the
+  * graph ONCE on the AnnScale synthetic corpus, then measures recall@5
+  * and serve wall over a (beam, hops) grid — the operating-point
+  * evidence for the served beam budget. Not part of the query surface.
+  *
+  * Usage: sbt "runMain graft.llm.GraphSweep [n]"
+  */
+object GraphSweep {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = if (args.nonEmpty) args(0).toLong else 100000L
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = spark.range(0, n, 1, 32)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          ((pmod(hash(col("id"), d), lit(2000)) - 1000) / lit(1000.0))
+            .cast("float")).as("embedding"),
+        pmod(col("id"), lit(10)).cast("int").as("label"))
+      .localCheckpoint()
+    val truth = Similarity.cosineTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val degree = if (args.length > 1) args(1).toInt else GraphAnn.Degree
+    val (v, edgesRaw, medoidsRaw, centsRaw, coarseRaw) =
+      GraphAnn.graphFrames(emb, degree = degree)
+    val edges = edgesRaw.localCheckpoint()
+    val medoids = medoidsRaw.localCheckpoint()
+    val cents = centsRaw.localCheckpoint()
+    val coarse = coarseRaw.localCheckpoint()
+    val base = v.select(col("vec_id"), col("embedding"), col("nrm"))
+      .localCheckpoint()
+    val probes = Similarity.probesFrame(emb, 10).localCheckpoint()
+    println(s"== graph sweep n=$n degree=$degree edges=${edges.count()}")
+    for (beam <- Seq(24, 48, 96, 192); hops <- Seq(3, 4)) {
+      val t0 = System.nanoTime()
+      val got = GraphAnn.beamFrom(probes, base, edges, medoids, cents,
+          coarse, 5, beam, hops)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (truth intersect got).size.toDouble / truth.size
+      println(f"beam=$beam%4d hops=$hops  recall=${recall * 10000}%5.0f bp" +
+        f"  wall=${(System.nanoTime() - t0) / 1e9}%5.1f s")
+    }
+    spark.stop()
+  }
+}
+
 /** Dev-only TWO-DECADES-ABOVE-FIXTURE validation of the ANN stack
   * (VERDICT r10 Next #6): a deterministic ~100k-vector corpus from
   * spark.range + a Murmur3-hash payload (the q26 generator discipline —

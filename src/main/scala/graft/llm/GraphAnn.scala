@@ -49,11 +49,20 @@ import org.apache.spark.sql.functions._
   */
 object GraphAnn {
 
-  /** In-cell kNN out-degree of the graph build. */
-  val Degree: Int = 4
+  /** In-cell kNN out-degree of the graph build. r13: raised 4 → 16 —
+    * the N=1e5 GraphSweep showed graph QUALITY, not search budget, was
+    * the recall ceiling on the isotropic corpus (degree 4 capped at
+    * 3400 bp even at beam 192; degree 16 reaches 6000 bp — PERF.md
+    * r13). The build's candidate-join volume is unchanged (the in-cell
+    * window just KEEPS more rows), and edges stay (long, long, double)
+    * triples. */
+  val Degree: Int = 16
 
-  /** Beam width of the search — candidates kept per probe per hop. */
-  val Beam: Int = 24
+  /** Beam width of the search — candidates kept per probe per hop.
+    * r13: raised 24 → 96 to match the degree-16 graph (the measured
+    * knee: 5400–6000 bp at N=1e5; per-probe vector reads stay bounded
+    * by Beam·degree·Hops, constant in N). */
+  val Beam: Int = 96
 
   /** Hop budget — the number of frontier expansions. The search DAG is
     * statically unrolled H times (and the oracle's CTE chain with it),
@@ -79,6 +88,30 @@ object GraphAnn {
     * per probe, comfortably above [[SeedCells]] on any balanced tree. */
   val SeedCoarse: Int = 3
 
+  /** The seed budgets SCALE with the stored tree (r13, AnnScale): at
+    * N = 1e5 a FIXED 6-cell seed covers 6 of ~800 fine cells and beam
+    * recall collapsed to 1000 bp — the entry points must track the cell
+    * count exactly like the IVF probe budget does. Dynamic rule, both
+    * engines: seed cells = max(SeedCells, ⌈0.13·|fine|⌉) (the
+    * [[Similarity.IvfProbeFrac]] budget over the fine-cell count),
+    * coarse cells ranked = max(SeedCoarse, ⌈0.4·|coarse|⌉). At every
+    * oracle fixture the dynamic values equal the constants (|fine| ≤ 16,
+    * |coarse| ≤ 4), so fixture hashes are unchanged; at N = 1e5 the
+    * seed rank widens to ~104 of 797 cells and recall recovers (PERF.md
+    * r13). The counts come from the stored centroid TABLES (not a
+    * corpus aggregate), so the served legs derive them identically —
+    * store ≡ recompute is preserved. */
+  private def seedBudgets(cents: DataFrame,
+                          coarse: DataFrame): DataFrame = {
+    val sc = cents.agg(greatest(lit(SeedCells.toLong),
+      ceil(lit(Similarity.IvfProbeFrac) * count(lit(1)).cast("double"))
+        .cast("long")).as("scells"))
+    val gc = coarse.agg(greatest(lit(SeedCoarse.toLong),
+      ceil(lit(0.4) * count(lit(1)).cast("double"))
+        .cast("long")).as("gcells"))
+    sc.crossJoin(gc)
+  }
+
   private def dot = VectorFunctions.floatDot _
 
   /** The build frames: the blocked corpus `v(vec_id, embedding, nrm,
@@ -88,7 +121,7 @@ object GraphAnn {
     * `coarse(cluster, ce)` the two-level seed rank probes against. */
   private[llm] def graphFrames(embeddings: DataFrame,
                                targetBlock: Int = 128, iters: Int = 2,
-                               dim: Int = 64)
+                               dim: Int = 64, degree: Int = Degree)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val b = Similarity.twoLevelBlocked(embeddings, targetBlock, iters, dim)
     val v = b.v
@@ -123,7 +156,7 @@ object GraphAnn {
           col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("cos", pairCos)
       .withColumn("rn", row_number().over(wk))
-      .filter(col("rn") <= Degree)
+      .filter(col("rn") <= degree)
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"), col("cos"))
 
     // layer 2: one bridge edge into the second-nearest cell
@@ -187,7 +220,8 @@ object GraphAnn {
   private[llm] def beamFrom(probes: DataFrame, base: DataFrame,
                             edges: DataFrame, medoids: DataFrame,
                             cents: DataFrame, coarse: DataFrame,
-                            k: Int): DataFrame = {
+                            k: Int, beam: Int = Beam,
+                            hops: Int = Hops): DataFrame = {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("node"))
     def rank(s: DataFrame, lim: Int): DataFrame =
@@ -198,6 +232,7 @@ object GraphAnn {
     // cells via a √k-row broadcast, then the SeedCells nearest fine
     // children via a parent equi-join; the k-row fine frame is never
     // broadcast and never fully ranked
+    val budgets = broadcast(seedBudgets(cents, coarse))
     val gcells = coarse.select(col("cluster").as("ccell"),
       transform(col("ce"), x => x.cast("double")).as("gcent"))
     val wg = Window.partitionBy(col("probe_id"))
@@ -206,7 +241,8 @@ object GraphAnn {
       .withColumn("gcos", dot(col("pe"), col("gcent")) /
         (col("pn") * Similarity.l2norm(col("gcent"))))
       .withColumn("grnk", row_number().over(wg))
-      .filter(col("grnk") <= SeedCoarse)
+      .crossJoin(budgets)
+      .filter(col("grnk") <= col("gcells"))
       .select(col("probe_id"), col("pe"), col("pn"), col("ccell"))
     val fcells = cents.select(col("parent"), col("cluster"),
       transform(col("ce"), x => x.cast("double")).as("centroid"))
@@ -216,23 +252,24 @@ object GraphAnn {
       .withColumn("ccos", dot(col("pe"), col("centroid")) /
         (col("pn") * Similarity.l2norm(col("centroid"))))
       .withColumn("crnk", row_number().over(wc))
-      .filter(col("crnk") <= SeedCells)
+      .crossJoin(budgets)
+      .filter(col("crnk") <= col("scells"))
       .select(col("probe_id"), col("cluster"))
     val c0 = selc.join(broadcast(medoids), "cluster")
       .filter(col("node") =!= col("probe_id"))
       .select(col("probe_id"), col("node"))
-    var beam = rank(scored(c0, base, probes), Beam)
+    var bm = rank(scored(c0, base, probes), beam)
       .select(col("probe_id"), col("node")).localCheckpoint()
-    for (_ <- 1 to Hops) {
-      val expand = edges.join(broadcast(beam), col("src") === col("node"))
+    for (_ <- 1 to hops) {
+      val expand = edges.join(broadcast(bm), col("src") === col("node"))
         .select(col("probe_id"), col("dst").as("node"))
-      val cand = beam.unionAll(expand)
+      val cand = bm.unionAll(expand)
         .filter(col("node") =!= col("probe_id"))
         .distinct()
-      beam = rank(scored(cand, base, probes), Beam)
+      bm = rank(scored(cand, base, probes), beam)
         .select(col("probe_id"), col("node")).localCheckpoint()
     }
-    rank(scored(beam, base, probes), k)
+    rank(scored(bm, base, probes), k)
       .select(col("probe_id"), col("node").as("neighbor_id"), col("cos"),
         col("rn").cast("long").as("rnk"))
       .orderBy(col("probe_id"), col("rnk"))
@@ -401,16 +438,21 @@ object GraphAnn {
       |    list_sum(list_transform(list_zip(p.pe, g.gcent), z -> z[1]::DOUBLE * z[2]))
       |      / (p.pn * sqrt(list_sum(list_transform(g.gcent, x -> x * x)))) AS gcos
       |  FROM probes p CROSS JOIN gcells g),
+      |sb AS (SELECT
+      |    (SELECT greatest($SeedCells, CAST(ceil(${Similarity.IvfProbeFrac} * count(*)) AS BIGINT)) FROM fc2) AS scells,
+      |    (SELECT greatest($SeedCoarse, CAST(ceil(0.4 * count(*)) AS BIGINT)) FROM gc2) AS gcells),
       |pgs AS (SELECT probe_id, pe, pn, ccell FROM
       |    (SELECT *, row_number() OVER (PARTITION BY probe_id
-      |       ORDER BY gcos DESC, ccell) grnk FROM pgc) WHERE grnk <= $SeedCoarse),
+      |       ORDER BY gcos DESC, ccell) grnk FROM pgc)
+      |  WHERE grnk <= (SELECT gcells FROM sb)),
       |pcc AS (SELECT s.probe_id, f.cluster,
       |    list_sum(list_transform(list_zip(s.pe, f.centroid), z -> z[1]::DOUBLE * z[2]))
       |      / (s.pn * sqrt(list_sum(list_transform(f.centroid, x -> x * x)))) AS ccos
       |  FROM pgs s JOIN fcells f ON f.parent = s.ccell),
       |selc AS (SELECT probe_id, cluster FROM
       |    (SELECT *, row_number() OVER (PARTITION BY probe_id
-      |       ORDER BY ccos DESC, cluster) crnk FROM pcc) WHERE crnk <= $SeedCells),
+      |       ORDER BY ccos DESC, cluster) crnk FROM pcc)
+      |  WHERE crnk <= (SELECT scells FROM sb)),
       |b0c AS (SELECT probe_id, node FROM selc JOIN medo USING (cluster)
       |        WHERE node != probe_id),
       |b0s AS (SELECT c.probe_id, c.node,

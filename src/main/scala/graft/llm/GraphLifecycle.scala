@@ -46,14 +46,21 @@ import org.apache.spark.sql.functions._
   * the one corpus-sized pass, amortized by the trigger. */
 object GraphLifecycle {
 
-  /** qe L2 norm as a double — exact: Σx² ≤ 64·(8·10³)² ≪ 2⁵³. */
+  /** qe L2 norm as a double — the codegen'd dot kernel (bigint elements
+    * widen to double; every product ≤ 6.4e7 and every partial sum
+    * ≤ ~4e9 is exactly representable, so the double accumulation is
+    * bit-identical to the integer fold and to the oracle's
+    * list_sum-then-cast). */
   private def qNorm(qe: Column): Column =
-    sqrt(aggregate(qe, lit(0L), (a, x) => a + x * x).cast("double"))
+    graft.functions.VectorFunctions.floatNorm(qe)
 
-  /** round(int64 dot / (|a|·|b|), 4) — the lifecycle's edge weight. */
+  /** round(int64 dot / (|a|·|b|), 4) — the lifecycle's edge weight, via
+    * the codegen'd kernel (same exactness argument as [[qNorm]]; the
+    * interpreted zip_with fold cost ~1 µs/element over the
+    * N·targetBlock candidate pairs and made the first registered q206
+    * run 65 s at sf0.1). */
   private def qCos(aQe: Column, bQe: Column, aN: Column, bN: Column): Column =
-    round(aggregate(zip_with(aQe, bQe, (x, y) => x * y), lit(0L),
-      (s, v) => s + v).cast("double") / (aN * bN), 4)
+    round(graft.functions.VectorFunctions.floatDot(aQe, bQe) / (aN * bN), 4)
 
   /** Frozen two-level assignment + candidate distances of a batch
     * against the stored centroids: (vec_id, qe) →
@@ -181,19 +188,21 @@ object GraphLifecycle {
       val b = Similarity.twoLevelBlockedQ(q0, 128, 2, 64)
       b.cents.write.mode("overwrite").parquet(s"$root/centroids")
       b.coarse.write.mode("overwrite").parquet(s"$root/coarse")
+      // b.cand IS the frozen-rule candidate frame (distances vs the
+      // UPDATED fine centroids over each node's candidate cells) — the
+      // exact frame [[frozenCand2L]] would recompute from the tables
+      // just written; reuse it instead of paying the pass twice
+      val cand = b.cand.localCheckpoint()
+      val nodes = q0.join(argminCell(cand), "vec_id")
+        .select(col("vec_id"), col("qe"), col("cluster"),
+          lit(gen).as("gen"), lit(false).as("del"))
+        .localCheckpoint()
+      nodes.write.mode("overwrite").parquet(s"$root/nodes0")
+      val full = nodes.withColumn("nq", qNorm(col("qe")))
+        .select(col("vec_id"), col("qe"), col("nq"), col("cluster"))
+      symmetrized(insertEdges(full, cand, full))
+        .write.mode("overwrite").parquet(s"$root/edges0")
     }
-    val fine = spark.read.parquet(s"$root/centroids")
-    val coarse = spark.read.parquet(s"$root/coarse")
-    val cand = frozenCand2L(q0, coarse, fine).localCheckpoint()
-    val nodes = q0.join(argminCell(cand), "vec_id")
-      .select(col("vec_id"), col("qe"), col("cluster"),
-        lit(gen).as("gen"), lit(false).as("del"))
-      .localCheckpoint()
-    nodes.write.mode("overwrite").parquet(s"$root/nodes0")
-    val full = nodes.withColumn("nq", qNorm(col("qe")))
-      .select(col("vec_id"), col("qe"), col("nq"), col("cluster"))
-    symmetrized(insertEdges(full, cand, full))
-      .write.mode("overwrite").parquet(s"$root/edges0")
   }
 
   /** The CURRENT base root under a lifecycle store: the

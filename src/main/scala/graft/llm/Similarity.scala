@@ -924,7 +924,10 @@ object Similarity {
     val asgC = lloydAssign(q, recomputeCentroids(a0c, q, dim), iters, dim)
       .select(col("vec_id"), col("cluster"))
       .localCheckpoint()
-    val centsC = recomputeCentroids(asgC, q, dim).localCheckpoint()
+    // NOT checkpointed: one cheap agg over the checkpointed assignment —
+    // q77/q147 never evaluate the coarse/cents/cand frames at all, and
+    // an eager checkpoint here would bill them a job for nothing
+    val centsC = recomputeCentroids(asgC, q, dim)
     // per-node candidate coarse cells vs the UPDATED coarse centroids
     val wc = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist"), col("cluster"))
@@ -953,10 +956,11 @@ object Similarity {
       cents = recomputeCentroids(asg, q, dim)
     }
     val asgF = asg.localCheckpoint()
+    // lazy for the same reason as centsC — lineage is one agg over the
+    // checkpointed final assignment
     val centsF = recomputeCentroids(asgF, q, dim)
       .crossJoin(kk).withColumn("parent", expr("cluster div k"))
       .select(col("cluster"), col("parent"), col("ce"))
-      .localCheckpoint()
     BlockedIndex(asgF, centsF, finePairs(q, gtop, centsF, kk), centsC)
   }
 
