@@ -1788,11 +1788,16 @@ object Corpus {
   private[llm] def mergeBatchInto(store: String, batch: DataFrame): Int = {
     val spark = batch.sparkSession
     // the dirty-bucket FRAME prunes the store via a broadcast semi-join
-    // (dynamic partition pruning reaches the bkt= directories), so the
-    // store-side read never materializes a driver-built In-literal that
-    // grows with the batch's dirty-bucket count (VERDICT r12 #4); the
-    // driver-side list below feeds only the batch-bounded empty-bucket
-    // census and the returned count
+    // with DYNAMIC PARTITION PRUNING reaching the bkt= directories, so
+    // the store-side read never materializes a driver-built In-literal
+    // that grows with the batch's dirty-bucket count (VERDICT r12 #4).
+    // The `>= 0` filter is always true (md5 buckets are non-negative)
+    // but REQUIRED: Spark only inserts the DPP subquery when the build
+    // side carries a selective predicate (verified on the executed
+    // plan — without it the semi-join full-scans every bucket, WORSE
+    // than the In-literal it replaces). The driver-side list below
+    // feeds only the batch-bounded empty-bucket census and the
+    // returned count.
     val dirtyF = batch.select(col("bkt").cast("long").as("bkt"))
       .distinct().localCheckpoint()
     val dirty: Seq[Long] =
@@ -1800,7 +1805,7 @@ object Corpus {
     if (dirty.nonEmpty) {
       val storedDirty = spark.read.parquet(store)
         .withColumn("bkt", col("bkt").cast("long"))
-        .join(broadcast(dirtyF), Seq("bkt"), "left_semi")
+        .join(broadcast(dirtyF.filter(col("bkt") >= 0)), Seq("bkt"), "left_semi")
       // eager checkpoint: the merged set is batch-sized (dirty buckets
       // only) and is consumed twice — the dynamic-overwrite write and
       // the empty-bucket census below

@@ -55,7 +55,7 @@ class GraphAnnSpec extends SparkSpec {
   }
 
   test("probe-seeded beam recall@5 clears the graph tier's floor " +
-    "(measured 6600 bp at this fixture; PERF.md r12)") {
+    "(degree-16/beam-96 operating point; PERF.md r13)") {
     val brute = Similarity.cosineTopK(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = GraphAnn.beamTopK(emb).collect()
