@@ -946,6 +946,10 @@ object Similarity {
       .select(col("vec_id"),
         (col("cluster") * col("k") + pmod(col("vec_id"), col("m")))
           .as("cluster"))
+    // the fine-round loop must run at least once or asg stays null
+    // (ADVICE r13: every caller passes iters = 2, but the parameter was
+    // unguarded and a zero-iteration call would NPE at the checkpoint)
+    require(iters >= 1, s"twoLevelBlockedQ needs iters >= 1, got $iters")
     var cents = recomputeCentroids(f0, q, dim)
     var asg: DataFrame = null
     for (_ <- 1 to iters) {
@@ -3460,6 +3464,17 @@ object Similarity {
     * (the ADVICE-r10 one-constant lesson: both the operator and the
     * oracle derive from this value). */
   private[llm] val LsmDeltaPct = 5L
+
+  /** Absolute delta-row floor on the GRAPH lifecycle's compaction
+    * trigger (VERDICT r13 #2): the percent trigger alone lets the
+    * accumulated delta — and with it the TOUCHED entity set the
+    * read-time liveness joins broadcast — grow to 5% of the base,
+    * ~5e7 rows at 1e9 nodes, past broadcast comfort. Compaction also
+    * fires outright at this many delta rows, so the broadcast never
+    * exceeds ~2e6 narrow rows (~96 MB) plus one in-flight batch at any
+    * corpus size. Inert at every oracle fixture (corpora ≤ 1e5 rows);
+    * mirrored verbatim in the q206 oracle's HAVING. */
+  private[llm] val LsmDeltaAbsMax = 2000000L
 
   /** q193: LSM vector index — the WRITE path of the SERVING tier. The
     * q192 dirty-bucket discipline cannot carry to the cell-partitioned

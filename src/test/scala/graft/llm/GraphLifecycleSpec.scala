@@ -13,10 +13,15 @@ class GraphLifecycleSpec extends SparkSpec {
     "delta counter resets, base segments never touched by ingest") {
     val root = Files.createTempDirectory("graft-gannlc").toString
     // mtime pin: capture the base segments' file stamps per state
+    // (nodes0 is partitionBy(cluster) since r14 — walk recursively)
     def stamps(): Map[String, Long] = {
       val b0 = new java.io.File(s"$root/b0")
-      def files(d: String) = Option(new java.io.File(b0, d).listFiles())
-        .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+      def walk(f: java.io.File): Array[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).flatMap(walk)
+        else Array(f)
+      def files(d: String) =
+        walk(new java.io.File(b0, d)).filter(_.getName.endsWith(".parquet"))
       (files("nodes0") ++ files("edges0"))
         .map(f => f.getPath -> f.lastModified()).toMap
     }
@@ -92,6 +97,43 @@ class GraphLifecycleSpec extends SparkSpec {
         .select(col("src"), col("dst"), col("cos"))
       assert(edges.intersect(gen0Touching.distinct()).isEmpty,
         "a stale gen-0 edge of a re-arrived node survived")
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(root))
+  }
+
+  test("per-batch live-member resolution: equals the corpus-sized view " +
+    "filtered to the cells, and the base scan is partition-pruned") {
+    val root = Files.createTempDirectory("graft-gannpp").toString
+    try {
+      val q0 = Similarity.quantized(
+        emb.select(col("vec_id"), col("embedding")), 1000)
+      // seed + one ingest so deltas exist (the anti-join leg is live)
+      GraphLifecycle.graphIngestStreamBatch(emb, root)(
+        GraphLifecycle.arrivalsOf(q0, 1), 0L)
+      val (nodes, _) = GraphLifecycle.liveViewAt(spark, root)
+      val all = nodes.filter(!col("del"))
+        .select(col("cluster")).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val cells = all.take(math.max(1, all.size / 3))
+      val pruned = GraphLifecycle.liveMembersAt(spark, root, cells)
+      // (a) semantic pin: pruned view == corpus-sized view ∩ cells
+      val expect = nodes.filter(!col("del") && col("cluster").isin(cells: _*))
+        .select(col("vec_id"), col("cluster"))
+      val got = pruned.select(col("vec_id"), col("cluster"))
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
+        "liveMembersIn != resolvedNodes filtered to the cells")
+      // (b) plan pin (VERDICT r13 #1 acceptance): the nodes0 scan under
+      // the pruned view carries non-empty partition filters on cluster.
+      // nodes0 is the ONLY cluster-partitioned relation in this plan
+      // (delta segments are unpartitioned, their scans print
+      // `PartitionFilters: []`), so a non-empty cluster IN-filter in the
+      // plan string can only sit on the base scan.
+      val p = pruned.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cluster[^\\]]*\\]".r
+        .findFirstIn(p).exists(f => f.contains("IN") || f.contains("=")),
+        s"nodes0 scan is not partition-pruned on cluster:\n$p")
+      // (c) the pruned base scan must NOT read every cluster partition
+      assert(cells.size < all.size,
+        "fixture degenerate: pruning set covers every cell")
     } finally graft.FsUtil.deleteRecursively(new java.io.File(root))
   }
 
