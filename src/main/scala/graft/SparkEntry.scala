@@ -315,7 +315,9 @@ object SparkEntry {
     "q207_filtered_served" -> ((s, d) =>
       Similarity.ivfTopKFilteredServed(embeddings(s, d), d)),
     "q208_maxsim_rerank" -> ((s, d) =>
-      Similarity.maxSimRerank(embeddings(s, d)))
+      Similarity.maxSimRerank(embeddings(s, d))),
+    "q209_maxsim_served" -> ((s, d) =>
+      Similarity.maxSimRerankServed(embeddings(s, d), d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -547,6 +549,8 @@ object SparkEntry {
     "q206_graph_lifecycle" -> GraphLifecycle.graphLifecycleSql,
     // q207: q204's oracle VERBATIM — the store ≡ recompute proof
     "q207_filtered_served" -> Similarity.ivfTopKFilteredSql,
-    "q208_maxsim_rerank" -> Similarity.maxSimRerankSql
+    "q208_maxsim_rerank" -> Similarity.maxSimRerankSql,
+    // q209: q208's oracle VERBATIM — the store ≡ recompute proof
+    "q209_maxsim_served" -> Similarity.maxSimRerankSql
   )
 }

@@ -625,11 +625,33 @@ object Similarity {
   def maxSimRerank(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
                    nSub: Int = 4, dim: Int = 64): DataFrame = {
     val (asg, cents) = trainLloyd(embeddings, 0, 4)
-    val short = ivfTopKWith(embeddings, asg, cents, nProbes,
-        RegisteredFixedR, 0)
-      .select(col("probe_id"), col("neighbor_id"))
+    maxSimRerankFrom(embeddings.filter(col("vec_id") < nProbes)
+        .select(col("vec_id"), col("embedding")),
+      embeddings, asg, cents, k, nSub, dim)
+  }
+
+  /** The MaxSim rerank against an EXPLICIT (raw probes, index) — shared
+    * by q208 (fresh build), q209 (ServedRoots store) and the q209
+    * probe-stream leg. `rawProbes` carries (vec_id, embedding): the ANN
+    * shortlist leg derives (pe, pn) and the kernel leg the sub-vector
+    * frames from the same rows, so served and fresh paths stay
+    * bit-identical to the registered q208 oracle. */
+  private def maxSimRerankFrom(rawProbes: DataFrame, embeddings: DataFrame,
+                               asg: DataFrame, cents: DataFrame, k: Int,
+                               nSub: Int, dim: Int): DataFrame = {
+    val ivfProbes = rawProbes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pe"), l2norm(col("embedding")).as("pn"))
+    val wS = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val short = ivfCandidatesFor(ivfProbes, embeddings, asg, cents, 0,
+        IvfProbeFrac)
+      .withColumn("cos", round(dot(col("pe"), col("embedding")) /
+        (col("pn") * col("nrm")), 4))
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= RegisteredFixedR)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
     val base = maxSimBase(embeddings, nSub, dim)
-    val probes = base.filter(col("vec_id") < nProbes)
+    val probes = maxSimBase(rawProbes, nSub, dim)
       .select(col("vec_id").as("probe_id"), col("sv").as("pv"),
         col("sn").as("pn"))
     val w = Window.partitionBy(col("probe_id"))
@@ -642,6 +664,50 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("maxsim"),
         col("rnk").cast("long").as("rnk"))
       .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** q209: the q208 MaxSim rerank SERVED from the STORED q37 index
+    * (oracle: q208's VERBATIM — store ≡ recompute), closing the one
+    * search mode that still re-trained its coarse codebook per call
+    * (VERDICT r13 #5). Same ServedRoots key as q179/q207, so ONE
+    * physical index serves the plain, filtered, and rerank legs;
+    * query-time work is the production shape: the stored-index ANN
+    * serve (broadcast centroids + probed-cell scan at the registered R)
+    * plus the 4×nSub² late-interaction kernel on probes·R rows. */
+  def maxSimRerankServed(embeddings: DataFrame, corpusTag: String,
+                         nProbes: Int = 10, k: Int = 5,
+                         nSub: Int = 4, dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    val root = graft.FsUtil.ServedRoots.getOrBuild(
+      corpusKey(embeddings, "vec_id", s"ivf:$corpusTag", embSig),
+      "graft_vecidx_served_")(writeVectorIndex(embeddings, _))
+    maxSimRerankFrom(embeddings.filter(col("vec_id") < nProbes)
+        .select(col("vec_id"), col("embedding")),
+      embeddings,
+      spark.read.parquet(s"$root/assignments"),
+      spark.read.parquet(s"$root/centroids"), k, nSub, dim)
+  }
+
+  /** The q209 serve leg under Structured Streaming (foreachBatch):
+    * probe vectors arrive as micro-batches and run the identical
+    * rerank against the STORED index — stream ≡ batch proved in
+    * StreamingSpec against [[maxSimRerankServed]]'s rows. The root
+    * resolves once per stream tag (the ivfPqStreamBatch discipline). */
+  def maxSimRerankStreamBatch(embeddings: DataFrame, corpusTag: String,
+                              outDir: String, k: Int = 5)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val root = streamRootFor(s"ivf:$corpusTag") {
+      graft.FsUtil.ServedRoots.getOrBuild(
+        corpusKey(embeddings, "vec_id", s"ivf:$corpusTag", embSig),
+        "graft_vecidx_served_")(writeVectorIndex(embeddings, _))
+    }
+    maxSimRerankFrom(batch.select(col("vec_id"), col("embedding")),
+      embeddings,
+      spark.read.parquet(s"$root/assignments"),
+      spark.read.parquet(s"$root/centroids"), k, 4, 64)
+      .write.mode("append").parquet(outDir)
+    ()
   }
 
   /** Oracle: the 4×4 sub-cosines via an explicit (i, j) range
@@ -680,12 +746,22 @@ object Similarity {
   private[llm] def ivfCandidates(embeddings: DataFrame, asg: DataFrame,
                                  cents: DataFrame, nProbes: Int,
                                  nProbe: Int,
-                                 frac: Double = IvfProbeFrac): DataFrame = {
+                                 frac: Double = IvfProbeFrac): DataFrame =
+    ivfCandidatesFor(probesFrame(embeddings, nProbes), embeddings, asg,
+      cents, nProbe, frac)
+
+  /** The candidate frame against an EXPLICIT probe frame — the
+    * streaming/served legs substitute arrival micro-batches for the
+    * registered probe set (r14: shared with the q209 rerank). */
+  private def ivfCandidatesFor(probes: DataFrame, embeddings: DataFrame,
+                               asg: DataFrame, cents: DataFrame,
+                               nProbe: Int, frac: Double): DataFrame = {
     val v = embeddings.select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
       .join(asg, "vec_id")
-    broadcast(probeCellsOf(embeddings, cents, nProbes, nProbe, frac)).join(v,
-      col("cell") === col("cluster") && col("vec_id") =!= col("probe_id"))
+    broadcast(probeCellsFor(probes, embeddings, cents, nProbe, frac))
+      .join(v,
+        col("cell") === col("cluster") && col("vec_id") =!= col("probe_id"))
   }
 
   /** Per-probe nearest-cell selection — (probe_id, pe, pn, cell), one

@@ -575,6 +575,36 @@ class StreamingSpec extends SparkSpec {
       .filter(col("label") % 2 =!= 0).isEmpty)
   }
 
+  test("MaxSim RERANK serve on a probe STREAM equals the batch serve " +
+    "(q209 online; union of foreachBatch micro-batches == one batch)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dir = Files.createTempDirectory("graft-mxssrc").toString + "/probes"
+    val out = Files.createTempDirectory("graft-mxsout").toString + "/res"
+    emb.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding").write.parquet(dir)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val tag = s"mxs-stream-$sf"
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.llm.Similarity.maxSimRerankStreamBatch(emb, tag, out)(b, id))
+      .start()
+    try {
+      q.processAllAvailable()
+      emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select("vec_id", "embedding").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+    val batch = graft.llm.Similarity.maxSimRerankServed(emb, tag)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("LSM INGEST stream (q193 online): delta appends + triggered " +
     "compaction from micro-batches equal the batch lifecycle's store") {
     import org.apache.spark.sql.functions._
