@@ -317,7 +317,8 @@ object SparkEntry {
     "q208_maxsim_rerank" -> ((s, d) =>
       Similarity.maxSimRerank(embeddings(s, d))),
     "q209_maxsim_served" -> ((s, d) =>
-      Similarity.maxSimRerankServed(embeddings(s, d), d))
+      Similarity.maxSimRerankServed(embeddings(s, d), d)),
+    "q210_graph_recall" -> ((s, d) => GraphAnn.graphRecall(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -551,6 +552,7 @@ object SparkEntry {
     "q207_filtered_served" -> Similarity.ivfTopKFilteredSql,
     "q208_maxsim_rerank" -> Similarity.maxSimRerankSql,
     // q209: q208's oracle VERBATIM — the store ≡ recompute proof
-    "q209_maxsim_served" -> Similarity.maxSimRerankSql
+    "q209_maxsim_served" -> Similarity.maxSimRerankSql,
+    "q210_graph_recall" -> GraphAnn.graphRecallSql
   )
 }

@@ -176,9 +176,18 @@ object GraphSweep {
       .localCheckpoint()
     val truth = Similarity.cosineTopK(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val degree = if (args.length > 1) args(1).toInt else GraphAnn.Degree
+    // optional recipe override:
+    // "degreeIn,degreeOut,poolIn,poolOut,fcells[,alphaNum,alphaDen]"
+    val recipe = if (args.length > 1) args(1).split(',').map(_.toInt)
+      else Array(GraphAnn.DegreeIn, GraphAnn.DegreeOut, GraphAnn.PoolIn,
+        GraphAnn.PoolOut, GraphAnn.ForeignCells,
+        GraphAnn.AlphaNum.toInt, GraphAnn.AlphaDen.toInt)
+    val (aN, aD) = if (recipe.length > 6) (recipe(5).toLong, recipe(6).toLong)
+      else (GraphAnn.AlphaNum, GraphAnn.AlphaDen)
     val (v, edgesRaw, medoidsRaw, centsRaw, coarseRaw) =
-      GraphAnn.graphFrames(emb, degree = degree)
+      GraphAnn.graphFrames(emb, degreeIn = recipe(0), degreeOut = recipe(1),
+        poolIn = recipe(2), poolOut = recipe(3), fcells = recipe(4),
+        aNum = aN, aDen = aD)
     val edges = edgesRaw.localCheckpoint()
     val medoids = medoidsRaw.localCheckpoint()
     val cents = centsRaw.localCheckpoint()
@@ -186,8 +195,15 @@ object GraphSweep {
     val base = v.select(col("vec_id"), col("embedding"), col("nrm"))
       .localCheckpoint()
     val probes = Similarity.probesFrame(emb, 10).localCheckpoint()
-    println(s"== graph sweep n=$n degree=$degree edges=${edges.count()}")
-    for (beam <- Seq(24, 48, 96, 192); hops <- Seq(3, 4)) {
+    println(s"== graph sweep n=$n recipe=${recipe.mkString(",")} " +
+      s"edges=${edges.count()}")
+    val grid: Seq[(Int, Int)] = if (args.length > 2)
+      args(2).split(';').toSeq.map { s =>
+        val Array(b, h) = s.split(','); (b.toInt, h.toInt)
+      }
+    else for (beam <- Seq(24, 48, 96, 192); hops <- Seq(3, 4))
+      yield (beam, hops)
+    for ((beam, hops) <- grid) {
       val t0 = System.nanoTime()
       val got = GraphAnn.beamFrom(probes, base, edges, medoids, cents,
           coarse, 5, beam, hops)

@@ -1783,6 +1783,17 @@ object Corpus {
     }
   }
 
+  /** The dirty-bucket-pruned store read — the semi-join whose executed
+    * plan MUST carry a dynamic-partition-pruning subquery on the bkt=
+    * scan (ADVICE r13: the `>= 0` trick is version/AQE-sensitive, so
+    * the property is spec-pinned via this hook rather than trusted). */
+  private[llm] def dirtyStoreScan(spark: org.apache.spark.sql.SparkSession,
+                                  store: String,
+                                  dirtyF: DataFrame): DataFrame =
+    spark.read.parquet(store)
+      .withColumn("bkt", col("bkt").cast("long"))
+      .join(broadcast(dirtyF.filter(col("bkt") >= 0)), Seq("bkt"), "left_semi")
+
   /** One dirty-bucket-only merge of `batch(ent, doc_id, fp, del, bkt)`
     * into the bucketed store. Returns the dirty-bucket count. */
   private[llm] def mergeBatchInto(store: String, batch: DataFrame): Int = {
@@ -1803,9 +1814,7 @@ object Corpus {
     val dirty: Seq[Long] =
       dirtyF.collect().map(_.getLong(0)).toSeq.sorted
     if (dirty.nonEmpty) {
-      val storedDirty = spark.read.parquet(store)
-        .withColumn("bkt", col("bkt").cast("long"))
-        .join(broadcast(dirtyF.filter(col("bkt") >= 0)), Seq("bkt"), "left_semi")
+      val storedDirty = dirtyStoreScan(spark, store, dirtyF)
       // eager checkpoint: the merged set is batch-sized (dirty buckets
       // only) and is consumed twice — the dynamic-overwrite write and
       // the empty-bucket census below

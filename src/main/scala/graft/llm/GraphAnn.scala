@@ -20,16 +20,32 @@ import org.apache.spark.sql.functions._
   * cost is H corpus-column scans and B·degree·probes scored rows —
   * NOT a corpus-wide vector scan like the flat tiers.
   *
-  * Graph construction is the standard two-layer recipe:
-  *  - in-cell kNN edges: each node's [[Degree]] nearest neighbors
-  *    inside its dynamic-k Lloyd block (the q147 kNN-join machinery —
-  *    candidate volume ~N·targetBlock, row-linear);
-  *  - bridge edges: each node's single nearest node in its SECOND-
-  *    nearest cell (by int64 quantized centroid distance — the Lloyd
-  *    assignment kernel), which restores cross-cell navigability that
-  *    pure in-cell kNN graphs lack (they are disjoint cliques);
+  * Graph construction is the standard two-layer recipe, with r14's
+  * α-PRUNED edge selection (the Vamana/NSG occlusion rule — Subramanya
+  * et al. 2019 §2; Fu et al. 2019's MRNG edge test) on both layers:
+  *  - in-cell layer: each node's [[PoolIn]] nearest in-cell candidates
+  *    (the q147 kNN-join machinery — candidate volume ~N·targetBlock,
+  *    row-linear) α-pruned to [[DegreeIn]] kept edges;
+  *  - foreign layer: candidates from the node's [[ForeignCells]]
+  *    nearest FOREIGN candidate cells (by int64 quantized centroid
+  *    distance — the Lloyd assignment kernel), top [[PoolOut]] by
+  *    cosine, α-pruned to [[DegreeOut]] — replacing r12's single
+  *    bridge edge with a diverse cross-cell budget (the pool's rank-1
+  *    member has no predecessors, so at least one cross-cell edge
+  *    always survives — the old bridge guarantee is preserved);
+  *  - the α-prune itself ([[alphaPrune]]): candidate c is OCCLUDED by
+  *    any higher-ranked candidate c' with α²·d²(c',c) ≤ d²(p,c) —
+  *    routing can reach c through c', so the direct edge is redundant;
+  *    keeping only un-occluded candidates spends the same degree
+  *    budget on DIVERSE directions instead of a top-cos near-clique.
+  *    The test runs in the QUANTIZED INTEGER domain
+  *    (α² = [[AlphaNum]]/[[AlphaDen]] over int64 squared distances),
+  *    so it is bit-reproducible and the oracle replays it as one
+  *    pairwise self-join — the order-free MRNG form rather than
+  *    Vamana's sequential greedy, which would need a kept-set
+  *    recursion neither engine can express declaratively;
   *  - symmetrization: the union with every edge reversed, distinct —
-  *    undirected navigability, degree ≤ 2·(Degree+1).
+  *    undirected navigability, degree ≤ 2·([[DegreeIn]]+[[DegreeOut]]).
   *
   * Entry points are PER-PROBE: each probe's beam seeds with the
   * medoids (min quantized distance to own centroid, per cell) of its
@@ -49,25 +65,75 @@ import org.apache.spark.sql.functions._
   */
 object GraphAnn {
 
-  /** In-cell kNN out-degree of the graph build. r13: raised 4 → 16 —
-    * the N=1e5 GraphSweep showed graph QUALITY, not search budget, was
-    * the recall ceiling on the isotropic corpus (degree 4 capped at
-    * 3400 bp even at beam 192; degree 16 reaches 6000 bp — PERF.md
-    * r13). The build's candidate-join volume is unchanged (the in-cell
-    * window just KEEPS more rows), and edges stay (long, long, double)
-    * triples. */
-  val Degree: Int = 16
+  /** In-cell α-pruned degree budget. r13 raised the flat kNN degree
+    * 4 → 16 after the N=1e5 GraphSweep showed graph QUALITY, not search
+    * budget, was the recall ceiling; r14 splits the same 16-edge budget
+    * into [[DegreeIn]] diverse in-cell + [[DegreeOut]] diverse
+    * cross-cell edges (α-pruned on both layers). The measured optimum
+    * is FOREIGN-heavy — the seed scan already covers the probe's
+    * seeded cells, so in-cell edges are largely redundant with the
+    * medoid entry points, while cross-cell edges are the only way the
+    * beam reaches a true neighbor whose cell was NOT seeded. The
+    * N=1e5 split sweep (PERF.md r14): 12+4 → 6400 bp, 8+8 → 6600,
+    * 6+10 → 7000, **4+12 → 8000**, 2+14 → 7800 (beam 96, hops 4) —
+    * same 16-edge budget throughout. */
+  val DegreeIn: Int = 4
+
+  /** Foreign (cross-cell) α-pruned degree budget — replaces r12's
+    * single bridge edge. Cross-cell edges are what let the beam leave
+    * a seeded cell, so they carry most of the budget (see
+    * [[DegreeIn]]'s sweep). */
+  val DegreeOut: Int = 12
+
+  /** Total directed out-degree budget — the serve-cost constant
+    * (per-probe raw-vector reads are bounded by Beam·2·Degree·Hops
+    * after symmetrization). */
+  val Degree: Int = DegreeIn + DegreeOut
+
+  /** In-cell candidate pool the α-prune selects from: the node's
+    * [[PoolIn]] nearest in-cell neighbors by cosine. The candidate-JOIN
+    * volume is unchanged from the flat recipe (all in-cell pairs); the
+    * window just keeps a pool for the prune to choose from. */
+  val PoolIn: Int = 32
+
+  /** Foreign candidate pool: top [[PoolOut]] members by cosine across
+    * the node's [[ForeignCells]] nearest foreign candidate cells
+    * (2·DegreeOut — widening to 32 moved nothing in the sweep). */
+  val PoolOut: Int = 24
+
+  /** Foreign candidate cells feeding the cross-cell pool — the node's
+    * nearest foreign cells by quantized centroid distance, drawn from
+    * its two-level CANDIDATE cells (never all k cells). At the oracle
+    * fixtures the candidate set holds ≤ 7 foreign cells, so the rank
+    * keeps what exists; 6 cells at pool 32 measured WORSE (2+14 row of
+    * the sweep) — the budget wants depth in near cells over spread. */
+  val ForeignCells: Int = 4
+
+  /** α² = [[AlphaNum]]/[[AlphaDen]] = 1.44 (α = 1.2, the DiskANN
+    * default): candidate c is occluded by a higher-ranked c' iff
+    * AlphaNum·d²(c',c) ≤ AlphaDen·d²(p,c) — int64 arithmetic end to
+    * end, bit-identical across engines. */
+  val AlphaNum: Long = 36L
+  val AlphaDen: Long = 25L
 
   /** Beam width of the search — candidates kept per probe per hop.
-    * r13: raised 24 → 96 to match the degree-16 graph (the measured
-    * knee: 5400–6000 bp at N=1e5; per-probe vector reads stay bounded
-    * by Beam·degree·Hops, constant in N). */
+    * r13 raised 24 → 96; at the r14 operating point (α-pruned 4+12
+    * graph, hops 4) beam 96 measures 8000 bp at N=1e5 and beam 192
+    * measures 8800 bp inside the same ~4–5 s serve wall — per-probe
+    * vector reads stay bounded by Beam·2·Degree·Hops, constant in
+    * N. */
   val Beam: Int = 96
 
   /** Hop budget — the number of frontier expansions. The search DAG is
     * statically unrolled H times (and the oracle's CTE chain with it),
-    * so H is a structural constant, not a tuning knob. */
-  val Hops: Int = 3
+    * so H is a structural constant, not a tuning knob. r14: 3 → 4 with
+    * the α-pruned graph — at N=1e5 the fourth hop buys +400 bp
+    * (7600 → 8000 at beam 96 on the 4+12 recipe) now that the
+    * foreign-edge budget gives each hop real cross-cell reach; under
+    * the r13 flat graph hops 3 vs 4 were indistinguishable (the beams
+    * converged). Per-probe vector reads stay Beam·2·Degree·Hops —
+    * constant in N. */
+  val Hops: Int = 4
 
   /** Per-probe entry cells: each probe's beam is seeded with the
     * MEDOIDS of its [[SeedCells]] nearest blocking cells (by centroid
@@ -114,6 +180,37 @@ object GraphAnn {
 
   private def dot = VectorFunctions.floatDot _
 
+  /** The α-occlusion prune over a ranked candidate pool `pool(src, dst,
+    * cos, qd, qe, rnk)` — qd = int64 squared quantized distance
+    * src→dst, qe = the CANDIDATE's quantized vector, rnk = pool rank by
+    * (cos desc, dst). The MRNG/Vamana rule, order-free form: candidate
+    * c is occluded iff ANY higher-ranked pool member c' satisfies
+    * [[AlphaNum]]·d²(c',c) ≤ [[AlphaDen]]·d²(p,c); survivors keep their
+    * pool order and the top `budget` are the edges. One self-join on
+    * src (pool²·dim integer work per node, pool ≤ 32 → ≤ ~500 pairs) +
+    * one anti-join — no recursion, no driver loop, bit-exact on both
+    * engines. The pool's rank-1 row has no predecessors and always
+    * survives. `key` carries any extra equi-columns (the lifecycle's
+    * per-generation chains prune within a generation). */
+  private[llm] def alphaPrune(pool: DataFrame, budget: Int,
+                              key: Seq[String] = Seq("src"),
+                              aNum: Long = AlphaNum,
+                              aDen: Long = AlphaDen): DataFrame = {
+    val cond = key.map(c => col(s"x.$c") === col(s"y.$c"))
+      .reduce(_ && _) && col("x.rnk") < col("y.rnk")
+    val occ = pool.as("x").join(pool.as("y"), cond)
+      .filter(lit(aNum) *
+          graft.functions.VectorFunctions.longSqDist(col("x.qe"), col("y.qe"))
+        <= lit(aDen) * col("y.qd"))
+      .select(key.map(c => col(s"y.$c")) :+ col("y.dst").as("dst"): _*)
+      .distinct()
+    val w2 = Window.partitionBy(key.map(col): _*).orderBy(col("rnk"))
+    pool.join(occ, key :+ "dst", "left_anti")
+      .withColumn("rn2", row_number().over(w2))
+      .filter(col("rn2") <= budget)
+      .select(key.map(col) ++ Seq(col("dst"), col("cos")): _*)
+  }
+
   /** The build frames: the blocked corpus `v(vec_id, embedding, nrm,
     * cluster)`, the symmetrized adjacency `edges(src, dst, cos)`, the
     * per-cell entry medoids `medoids(cluster, node)`, the fine blocking
@@ -121,55 +218,81 @@ object GraphAnn {
     * `coarse(cluster, ce)` the two-level seed rank probes against. */
   private[llm] def graphFrames(embeddings: DataFrame,
                                targetBlock: Int = 128, iters: Int = 2,
-                               dim: Int = 64, degree: Int = Degree)
+                               dim: Int = 64,
+                               degreeIn: Int = DegreeIn,
+                               degreeOut: Int = DegreeOut,
+                               poolIn: Int = PoolIn,
+                               poolOut: Int = PoolOut,
+                               fcells: Int = ForeignCells,
+                               aNum: Long = AlphaNum,
+                               aDen: Long = AlphaDen)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val b = Similarity.twoLevelBlocked(embeddings, targetBlock, iters, dim)
+    // the blocked corpus plus its quantized vectors — the α-prune's
+    // domination test runs in the int64 domain (one extra projection
+    // over the corpus; the heavy work below is the candidate joins)
+    val vq = b.v.join(
+      Similarity.quantized(
+        embeddings.select(col("vec_id"), col("embedding")), 1000),
+      "vec_id")
     val v = b.v
 
     // per-node distance to the updated fine centroids of its CANDIDATE
-    // cells (the two-level prune — never all k cells): bridge cell =
-    // nearest FOREIGN candidate (ADVICE r12: a rank-2-over-all rule
-    // could land in-cell when the assignment and the updated-centroid
-    // rank disagree; foreign-only rank 1 cannot), medoid rank uses the
-    // own-cell row. Consumed twice — checkpoint (blocked discipline).
+    // cells (the two-level prune — never all k cells): the foreign pool
+    // draws from the fcells nearest FOREIGN candidates (ADVICE r12: a
+    // rank-over-all rule could land in-cell when the assignment and the
+    // updated-centroid rank disagree; foreign-only ranks cannot), the
+    // medoid rank uses the own-cell row. Consumed twice — checkpoint
+    // (blocked discipline).
     val cand = b.cand.localCheckpoint()
     val own = v.select(col("vec_id"), col("cluster"))
     val wb = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist"), col("cluster"))
-    val bcell = cand
+    val fcell = cand
       .join(own.withColumnRenamed("cluster", "ocell"), "vec_id")
       .filter(col("cluster") =!= col("ocell"))
       .withColumn("rn", row_number().over(wb))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cluster").as("bcell"))
+      .filter(col("rn") <= fcells)
+      .select(col("vec_id"), col("cluster").as("fcell"))
 
-    // cosine between the `a`/`b` sides of the self-joins below
+    // cosine between the `a`/`b` sides of the self-joins below; qd is
+    // the int64 squared distance feeding the α test
     def pairCos: org.apache.spark.sql.Column =
       round(dot(col("a.embedding"), col("b.embedding")) /
         (col("a.nrm") * col("b.nrm")), 4)
-
-    // layer 1: in-cell kNN (the q147 join at k = Degree)
+    def pairQd: org.apache.spark.sql.Column =
+      graft.functions.VectorFunctions.longSqDist(col("a.qe"), col("b.qe"))
     val wk = Window.partitionBy(col("a.vec_id"))
       .orderBy(col("cos").desc, col("b.vec_id"))
-    val knn = v.as("a").join(v.as("b"),
+    def poolCols = Seq(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+      col("cos"), col("qd"), col("b.qe").as("qe"), col("rnk"))
+
+    // layer 1: in-cell candidate pool (the q147 join at k = poolIn),
+    // α-pruned to degreeIn. Checkpointed: consumed three times by the
+    // prune (both self-join sides + the anti-join).
+    val icp = vq.as("a").join(vq.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("cos", pairCos)
-      .withColumn("rn", row_number().over(wk))
-      .filter(col("rn") <= degree)
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"), col("cos"))
+      .withColumn("qd", pairQd)
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= poolIn)
+      .select(poolCols: _*)
+      .localCheckpoint()
 
-    // layer 2: one bridge edge into the second-nearest cell
-    val bridge = v.as("a").join(bcell, col("a.vec_id") === bcell("vec_id"))
-      .join(v.as("b"),
-        col("b.cluster") === col("bcell") &&
-          col("b.vec_id") =!= col("a.vec_id"))
+    // layer 2: foreign pool — members of the fcells nearest foreign
+    // candidate cells, top poolOut by cosine, α-pruned to degreeOut
+    val fcp = vq.as("a").join(fcell, col("a.vec_id") === fcell("vec_id"))
+      .join(vq.as("b"), col("b.cluster") === col("fcell"))
       .withColumn("cos", pairCos)
-      .withColumn("rn", row_number().over(wk))
-      .filter(col("rn") === 1)
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"), col("cos"))
+      .withColumn("qd", pairQd)
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= poolOut)
+      .select(poolCols: _*)
+      .localCheckpoint()
 
-    val dir = knn.unionAll(bridge)
+    val dir = alphaPrune(icp, degreeIn, aNum = aNum, aDen = aDen)
+      .unionAll(alphaPrune(fcp, degreeOut, aNum = aNum, aDen = aDen))
     val edges = dir.unionAll(
         dir.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
       .distinct()
@@ -335,6 +458,30 @@ object GraphAnn {
       spark.read.parquet(s"$root/coarse"), k)
   }
 
+  /** q210: graph-tier quality as a MEASURED query — recall@k of the
+    * α-pruned beam search (q202's plan at its registered operating
+    * point) against the brute-force cosine truth (q35), the q39
+    * acceptance-gate precedent applied to the graph family. The r14
+    * α-prune's whole claim is "same degree budget, better
+    * navigability"; this query turns that into a hard, oracle-checked
+    * number instead of a PERF.md table. Cost = the two input plans
+    * (already scale-shaped); the scoring join is probes×k rows. */
+  def graphRecall(embeddings: DataFrame, nProbes: Int = 10,
+                  k: Int = 5): DataFrame = {
+    val truth = Similarity.cosineTopK(embeddings, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val a = beamTopK(embeddings, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    truth.join(a, Seq("probe_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(lit("graph_beam").as("method"), col("n_truth"),
+        col("n_hits"),
+        floor(lit(10000.0) * col("n_hits") / col("n_truth")).cast("long")
+          .as("recall_bp"))
+  }
+
   /** The q203 serve leg under Structured Streaming (foreachBatch):
     * probe vectors arrive as micro-batches and run the identical beam
     * search against the STORED graph — stream ≡ batch proved in
@@ -362,33 +509,69 @@ object GraphAnn {
   // DuckDB oracles
   // ---------------------------------------------------------------------
 
+  /** int64 squared quantized distance between two qe arrays — the
+    * oracle side of the α test (and of `qd`). Shared with the
+    * lifecycle's chains (q206). */
+  private[llm] def qdSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(64), i -> " +
+      s"($a.qe[i + 1] - $b.qe[i + 1]) * ($a.qe[i + 1] - $b.qe[i + 1]))) AS BIGINT)"
+
+  /** One α-pruned layer: `pool` must expose (keys..., dst, cos, qd, qe,
+    * rnk) with rnk ranked within `keys`. Occlusion = the pairwise MRNG
+    * test against every higher-ranked pool member; survivors keep pool
+    * order, top `budget`. `keys` mirrors [[alphaPrune]]'s — the
+    * lifecycle's per-generation chains prune within (g, src). */
+  private[llm] def alphaPruneSql(pool: String, name: String, budget: Int,
+                                 keys: Seq[String] = Seq("src")): String = {
+    val eq = keys.map(k => s"x.$k = y.$k").mkString(" AND ")
+    val ysel = keys.map(k => s"y.$k").mkString(", ")
+    val isel = keys.map(k => s"i.$k").mkString(", ")
+    val oeq = keys.map(k => s"o.$k = i.$k").mkString(" AND ")
+    s"""${name}o AS (SELECT DISTINCT $ysel, y.dst
+      |  FROM $pool x JOIN $pool y ON $eq AND x.rnk < y.rnk
+      |  WHERE $AlphaNum * ${qdSql("x", "y")} <= $AlphaDen * y.qd),
+      |$name AS (SELECT ${keys.mkString(", ")}, dst, cos FROM
+      |    (SELECT $isel, i.dst, i.cos,
+      |       row_number() OVER (PARTITION BY $isel ORDER BY i.rnk) rn2
+      |     FROM $pool i LEFT JOIN ${name}o o
+      |       ON $oeq AND o.dst = i.dst
+      |     WHERE o.${keys.head} IS NULL) WHERE rn2 <= $budget)""".stripMargin
+  }
+
   /** CTE suffix shared by both oracles, over the two-level prefix
-    * ([[Similarity.dynamicKBlockedCteSql]]: blocked corpus `v`, updated
-    * fine centroids `fc2`, pruned candidate distances `fpd`, final
-    * assignment `fa2`): foreign-candidate bridge cells, both edge
-    * layers, and the symmetrized `edges`. */
+    * ([[Similarity.dynamicKBlockedCteSql]]: blocked corpus `v`,
+    * quantized corpus `q`, updated fine centroids `fc2`, pruned
+    * candidate distances `fpd`, final assignment `fa2`): the foreign
+    * candidate cells, both α-pruned edge layers, and the symmetrized
+    * `edges`. */
   private def edgesCteSql: String =
-    s"""br AS (SELECT vec_id, cluster AS bcell FROM
+    s"""fcl AS (SELECT vec_id, cluster AS fcell FROM
       |    (SELECT d.vec_id, d.cluster, row_number() OVER (PARTITION BY d.vec_id
       |       ORDER BY d.dist, d.cluster) rn
       |     FROM fpd d JOIN fa2 o ON o.vec_id = d.vec_id
-      |                          AND d.cluster != o.cluster) WHERE rn = 1),
-      |knnc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |                          AND d.cluster != o.cluster) WHERE rn <= $ForeignCells),
+      |icp0 AS (SELECT a.vec_id AS src, b.vec_id AS dst,
       |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-      |      z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (a.nrm * b.nrm), 4) AS cos
-      |  FROM v a JOIN v b ON a.cluster = b.cluster AND a.vec_id != b.vec_id),
-      |knn AS (SELECT src, dst, cos FROM
+      |      z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (a.nrm * b.nrm), 4) AS cos,
+      |    ${qdSql("qa", "qb")} AS qd, qb.qe AS qe
+      |  FROM v a JOIN v b ON a.cluster = b.cluster AND a.vec_id != b.vec_id
+      |  JOIN q qa ON qa.vec_id = a.vec_id JOIN q qb ON qb.vec_id = b.vec_id),
+      |icp AS MATERIALIZED (SELECT * FROM
       |    (SELECT *, row_number() OVER (PARTITION BY src
-      |       ORDER BY cos DESC, dst) rn FROM knnc) WHERE rn <= $Degree),
-      |bwc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |       ORDER BY cos DESC, dst) rnk FROM icp0) WHERE rnk <= $PoolIn),
+      |${alphaPruneSql("icp", "ick", DegreeIn)},
+      |fcp0 AS (SELECT a.vec_id AS src, b.vec_id AS dst,
       |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-      |      z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (a.nrm * b.nrm), 4) AS cos
-      |  FROM v a JOIN br ON br.vec_id = a.vec_id
-      |            JOIN v b ON b.cluster = br.bcell AND b.vec_id != a.vec_id),
-      |bw AS (SELECT src, dst, cos FROM
+      |      z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (a.nrm * b.nrm), 4) AS cos,
+      |    ${qdSql("qa", "qb")} AS qd, qb.qe AS qe
+      |  FROM v a JOIN fcl ON fcl.vec_id = a.vec_id
+      |            JOIN v b ON b.cluster = fcl.fcell
+      |  JOIN q qa ON qa.vec_id = a.vec_id JOIN q qb ON qb.vec_id = b.vec_id),
+      |fcp AS MATERIALIZED (SELECT * FROM
       |    (SELECT *, row_number() OVER (PARTITION BY src
-      |       ORDER BY cos DESC, dst) rn FROM bwc) WHERE rn = 1),
-      |dir AS (SELECT * FROM knn UNION ALL SELECT * FROM bw),
+      |       ORDER BY cos DESC, dst) rnk FROM fcp0) WHERE rnk <= $PoolOut),
+      |${alphaPruneSql("fcp", "fck", DegreeOut)},
+      |dir AS (SELECT * FROM ick UNION ALL SELECT * FROM fck),
       |edges AS MATERIALIZED (SELECT DISTINCT src, dst, cos FROM
       |    (SELECT src, dst, cos FROM dir
       |     UNION ALL SELECT dst, src, cos FROM dir))""".stripMargin
@@ -469,4 +652,17 @@ object GraphAnn {
       |        ORDER BY cos DESC, node) rn FROM b$Hops)
       |WHERE rn <= 5 ORDER BY probe_id, rnk""".stripMargin
   }
+
+  /** Oracle for [[graphRecall]]: the q35 and q202 oracles verbatim as
+    * derived tables, scored with q39's left-join + floor arithmetic. */
+  val graphRecallSql: String =
+    s"""WITH truth AS (SELECT probe_id, neighbor_id
+      |               FROM (${Similarity.cosineTopKSql}) q),
+      |g AS (SELECT probe_id, neighbor_id FROM ($beamTopKSql) q)
+      |SELECT 'graph_beam' AS method, count(*) AS n_truth,
+      |  CAST(sum(CASE WHEN g.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |  CAST(floor(10000.0 * sum(CASE WHEN g.probe_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    / count(*)) AS BIGINT) AS recall_bp
+      |FROM truth t LEFT JOIN g
+      |  ON g.probe_id = t.probe_id AND g.neighbor_id = t.neighbor_id""".stripMargin
 }

@@ -12,14 +12,15 @@ import org.apache.spark.sql.functions._
   *  - the gen-0 build freezes the two-level blocking
   *    ([[Similarity.twoLevelBlockedQ]]) and writes the node segment
   *    (`nodes0`: vec_id, cluster, qe), the edge segment (`edges0` —
-  *    in-cell kNN + foreign-candidate bridge, symmetrized) and the
-  *    serving tables (fine + coarse centroids);
+  *    the α-pruned in-cell + foreign layers of [[insertEdges]],
+  *    symmetrized) and the serving tables (fine + coarse centroids);
   *  - an arrival batch appends ONE node delta (frozen two-level
   *    assignment of live arrivals + tombstone rows — never touching
-  *    the base) and ONE edge delta: each live arrival's
-  *    [[GraphAnn.Degree]] nearest CURRENT live members of its cell
-  *    plus one bridge edge into its nearest foreign candidate cell,
-  *    both directions stored — O(batch) ingest;
+  *    the base) and ONE edge delta: each live arrival's α-pruned
+  *    edges against the CURRENT live members of its cell and of its
+  *    [[GraphAnn.ForeignCells]] nearest foreign candidate cells (the
+  *    r14 static-tier recipe, same constants), both directions
+  *    stored — O(batch) ingest;
   *  - the served graph resolves LIVENESS at read time: an edge from
   *    segment s is live iff neither endpoint was re-written after s
   *    and neither is tombstoned — a re-arrived node's stale edges die
@@ -100,9 +101,14 @@ object GraphLifecycle {
 
   /** The DIRECTED insert edges of `arr` (vec_id, qe, nq, cluster, with
     * `cand` distances) against the live member set `live` (vec_id, qe,
-    * nq, cluster): in-cell kNN at [[GraphAnn.Degree]] by (qcos desc,
-    * dst), plus one bridge edge — the nearest live member of the
-    * arrival's nearest FOREIGN candidate cell. Gen-0 build = inserting
+    * nq, cluster) — the r14 α-pruned recipe ([[GraphAnn.alphaPrune]],
+    * same constants as the static tier): the in-cell pool
+    * ([[GraphAnn.PoolIn]] nearest live members by qcos) pruned to
+    * [[GraphAnn.DegreeIn]], plus the foreign pool ([[GraphAnn.PoolOut]]
+    * across the arrival's [[GraphAnn.ForeignCells]] nearest foreign
+    * candidate cells) pruned to [[GraphAnn.DegreeOut]]. Everything is
+    * already in the quantized domain, so the α test's int64 distances
+    * come straight off the stored qe arrays. Gen-0 build = inserting
     * everything against itself. */
   private def insertEdges(arr: DataFrame, cand: DataFrame,
                           live: DataFrame): DataFrame = {
@@ -110,33 +116,38 @@ object GraphLifecycle {
       .orderBy(col("cos").desc, col("b.vec_id"))
     def cosAB: Column = qCos(col("a.qe"), col("b.qe"),
       col("a.nq"), col("b.nq"))
-    val knn = arr.as("a").join(live.as("b"),
+    def qdAB: Column = graft.functions.VectorFunctions.longSqDist(
+      col("a.qe"), col("b.qe"))
+    def poolCols = Seq(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+      col("cos"), col("qd"), col("b.qe").as("qe"), col("rnk"))
+    val icp = arr.as("a").join(live.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("cos", cosAB)
-      .withColumn("rn", row_number().over(wk))
-      .filter(col("rn") <= GraphAnn.Degree)
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-        col("cos"))
+      .withColumn("qd", qdAB)
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= GraphAnn.PoolIn)
+      .select(poolCols: _*)
+      .localCheckpoint()
     val wb = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist"), col("cluster"))
-    val bcell = cand
+    val fcell = cand
       .join(arr.select(col("vec_id"), col("cluster").as("ocell")), "vec_id")
       .filter(col("cluster") =!= col("ocell"))
       .withColumn("rn", row_number().over(wb))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cluster").as("bcell"))
-    val bridge = arr.as("a")
-      .join(bcell, col("a.vec_id") === bcell("vec_id"))
-      .join(live.as("b"),
-        col("b.cluster") === col("bcell") &&
-          col("b.vec_id") =!= col("a.vec_id"))
+      .filter(col("rn") <= GraphAnn.ForeignCells)
+      .select(col("vec_id"), col("cluster").as("fcell"))
+    val fcp = arr.as("a")
+      .join(fcell, col("a.vec_id") === fcell("vec_id"))
+      .join(live.as("b"), col("b.cluster") === col("fcell"))
       .withColumn("cos", cosAB)
-      .withColumn("rn", row_number().over(wk))
-      .filter(col("rn") === 1)
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-        col("cos"))
-    knn.unionAll(bridge)
+      .withColumn("qd", qdAB)
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= GraphAnn.PoolOut)
+      .select(poolCols: _*)
+      .localCheckpoint()
+    GraphAnn.alphaPrune(icp, GraphAnn.DegreeIn)
+      .unionAll(GraphAnn.alphaPrune(fcp, GraphAnn.DegreeOut))
   }
 
   /** Both directions of the insert edges — the stored segment rows. */
@@ -510,7 +521,9 @@ object GraphLifecycle {
     * chain. */
   val graphLifecycleSql: String = {
     val P = Similarity.BlockCoarseProbes
-    val D = GraphAnn.Degree
+    val PI = GraphAnn.PoolIn
+    val PO = GraphAnn.PoolOut
+    val FC = GraphAnn.ForeignCells
     val pct = Similarity.LsmDeltaPct
     s"""${Similarity.dynamicKBlockedCteSql},
       |n0 AS MATERIALIZED (SELECT q.vec_id, q.qe, o.cluster, $qNormSql AS nq
@@ -549,51 +562,60 @@ object GraphLifecycle {
       |     FROM nd CROSS JOIN range(4) i WHERE gen <= i.range)
       |  WHERE rn = 1),
       |lv AS (SELECT * FROM lvn WHERE NOT del),
-      |e0k AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-      |    ${qCosSql("a", "b")} AS cos
+      |e0icp0 AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    ${qCosSql("a", "b")} AS cos, ${GraphAnn.qdSql("a", "b")} AS qd,
+      |    b.qe AS qe
       |  FROM n0 a JOIN n0 b ON a.cluster = b.cluster AND a.vec_id != b.vec_id),
-      |e0kr AS (SELECT src, dst, cos FROM
+      |e0icp AS MATERIALIZED (SELECT * FROM
       |    (SELECT *, row_number() OVER (PARTITION BY src
-      |       ORDER BY cos DESC, dst) rn FROM e0k) WHERE rn <= $D),
-      |e0bc AS (SELECT vec_id, cluster AS bcell FROM
+      |       ORDER BY cos DESC, dst) rnk FROM e0icp0) WHERE rnk <= $PI),
+      |${GraphAnn.alphaPruneSql("e0icp", "e0ick", GraphAnn.DegreeIn)},
+      |e0fcl AS (SELECT vec_id, cluster AS fcell FROM
       |    (SELECT d.vec_id, d.cluster, row_number() OVER (PARTITION BY d.vec_id
       |       ORDER BY d.dist, d.cluster) rn
       |     FROM fpd d JOIN fpdx o ON o.vec_id = d.vec_id
-      |                           AND d.cluster != o.cluster) WHERE rn = 1),
-      |e0b AS (SELECT src, dst, cos FROM
-      |    (SELECT a.vec_id AS src, b.vec_id AS dst, ${qCosSql("a", "b")} AS cos,
-      |       row_number() OVER (PARTITION BY a.vec_id
-      |         ORDER BY ${qCosSql("a", "b")} DESC, b.vec_id) rn
-      |     FROM n0 a JOIN e0bc bc ON bc.vec_id = a.vec_id
-      |               JOIN n0 b ON b.cluster = bc.bcell AND b.vec_id != a.vec_id)
-      |  WHERE rn = 1),
+      |                           AND d.cluster != o.cluster) WHERE rn <= $FC),
+      |e0fcp0 AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    ${qCosSql("a", "b")} AS cos, ${GraphAnn.qdSql("a", "b")} AS qd,
+      |    b.qe AS qe
+      |  FROM n0 a JOIN e0fcl fc ON fc.vec_id = a.vec_id
+      |            JOIN n0 b ON b.cluster = fc.fcell),
+      |e0fcp AS MATERIALIZED (SELECT * FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY src
+      |       ORDER BY cos DESC, dst) rnk FROM e0fcp0) WHERE rnk <= $PO),
+      |${GraphAnn.alphaPruneSql("e0fcp", "e0fck", GraphAnn.DegreeOut)},
       |av AS MATERIALIZED (SELECT a.g, a.vec_id, a.qe, s.cluster, $qNormSql AS nq
       |  FROM ar a JOIN aasg s ON s.g = a.g AND s.vec_id = a.vec_id
       |  WHERE NOT a.del),
-      |ek AS (SELECT a.g, a.vec_id AS src, m.vec_id AS dst,
-      |    ${qCosSql("a", "m")} AS cos
+      |ekp0 AS (SELECT a.g, a.vec_id AS src, m.vec_id AS dst,
+      |    ${qCosSql("a", "m")} AS cos, ${GraphAnn.qdSql("a", "m")} AS qd,
+      |    m.qe AS qe
       |  FROM av a JOIN lv m ON m.s = a.g AND m.cluster = a.cluster
       |                     AND m.vec_id != a.vec_id),
-      |ekr AS (SELECT g, src, dst, cos FROM
+      |ekp AS MATERIALIZED (SELECT * FROM
       |    (SELECT *, row_number() OVER (PARTITION BY g, src
-      |       ORDER BY cos DESC, dst) rn FROM ek) WHERE rn <= $D),
-      |abc AS (SELECT g, vec_id, cluster AS bcell FROM
+      |       ORDER BY cos DESC, dst) rnk FROM ekp0) WHERE rnk <= $PI),
+      |${GraphAnn.alphaPruneSql("ekp", "ekk", GraphAnn.DegreeIn,
+          Seq("g", "src"))},
+      |afcl AS (SELECT g, vec_id, cluster AS fcell FROM
       |    (SELECT c.g, c.vec_id, c.cluster, row_number() OVER (
       |       PARTITION BY c.g, c.vec_id ORDER BY c.dist, c.cluster) rn
       |     FROM acand c JOIN aasg o ON o.g = c.g AND o.vec_id = c.vec_id
-      |                            AND c.cluster != o.cluster) WHERE rn = 1),
-      |ab AS (SELECT g, src, dst, cos FROM
-      |    (SELECT a.g, a.vec_id AS src, m.vec_id AS dst, ${qCosSql("a", "m")} AS cos,
-      |       row_number() OVER (PARTITION BY a.g, a.vec_id
-      |         ORDER BY ${qCosSql("a", "m")} DESC, m.vec_id) rn
-      |     FROM av a JOIN abc bc ON bc.g = a.g AND bc.vec_id = a.vec_id
-      |               JOIN lv m ON m.s = a.g AND m.cluster = bc.bcell
-      |                        AND m.vec_id != a.vec_id)
-      |  WHERE rn = 1),
-      |edir AS (SELECT 0 AS seg, src, dst, cos FROM e0kr
-      |  UNION ALL SELECT 0, src, dst, cos FROM e0b
-      |  UNION ALL SELECT g, src, dst, cos FROM ekr
-      |  UNION ALL SELECT g, src, dst, cos FROM ab),
+      |                            AND c.cluster != o.cluster) WHERE rn <= $FC),
+      |afp0 AS (SELECT a.g, a.vec_id AS src, m.vec_id AS dst,
+      |    ${qCosSql("a", "m")} AS cos, ${GraphAnn.qdSql("a", "m")} AS qd,
+      |    m.qe AS qe
+      |  FROM av a JOIN afcl fc ON fc.g = a.g AND fc.vec_id = a.vec_id
+      |            JOIN lv m ON m.s = a.g AND m.cluster = fc.fcell),
+      |afp AS MATERIALIZED (SELECT * FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY g, src
+      |       ORDER BY cos DESC, dst) rnk FROM afp0) WHERE rnk <= $PO),
+      |${GraphAnn.alphaPruneSql("afp", "afk", GraphAnn.DegreeOut,
+          Seq("g", "src"))},
+      |edir AS (SELECT 0 AS seg, src, dst, cos FROM e0ick
+      |  UNION ALL SELECT 0, src, dst, cos FROM e0fck
+      |  UNION ALL SELECT g, src, dst, cos FROM ekk
+      |  UNION ALL SELECT g, src, dst, cos FROM afk),
       |eseg AS MATERIALIZED (SELECT seg, src, dst, cos FROM edir
       |  UNION ALL SELECT seg, dst, src, cos FROM edir),
       |lve AS (SELECT DISTINCT st.range AS s, e.src, e.dst, e.cos
@@ -616,25 +638,30 @@ object GraphLifecycle {
       |${Similarity.twoLevelCtesQ("z", "zq")},
       |zn0 AS MATERIALIZED (SELECT zq.vec_id, zq.qe, o.cluster, $qNormSql AS nq
       |        FROM zq JOIN zfpdx o USING (vec_id)),
-      |ze0k AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-      |    ${qCosSql("a", "b")} AS cos
+      |ze0icp0 AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    ${qCosSql("a", "b")} AS cos, ${GraphAnn.qdSql("a", "b")} AS qd,
+      |    b.qe AS qe
       |  FROM zn0 a JOIN zn0 b ON a.cluster = b.cluster AND a.vec_id != b.vec_id),
-      |ze0kr AS (SELECT src, dst, cos FROM
+      |ze0icp AS MATERIALIZED (SELECT * FROM
       |    (SELECT *, row_number() OVER (PARTITION BY src
-      |       ORDER BY cos DESC, dst) rn FROM ze0k) WHERE rn <= $D),
-      |ze0bc AS (SELECT vec_id, cluster AS bcell FROM
+      |       ORDER BY cos DESC, dst) rnk FROM ze0icp0) WHERE rnk <= $PI),
+      |${GraphAnn.alphaPruneSql("ze0icp", "ze0ick", GraphAnn.DegreeIn)},
+      |ze0fcl AS (SELECT vec_id, cluster AS fcell FROM
       |    (SELECT d.vec_id, d.cluster, row_number() OVER (PARTITION BY d.vec_id
       |       ORDER BY d.dist, d.cluster) rn
       |     FROM zfpd d JOIN zfpdx o ON o.vec_id = d.vec_id
-      |                            AND d.cluster != o.cluster) WHERE rn = 1),
-      |ze0b AS (SELECT src, dst, cos FROM
-      |    (SELECT a.vec_id AS src, b.vec_id AS dst, ${qCosSql("a", "b")} AS cos,
-      |       row_number() OVER (PARTITION BY a.vec_id
-      |         ORDER BY ${qCosSql("a", "b")} DESC, b.vec_id) rn
-      |     FROM zn0 a JOIN ze0bc bc ON bc.vec_id = a.vec_id
-      |                JOIN zn0 b ON b.cluster = bc.bcell AND b.vec_id != a.vec_id)
-      |  WHERE rn = 1),
-      |zed AS (SELECT src, dst, cos FROM ze0kr UNION ALL SELECT * FROM ze0b),
+      |                            AND d.cluster != o.cluster) WHERE rn <= $FC),
+      |ze0fcp0 AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    ${qCosSql("a", "b")} AS cos, ${GraphAnn.qdSql("a", "b")} AS qd,
+      |    b.qe AS qe
+      |  FROM zn0 a JOIN ze0fcl fc ON fc.vec_id = a.vec_id
+      |             JOIN zn0 b ON b.cluster = fc.fcell),
+      |ze0fcp AS MATERIALIZED (SELECT * FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY src
+      |       ORDER BY cos DESC, dst) rnk FROM ze0fcp0) WHERE rnk <= $PO),
+      |${GraphAnn.alphaPruneSql("ze0fcp", "ze0fck", GraphAnn.DegreeOut)},
+      |zed AS (SELECT src, dst, cos FROM ze0ick
+      |  UNION ALL SELECT src, dst, cos FROM ze0fck),
       |zes AS (SELECT DISTINCT src, dst, cos FROM
       |    (SELECT src, dst, cos FROM zed
       |     UNION ALL SELECT dst, src, cos FROM zed)),

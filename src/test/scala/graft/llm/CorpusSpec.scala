@@ -762,6 +762,33 @@ class CorpusSpec extends SparkSpec {
     } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
   }
 
+  test("bucketed merge (q192): the pruned store read carries dynamic " +
+    "partition pruning on the bkt= scan") {
+    // ADVICE r13: the prune relies on Spark inserting a DPP subquery
+    // off the build side's always-true `bkt >= 0` predicate — a
+    // version/AQE-sensitive behavior. Without it the semi-join
+    // full-scans every bucket directory and the merge silently re-pays
+    // the corpus-wide read q192 exists to retire. Encode the hand
+    // verification as a plan pin.
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_bktdpp_").toString
+    try {
+      val store = s"$scratch/store"
+      docs.select(col("doc_id").as("ent"), col("doc_id"),
+          md5(col("text").cast("binary")).as("fp"))
+        .withColumn("bkt", Corpus.bktOf(col("ent"), 64))
+        .repartition(8, col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(store)
+      val dirtyF = docs.filter(col("doc_id") % 100 === 5)
+        .select(Corpus.bktOf(col("doc_id"), 64).cast("long").as("bkt"))
+        .distinct().localCheckpoint()
+      val p = Corpus.dirtyStoreScan(spark, store, dirtyF)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        s"dirty-bucket store scan lost dynamic partition pruning:\n$p")
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
+  }
+
   test("bucketed merge (q192): an all-tombstoned bucket is dropped, not left stale") {
     import spark.implicits._
     val scratch =

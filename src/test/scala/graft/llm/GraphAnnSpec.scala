@@ -17,10 +17,11 @@ class GraphAnnSpec extends SparkSpec {
       col("cos"))
     assert(edges.except(rev).isEmpty && rev.except(edges).isEmpty,
       "adjacency is not symmetric")
-    // ≤ 2·(Degree + 1) directed rows per node: Degree in-cell + 1
-    // bridge out-edges, doubled by symmetrization (dedup only shrinks)
+    // ≤ 2·(DegreeIn + DegreeOut) directed rows per node: the α-pruned
+    // in-cell + foreign budgets, doubled by symmetrization (the prune
+    // and the dedup only shrink)
     val n = emb.count()
-    assert(edges.count() <= 2 * n * (GraphAnn.Degree + 1))
+    assert(edges.count() <= 2 * n * GraphAnn.Degree)
     // every endpoint is a corpus vector
     val ids = emb.select(col("vec_id"))
     assert(edges.select(col("src").as("vec_id")).except(ids).isEmpty)
