@@ -318,7 +318,7 @@ object SparkEntry {
       Similarity.maxSimRerank(embeddings(s, d))),
     "q209_maxsim_served" -> ((s, d) =>
       Similarity.maxSimRerankServed(embeddings(s, d), d)),
-    "q210_graph_recall" -> ((s, d) => GraphAnn.graphRecall(embeddings(s, d)))
+    "q210_graph_recall" -> ((s, d) => GraphAnn.graphRecall(embeddings(s, d), d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -459,18 +459,22 @@ object GraphAnn {
   }
 
   /** q210: graph-tier quality as a MEASURED query — recall@k of the
-    * α-pruned beam search (q202's plan at its registered operating
-    * point) against the brute-force cosine truth (q35), the q39
-    * acceptance-gate precedent applied to the graph family. The r14
-    * α-prune's whole claim is "same degree budget, better
+    * α-pruned beam search against the brute-force cosine truth (q35),
+    * the q39 acceptance-gate precedent applied to the graph family.
+    * The r14 α-prune's whole claim is "same degree budget, better
     * navigability"; this query turns that into a hard, oracle-checked
-    * number instead of a PERF.md table. Cost = the two input plans
-    * (already scale-shaped); the scoring join is probes×k rows. */
-  def graphRecall(embeddings: DataFrame, nProbes: Int = 10,
-                  k: Int = 5): DataFrame = {
+    * number instead of a PERF.md table. The approximate side runs
+    * against the STORED q203 index (same [[graft.FsUtil.ServedRoots]]
+    * key), the production shape for an acceptance gate — it grades the
+    * index actually being served, and one physical graph build feeds
+    * both queries per corpus. The oracle is q202's chain composed with
+    * q35's (store ≡ recompute, the q203 proof); the scoring join is
+    * probes×k rows. */
+  def graphRecall(embeddings: DataFrame, corpusTag: String,
+                  nProbes: Int = 10, k: Int = 5): DataFrame = {
     val truth = Similarity.cosineTopK(embeddings, nProbes, k)
       .select(col("probe_id"), col("neighbor_id"))
-    val a = beamTopK(embeddings, nProbes, k)
+    val a = beamTopKServed(embeddings, corpusTag, nProbes, k)
       .select(col("probe_id"), col("neighbor_id"))
       .withColumn("hit", lit(1L))
     truth.join(a, Seq("probe_id", "neighbor_id"), "left")
