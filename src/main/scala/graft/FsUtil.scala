@@ -11,6 +11,23 @@ private[graft] object FsUtil {
     f.delete(); ()
   }
 
+  /** Recursive directory copy — the segment-SNAPSHOT primitive (q211):
+    * a serving system pins a store state by copying its segment
+    * manifest; this local stand-in copies the (fixture-sized) segment
+    * files themselves. */
+  def copyRecursively(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).getOrElse(Array.empty).foreach { c =>
+        copyRecursively(c, new java.io.File(dst, c.getName))
+      }
+    } else {
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
+
   /** Session-scoped stored-index root cache shared by the serve-only
     * registrations (q179/q180/q183 and the streaming ANN path): the
     * index is built ONCE per (JVM, cache key) and later calls read the

@@ -318,7 +318,9 @@ object SparkEntry {
       Similarity.maxSimRerank(embeddings(s, d))),
     "q209_maxsim_served" -> ((s, d) =>
       Similarity.maxSimRerankServed(embeddings(s, d), d)),
-    "q210_graph_recall" -> ((s, d) => GraphAnn.graphRecall(embeddings(s, d), d))
+    "q210_graph_recall" -> ((s, d) => GraphAnn.graphRecall(embeddings(s, d), d)),
+    "q211_graph_lifecycle_served" -> ((s, d) =>
+      GraphLifecycle.graphLifecycleServed(embeddings(s, d), d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -553,6 +555,7 @@ object SparkEntry {
     "q208_maxsim_rerank" -> Similarity.maxSimRerankSql,
     // q209: q208's oracle VERBATIM — the store ≡ recompute proof
     "q209_maxsim_served" -> Similarity.maxSimRerankSql,
-    "q210_graph_recall" -> GraphAnn.graphRecallSql
+    "q210_graph_recall" -> GraphAnn.graphRecallSql,
+    "q211_graph_lifecycle_served" -> GraphLifecycle.graphLifecycleServedSql
   )
 }

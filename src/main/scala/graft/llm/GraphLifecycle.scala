@@ -194,22 +194,27 @@ object GraphLifecycle {
     * cluster ∈ cells)` — pinned by GraphLifecycleSpec — at
     * O(probed-cell partitions + delta rows) instead of O(corpus). */
   private def liveMembersIn(spark: SparkSession, base: String,
-                            cells: Seq[Long]): DataFrame = {
+                            cells: Seq[Long]): DataFrame =
+    liveMembers(spark, base,
+      if (cells.isEmpty) lit(false) else col("cluster").isin(cells: _*))
+
+  /** The WHOLE live node view of a store state — the serve path's base
+    * (q211). Same resolution as [[liveMembersIn]] minus the cell
+    * restriction: beam candidates arrive via edges from ANY cell, so
+    * the serve's vector reads cannot partition-prune — but the base
+    * scan still streams (broadcast touched-set anti-join + a window
+    * over the DELTA rows alone; never a corpus window). */
+  private def liveNodesAll(spark: SparkSession, base: String): DataFrame =
+    liveMembers(spark, base, lit(true))
+
+  private def liveMembers(spark: SparkSession, base: String,
+                          inCells: Column): DataFrame = {
     val (b0, ds) = nodeSegs(base)
-    val inCells =
-      if (cells.isEmpty) lit(false) else col("cluster").isin(cells: _*)
     val baseSeg = readNodeSeg(spark, b0).filter(inCells)
     val resolved =
       if (ds.isEmpty) baseSeg
       else {
-        val d = ds.zipWithIndex.map { case (p, i) =>
-          readNodeSeg(spark, p).withColumn("segi", lit(i.toLong))
-        }.reduce(_ unionByName _)
-        val dLatest = d.withColumn("rn", row_number().over(
-            Window.partitionBy(col("vec_id")).orderBy(col("segi").desc)))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("qe"), col("cluster"), col("gen"),
-            col("del"))
+        val dLatest = deltaLatest(spark, ds)
         baseSeg
           .join(broadcast(dLatest.select(col("vec_id"))),
             Seq("vec_id"), "left_anti")
@@ -218,6 +223,21 @@ object GraphLifecycle {
     resolved.filter(!col("del"))
       .select(col("vec_id"), col("qe"), qNorm(col("qe")).as("nq"),
         col("cluster"))
+  }
+
+  /** Latest-wins view of the DELTA segments alone (vec_id, qe, cluster,
+    * gen, del) — the touched-entity raw material: delta-bounded, never
+    * the corpus. */
+  private def deltaLatest(spark: SparkSession,
+                          ds: Seq[String]): DataFrame = {
+    val d = ds.zipWithIndex.map { case (p, i) =>
+      readNodeSeg(spark, p).withColumn("segi", lit(i.toLong))
+    }.reduce(_ unionByName _)
+    d.withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("segi").desc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("qe"), col("cluster"), col("gen"),
+        col("del"))
   }
 
   /** The LIVE edge view: an edge from segment s survives iff neither
@@ -268,10 +288,22 @@ object GraphLifecycle {
       // exact frame [[frozenCand2L]] would recompute from the tables
       // just written; reuse it instead of paying the pass twice
       val cand = b.cand.localCheckpoint()
-      val nodes = q0.join(argminCell(cand), "vec_id")
+      val asg = argminCell(cand)
+      val nodes = q0.join(asg, "vec_id")
         .select(col("vec_id"), col("qe"), col("cluster"),
           lit(gen).as("gen"), lit(false).as("del"))
         .localCheckpoint()
+      // per-cell entry medoids (min own-cell distance, tie vec_id) —
+      // the serve leg's entry points (q211), written at build/compaction
+      // like the static tier's; a medoid later tombstoned or re-written
+      // simply drops out of the serve's live-filtered entry set
+      val wm = Window.partitionBy(col("cluster"))
+        .orderBy(col("dist"), col("vec_id"))
+      cand.join(asg, Seq("vec_id", "cluster"))
+        .withColumn("rn", row_number().over(wm))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("vec_id").as("node"))
+        .write.mode("overwrite").parquet(s"$root/medoids")
       // cluster-partitioned base (the q193 serving layout): the ingest
       // path's live-member read prunes to the batch's candidate cells
       nodes.write.partitionBy("cluster").mode("overwrite")
@@ -477,6 +509,126 @@ object GraphLifecycle {
                                  cells: Seq[Long]): DataFrame =
     liveMembersIn(spark, currentBase(root), cells)
 
+  /** Beam search over ONE store state's LIVE view — the READ path of
+    * the incremental graph index (q211). Base vectors = the live node
+    * view ([[liveNodesAll]]: broadcast touched-set anti-join + a window
+    * over the delta rows alone — never a corpus window), edges = the
+    * liveness-joined segment union ([[liveEdges]]), entry medoids = the
+    * stored build-time medoids LIVE-FILTERED (a tombstoned or
+    * re-written-then-tombstoned medoid drops out of the entry set; the
+    * lazy-repair degradation every incremental graph accepts until
+    * compaction), seed tables = the store's frozen centroids. The
+    * search itself is [[GraphAnn.beamFrom]] VERBATIM in the quantized
+    * domain — the shared dot kernel widens int64 exactly and the edge
+    * weights were stored with the same rounding, so serve ≡ the oracle
+    * bit-for-bit. */
+  private def serveStateWith(spark: SparkSession, base: String,
+                             state: String, probes: DataFrame,
+                             k: Int): DataFrame = {
+    val live = liveNodesAll(spark, base).localCheckpoint()
+    val (_, ds) = nodeSegs(base)
+    val touched =
+      if (ds.isEmpty)
+        live.select(col("vec_id"), lit(0L).as("gen"), lit(false).as("del"))
+          .filter(lit(false))
+      else deltaLatest(spark, ds)
+        .select(col("vec_id"), col("gen"), col("del"))
+    val edges = liveEdges(spark, touched, edgeSegPaths(base))
+      .localCheckpoint()
+    val medoids = spark.read.parquet(s"$base/medoids")
+      .join(live.select(col("vec_id").as("node")), Seq("node"))
+      .select(col("cluster"), col("node"))
+      .localCheckpoint()
+    val baseV = live.select(col("vec_id"), col("qe").as("embedding"),
+      col("nq").as("nrm"))
+    GraphAnn.beamFrom(probes, baseV, edges, medoids,
+        spark.read.parquet(s"$base/centroids"),
+        spark.read.parquet(s"$base/coarse"), k)
+      .select(lit(state).as("state"), col("probe_id"), col("neighbor_id"),
+        col("cos"), col("rnk"))
+  }
+
+  /** A state's registered probe set: the live view's vec_id < nProbes
+    * rows with their CURRENT (possibly drifted) vectors — each serve
+    * leg queries the corpus the state actually holds. */
+  private def stateProbes(spark: SparkSession, base: String,
+                          nProbes: Int): DataFrame =
+    liveNodesAll(spark, base).filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("qe").as("pe"),
+        col("nq").as("pn"))
+
+  /** Builds (once per corpus, under the shared ServedRoots cache) the
+    * full q206 lifecycle INCLUDING a segment snapshot of the
+    * pre-compaction g2 state — a serving system pins a store state by
+    * snapshotting its segment manifest; the local stand-in copies the
+    * fixture-sized segment files. */
+  private[llm] def servedRootFor(embeddings: DataFrame,
+                                 corpusTag: String): String =
+    graft.FsUtil.ServedRoots.getOrBuild(
+      Similarity.corpusKey(embeddings, "vec_id", s"gannlcs:$corpusTag",
+        Similarity.embSig),
+      "graft_gannlc_served_") { r =>
+      graphLifecycleTo(embeddings, r, onState = { st =>
+        if (st == "g2") graft.FsUtil.copyRecursively(
+          new java.io.File(currentBase(r)), new java.io.File(s"$r/g2snap"))
+      })
+      ()
+    }
+
+  /** q211: the graph lifecycle's SERVE leg — the q206 write path closed
+    * into a read path. One beam search per served state: the
+    * PRE-compaction g2 snapshot (base + 2 delta generations — the serve
+    * must resolve latest-wins nodes, liveness-join 3 edge segments and
+    * live-filter the gen-0 medoids at query time) and the
+    * POST-compaction final state (a fresh single-segment store). The
+    * oracle recomputes both states' live views through the q206 chains
+    * and unrolls the identical beam search over each — the lifecycle
+    * counterpart of the q203 store ≡ recompute proof. */
+  def graphLifecycleServed(embeddings: DataFrame, corpusTag: String,
+                           nProbes: Int = 10, k: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    val root = servedRootFor(embeddings, corpusTag)
+    val g2 = s"$root/g2snap"
+    val fin = currentBase(root)
+    serveStateWith(spark, g2, "g2", stateProbes(spark, g2, nProbes), k)
+      .unionByName(serveStateWith(spark, fin, "g3c",
+        stateProbes(spark, fin, nProbes), k))
+      .orderBy(col("state"), col("probe_id"), col("rnk"))
+  }
+
+  /** The q211 serve leg under Structured Streaming (foreachBatch):
+    * probe vectors (vec_id, qe — pre-quantized, the q193 stream
+    * contract) arrive as micro-batches and run the identical beam
+    * search against the CURRENT (post-compaction) store state —
+    * stream ≡ batch proved in StreamingSpec against
+    * [[graphLifecycleServed]]'s g3c rows. */
+  def graphLifecycleServeStreamBatch(embeddings: DataFrame,
+                                     corpusTag: String, outDir: String,
+                                     k: Int = 5)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val root = Similarity.streamRootFor(s"gannlcs:$corpusTag") {
+      servedRootFor(embeddings, corpusTag)
+    }
+    val probes = batch.select(col("vec_id").as("probe_id"),
+      col("qe").as("pe"), qNorm(col("qe")).as("pn"))
+    serveStateWith(spark, currentBase(root), "g3c", probes, k)
+      .write.mode("append").parquet(outDir)
+    ()
+  }
+
+  /** Test hook: the final served state's live probe rows (vec_id, qe)
+    * — StreamingSpec feeds these as micro-batches to prove the q211
+    * probe-stream leg ≡ the batch serve. */
+  private[graft] def servedFinalProbes(embeddings: DataFrame,
+                                       corpusTag: String,
+                                       nProbes: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    val base = currentBase(servedRootFor(embeddings, corpusTag))
+    liveNodesAll(spark, base).filter(col("vec_id") < nProbes)
+      .select(col("vec_id"), col("qe"))
+  }
+
   /** The q206 ingest leg under Structured Streaming (foreachBatch):
     * arrival micro-batches (vec_id, qe, del — pre-quantized, the q193
     * stream contract) append one node + one edge delta each to the
@@ -519,12 +671,15 @@ object GraphLifecycle {
     * segment, the liveness rule per state, the q193 trigger, and the
     * post-compaction rebuild through the z-prefixed from-scratch
     * chain. */
-  val graphLifecycleSql: String = {
+  /** Shared CTE prefix of the q206 and q211 oracles: the whole
+    * lifecycle recomputed from scratch through every state's live
+    * node/edge views (`lvn`/`lv`/`lve`), the delta counter `dc`, and
+    * the z-prefixed post-compaction rebuild ending in `zn0`/`zes`. */
+  private def lifecycleCtes: String = {
     val P = Similarity.BlockCoarseProbes
     val PI = GraphAnn.PoolIn
     val PO = GraphAnn.PoolOut
     val FC = GraphAnn.ForeignCells
-    val pct = Similarity.LsmDeltaPct
     s"""${Similarity.dynamicKBlockedCteSql},
       |n0 AS MATERIALIZED (SELECT q.vec_id, q.qe, o.cluster, $qNormSql AS nq
       |       FROM q JOIN fpdx o USING (vec_id)),
@@ -626,14 +781,6 @@ object GraphLifecycle {
       |    AND NOT a.del AND NOT b.del),
       |dc AS MATERIALIZED (SELECT i.range AS s, count(*) AS c
       |  FROM ar CROSS JOIN range(4) i WHERE g <= i.range GROUP BY i.range),
-      |states AS (SELECT 'g' || s::VARCHAR AS state,
-      |    (SELECT count(*) FROM lv l WHERE l.s = e.s) AS n_nodes,
-      |    count(*) AS n_edges,
-      |    (SELECT coalesce(max(c), 0) FROM dc WHERE dc.s = e.s) AS n_delta,
-      |    CAST(0 AS BIGINT) AS compacted,
-      |    CAST(sum(src * 100000 + dst +
-      |      CAST(round(cos * 10000) AS BIGINT)) AS BIGINT) AS checksum
-      |  FROM lve e GROUP BY s),
       |zq AS MATERIALIZED (SELECT vec_id, qe FROM lv WHERE s = 3),
       |${Similarity.twoLevelCtesQ("z", "zq")},
       |zn0 AS MATERIALIZED (SELECT zq.vec_id, zq.qe, o.cluster, $qNormSql AS nq
@@ -662,9 +809,22 @@ object GraphLifecycle {
       |${GraphAnn.alphaPruneSql("ze0fcp", "ze0fck", GraphAnn.DegreeOut)},
       |zed AS (SELECT src, dst, cos FROM ze0ick
       |  UNION ALL SELECT src, dst, cos FROM ze0fck),
-      |zes AS (SELECT DISTINCT src, dst, cos FROM
+      |zes AS MATERIALIZED (SELECT DISTINCT src, dst, cos FROM
       |    (SELECT src, dst, cos FROM zed
-      |     UNION ALL SELECT dst, src, cos FROM zed)),
+      |     UNION ALL SELECT dst, src, cos FROM zed))""".stripMargin
+  }
+
+  val graphLifecycleSql: String = {
+    val pct = Similarity.LsmDeltaPct
+    s"""$lifecycleCtes,
+      |states AS (SELECT 'g' || s::VARCHAR AS state,
+      |    (SELECT count(*) FROM lv l WHERE l.s = e.s) AS n_nodes,
+      |    count(*) AS n_edges,
+      |    (SELECT coalesce(max(c), 0) FROM dc WHERE dc.s = e.s) AS n_delta,
+      |    CAST(0 AS BIGINT) AS compacted,
+      |    CAST(sum(src * 100000 + dst +
+      |      CAST(round(cos * 10000) AS BIGINT)) AS BIGINT) AS checksum
+      |  FROM lve e GROUP BY s),
       |g3c AS (SELECT 'g3c' AS state,
       |    (SELECT count(*) FROM zn0) AS n_nodes,
       |    count(*) AS n_edges, CAST(0 AS BIGINT) AS n_delta,
@@ -680,4 +840,111 @@ object GraphLifecycle {
       |FROM (SELECT * FROM states UNION ALL SELECT * FROM g3c)
       |ORDER BY state""".stripMargin
   }
+
+  /** One unrolled hop of the quantized-domain serve (q211): expand
+    * `prev` through `edges`, dedup, rescore against the live corpus
+    * (identical re-rounding), keep the beam. */
+  private def qHopCte(prev: String, name: String, edges: String,
+                      corpus: String, probes: String): String =
+    s"""${name}c AS (SELECT DISTINCT probe_id, node FROM
+      |    (SELECT probe_id, node FROM $prev
+      |     UNION ALL
+      |     SELECT b.probe_id, e.dst AS node
+      |     FROM $prev b JOIN $edges e ON e.src = b.node)
+      |  WHERE node != probe_id),
+      |${name}s AS (SELECT c.probe_id, c.node,
+      |    round(list_sum(list_transform(list_zip(p.pe, n.qe),
+      |      z -> z[1] * z[2]))::DOUBLE / (p.pn * n.nq), 4) AS cos
+      |  FROM ${name}c c JOIN $probes p USING (probe_id)
+      |                  JOIN $corpus n ON n.vec_id = c.node),
+      |$name AS MATERIALIZED (SELECT probe_id, node, cos FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |       ORDER BY cos DESC, node) rn FROM ${name}s)
+      |  WHERE rn <= ${GraphAnn.Beam})""".stripMargin
+
+  /** One state's full serve chain (q211), all CTEs prefixed `pfx`:
+    * probes = live vec_id < 10 with their CURRENT vectors, the
+    * two-level seed rank against the store's frozen centroids (`fc`
+    * fine with parent via `kk`, `gc` coarse), medoid entries `md`, then
+    * the [[GraphAnn.Hops]] unrolled expansions over the live edges `ed`
+    * scored against the live corpus `lv`, top-5 — the exact
+    * [[GraphAnn.beamFrom]] DAG in the quantized domain. */
+  private def serveLegSql(pfx: String, lv: String, ed: String, md: String,
+                          fc: String, gc: String, kk: String,
+                          state: String): String = {
+    def n(s: String) = s"$pfx$s"
+    val hops = (1 to GraphAnn.Hops)
+      .map(i => qHopCte(n(s"b${i - 1}"), n(s"b$i"), ed, lv, n("p")))
+      .mkString(",\n")
+    s"""${n("p")} AS MATERIALIZED (SELECT vec_id AS probe_id, qe AS pe, nq AS pn
+      |  FROM $lv WHERE vec_id < 10),
+      |${n("gcl")} AS (SELECT cluster AS ccell,
+      |    list_transform(ce, x -> x::DOUBLE) AS gcent FROM $gc),
+      |${n("fcl")} AS (SELECT cluster // (SELECT k FROM $kk) AS parent, cluster,
+      |    list_transform(ce, x -> x::DOUBLE) AS centroid FROM $fc),
+      |${n("sb")} AS (SELECT
+      |    (SELECT greatest(${GraphAnn.SeedCells}, CAST(ceil(${Similarity.IvfProbeFrac} * count(*)) AS BIGINT)) FROM $fc) AS scells,
+      |    (SELECT greatest(${GraphAnn.SeedCoarse}, CAST(ceil(0.4 * count(*)) AS BIGINT)) FROM $gc) AS gcells),
+      |${n("pgc")} AS (SELECT p.probe_id, p.pe, p.pn, g.ccell,
+      |    list_sum(list_transform(list_zip(p.pe, g.gcent), z -> z[1]::DOUBLE * z[2]))
+      |      / (p.pn * sqrt(list_sum(list_transform(g.gcent, x -> x * x)))) AS gcos
+      |  FROM ${n("p")} p CROSS JOIN ${n("gcl")} g),
+      |${n("pgs")} AS (SELECT probe_id, pe, pn, ccell FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |       ORDER BY gcos DESC, ccell) grnk FROM ${n("pgc")})
+      |  WHERE grnk <= (SELECT gcells FROM ${n("sb")})),
+      |${n("pcc")} AS (SELECT s.probe_id, f.cluster,
+      |    list_sum(list_transform(list_zip(s.pe, f.centroid), z -> z[1]::DOUBLE * z[2]))
+      |      / (s.pn * sqrt(list_sum(list_transform(f.centroid, x -> x * x)))) AS ccos
+      |  FROM ${n("pgs")} s JOIN ${n("fcl")} f ON f.parent = s.ccell),
+      |${n("selc")} AS (SELECT probe_id, cluster FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |       ORDER BY ccos DESC, cluster) crnk FROM ${n("pcc")})
+      |  WHERE crnk <= (SELECT scells FROM ${n("sb")})),
+      |${n("b0c")} AS (SELECT probe_id, node
+      |  FROM ${n("selc")} JOIN $md USING (cluster)
+      |  WHERE node != probe_id),
+      |${n("b0s")} AS (SELECT c.probe_id, c.node,
+      |    round(list_sum(list_transform(list_zip(p.pe, n.qe),
+      |      z -> z[1] * z[2]))::DOUBLE / (p.pn * n.nq), 4) AS cos
+      |  FROM ${n("b0c")} c JOIN ${n("p")} p USING (probe_id)
+      |                     JOIN $lv n ON n.vec_id = c.node),
+      |${n("b0")} AS MATERIALIZED (SELECT probe_id, node, cos FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |       ORDER BY cos DESC, node) rn FROM ${n("b0s")})
+      |  WHERE rn <= ${GraphAnn.Beam}),
+      |$hops,
+      |${n("res")} AS (SELECT '$state' AS state, probe_id,
+      |    node AS neighbor_id, cos, CAST(rn AS BIGINT) AS rnk
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |          ORDER BY cos DESC, node) rn FROM ${n(s"b${GraphAnn.Hops}")})
+      |  WHERE rn <= 5)""".stripMargin
+  }
+
+  /** Oracle for [[graphLifecycleServed]]: the shared lifecycle prefix,
+    * then the g2 state's live views + gen-0 medoids live-filtered and
+    * the post-compaction z tables, each pushed through the identical
+    * unrolled beam chain. */
+  val graphLifecycleServedSql: String =
+    s"""$lifecycleCtes,
+      |lv2 AS MATERIALIZED (SELECT vec_id, qe, cluster, nq
+      |  FROM lvn WHERE s = 2 AND NOT del),
+      |e2 AS MATERIALIZED (SELECT src, dst, cos FROM lve WHERE s = 2),
+      |m0 AS (SELECT cluster, vec_id AS node FROM
+      |    (SELECT d.cluster, d.vec_id, row_number() OVER (PARTITION BY d.cluster
+      |       ORDER BY d.dist, d.vec_id) rn
+      |     FROM fpd d JOIN fpdx o ON o.vec_id = d.vec_id
+      |                           AND o.cluster = d.cluster) WHERE rn = 1),
+      |m2 AS (SELECT m0.cluster, m0.node FROM m0
+      |       JOIN lv2 b ON b.vec_id = m0.node),
+      |${serveLegSql("s2", "lv2", "e2", "m2", "fc2", "gc2", "kk", "g2")},
+      |zm0 AS (SELECT cluster, vec_id AS node FROM
+      |    (SELECT d.cluster, d.vec_id, row_number() OVER (PARTITION BY d.cluster
+      |       ORDER BY d.dist, d.vec_id) rn
+      |     FROM zfpd d JOIN zfpdx o ON o.vec_id = d.vec_id
+      |                            AND o.cluster = d.cluster) WHERE rn = 1),
+      |${serveLegSql("zz", "zn0", "zes", "zm0", "zfc2", "zgc2", "zkk", "g3c")}
+      |SELECT state, probe_id, neighbor_id, cos, rnk FROM
+      |  (SELECT * FROM s2res UNION ALL SELECT * FROM zzres)
+      |ORDER BY state, probe_id, rnk""".stripMargin
 }

@@ -703,4 +703,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() === batch.count())
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
+
+  test("graph-LIFECYCLE serve on a probe STREAM equals the batch serve " +
+    "(q211 online; union of foreachBatch micro-batches == one batch)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dir = Files.createTempDirectory("graft-gannlcsrc").toString + "/probes"
+    val out = Files.createTempDirectory("graft-gannlcout").toString + "/res"
+    val tag = s"gannlc-stream-$sf"
+    // the batch leg's FINAL-state probes (live vec_id < 10, drifted
+    // quantized vectors) arrive as TWO micro-batches against the
+    // shared served lifecycle store
+    val probes = graft.llm.GraphLifecycle.servedFinalProbes(emb, tag)
+      .localCheckpoint()
+    probes.filter(col("vec_id") < 5).write.parquet(dir)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("qe", ArrayType(LongType))))
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.llm.GraphLifecycle
+          .graphLifecycleServeStreamBatch(emb, tag, out)(b, id))
+      .start()
+    try {
+      q.processAllAvailable()
+      probes.filter(col("vec_id") >= 5).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+    val batch = graft.llm.GraphLifecycle.graphLifecycleServed(emb, tag)
+      .filter(col("state") === "g3c")
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
 }
