@@ -320,7 +320,11 @@ object SparkEntry {
       Similarity.maxSimRerankServed(embeddings(s, d), d)),
     "q210_graph_recall" -> ((s, d) => GraphAnn.graphRecall(embeddings(s, d), d)),
     "q211_graph_lifecycle_served" -> ((s, d) =>
-      GraphLifecycle.graphLifecycleServed(embeddings(s, d), d))
+      GraphLifecycle.graphLifecycleServed(embeddings(s, d), d)),
+    "q212_lifecycle_recall" -> ((s, d) =>
+      GraphLifecycle.graphLifecycleRecall(embeddings(s, d), d)),
+    "q213_sq8_topk" -> ((s, d) => Similarity.sq8TopK(embeddings(s, d))),
+    "q214_sq8_recall" -> ((s, d) => Similarity.sq8Recall(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -556,6 +560,9 @@ object SparkEntry {
     // q209: q208's oracle VERBATIM — the store ≡ recompute proof
     "q209_maxsim_served" -> Similarity.maxSimRerankSql,
     "q210_graph_recall" -> GraphAnn.graphRecallSql,
-    "q211_graph_lifecycle_served" -> GraphLifecycle.graphLifecycleServedSql
+    "q211_graph_lifecycle_served" -> GraphLifecycle.graphLifecycleServedSql,
+    "q212_lifecycle_recall" -> GraphLifecycle.graphLifecycleRecallSql,
+    "q213_sq8_topk" -> Similarity.sq8TopKSql,
+    "q214_sq8_recall" -> Similarity.sq8RecallSql
   )
 }

@@ -289,6 +289,123 @@ case class PqArgminCodeword(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Symmetric int8 PACK of an array<float> embedding to a binary column
+  * — the SQ8 index representation (q213): per-vector scale =
+  * max|x|/127 (the q74 rule), each element ROUND-HALF-AWAY-FROM-ZERO
+  * of x/scale into one signed byte. A packed vector is dim bytes —
+  * 4× smaller than array<float> and ~4.5× smaller than array<long> —
+  * which is the whole point of the SQ8 tier: the scan index fits in
+  * memory at corpus sizes where floats do not. An all-zero vector
+  * (scale 0) packs to zero bytes, mirroring the oracle's CASE guard.
+  *
+  * Rounding goes through BigDecimal HALF_UP — the exact path of
+  * Spark's own `round(x, 0)` and of DuckDB's `round` for doubles — so
+  * the packed values are bit-identical to the oracle's list-domain
+  * quantization. Build-path only (one pass at index build), so
+  * CodegenFallback is acceptable; the serve-path hot kernel is
+  * [[Int8PackedDot]]. */
+case class Int8PackVector(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "int8_pack"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    def get(i: Int): Double =
+      if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val v = math.abs(get(i)); if (v > mx) mx = v
+      i += 1
+    }
+    val scale = mx / 127.0
+    val out = new Array[Byte](n)
+    if (scale != 0.0) {
+      i = 0
+      while (i < n) {
+        out(i) = BigDecimal(get(i) / scale)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt.toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Signed-byte dot product of two packed SQ8 vectors — the serve-path
+  * kernel of the q213 scan tier, whole-stage-codegen'd: one tight
+  * byte-array loop per pair, int64 accumulation (64·127² ≈ 1e6 per
+  * vector pair — overflow-free by orders of magnitude). Self-dot gives
+  * the squared quantized norm, so cosine needs no stored scale at all
+  * (cosine is invariant under the per-vector scaling). NULL on length
+  * mismatch, mirroring the house kernels. */
+case class Int8PackedDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.BinaryType &&
+        right.dataType == org.apache.spark.sql.types.BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int8_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length) return null
+    var s = 0L
+    var i = 0
+    while (i < x.length) { s += x(i).toLong * y(i).toLong; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |if ($a.length != $b.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $a.length; $i++) {
+         |    $s += ((long) $a[$i]) * ((long) $b[$i]);
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Dot product of two array<float|double> columns, in double. */
   def floatDot(a: Column, b: Column): Column =
@@ -309,4 +426,13 @@ object VectorFunctions {
   def pqArgmin(sq: Column, cvFlat: Column, cwIds: Column): Column =
     GraftShims.column(PqArgminCodeword(GraftShims.expression(sq),
       GraftShims.expression(cvFlat), GraftShims.expression(cwIds)))
+
+  /** SQ8 pack of an array<float|double> column into a binary column. */
+  def int8Pack(a: Column): Column =
+    GraftShims.column(Int8PackVector(GraftShims.expression(a)))
+
+  /** Signed-byte dot of two packed SQ8 binary columns, as long. */
+  def int8Dot(a: Column, b: Column): Column =
+    GraftShims.column(Int8PackedDot(
+      GraftShims.expression(a), GraftShims.expression(b)))
 }

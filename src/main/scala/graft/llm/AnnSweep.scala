@@ -216,6 +216,39 @@ object GraphSweep {
   }
 }
 
+/** Dev-only N≈1e5 measurement of the graph-LIFECYCLE serve's recall
+  * per state (q212 two decades above fixture): the erosion number —
+  * pre-compaction g2 (lazy-repair degraded graph) vs post-compaction
+  * g3c (fresh rebuild) recall@5 over each state's live corpus.
+  * Usage: sbt "runMain graft.llm.LifecycleSweep [n]"
+  */
+object LifecycleSweep {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = if (args.nonEmpty) args(0).toLong else 100000L
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = spark.range(0, n, 1, 32)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          ((pmod(hash(col("id"), d), lit(2000)) - 1000) / lit(1000.0))
+            .cast("float")).as("embedding"))
+      .localCheckpoint()
+    val t0 = System.nanoTime()
+    val rows = GraphLifecycle.graphLifecycleRecall(emb, s"lcsweep$n")
+      .collect()
+    println(f"== lifecycle recall n=$n wall=${(System.nanoTime() - t0) / 1e9}%6.1f s")
+    rows.foreach(r => println(
+      f"state=${r.getString(0)}%4s truth=${r.getLong(1)}%3d " +
+        f"hits=${r.getLong(2)}%3d recall=${r.getLong(3)}%5d bp"))
+    spark.stop()
+  }
+}
+
 /** Dev-only TWO-DECADES-ABOVE-FIXTURE validation of the ANN stack
   * (VERDICT r10 Next #6): a deterministic ~100k-vector corpus from
   * spark.range + a Murmur3-hash payload (the q26 generator discipline —
@@ -268,6 +301,9 @@ object AnnScale {
     println(f"ivf_trained@13%%: recall=${recallOf(
       Similarity.ivfTopKWith(emb, asg, cents, 10, 5, 0)) * 10000}%5.0f bp " +
       f"scan=${scan * 100}%5.1f%%")
+    timed("sq8 scan")(
+      println(f"sq8_brute: recall=${recallOf(
+        Similarity.sq8TopK(emb)) * 10000}%5.0f bp (packed 64 B/vec)"))
     val cb = timed("pq train")(Similarity.trainPqCodebook(emb))
     val recon = timed("pq encode")(
       Similarity.pqReconstruct(emb, cb, 16, 64).localCheckpoint())

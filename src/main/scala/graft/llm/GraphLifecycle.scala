@@ -617,6 +617,50 @@ object GraphLifecycle {
     ()
   }
 
+  /** q212: the lifecycle serve's QUALITY per state — recall@k of the
+    * q211 beam serve against the brute-force truth over each state's
+    * OWN live corpus (quantized cosine, house ties), the q39/q210
+    * acceptance-gate precedent applied to the incremental store. This
+    * is the measured lazy-repair story: between compactions the graph
+    * ERODES (a re-written node's old edges die with its vector and
+    * nothing re-links its neighbors until compaction), so the
+    * pre-compaction g2 recall vs the fresh post-compaction g3c recall
+    * is the quantified cost of incremental ingest — a number the q206
+    * scaladoc could only assert before. Truth cost = probes × live
+    * rows per state (the q35 shape); the scoring joins are probes×k. */
+  def graphLifecycleRecall(embeddings: DataFrame, corpusTag: String,
+                           nProbes: Int = 10, k: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    val root = servedRootFor(embeddings, corpusTag)
+    def leg(base: String, state: String): DataFrame = {
+      val live = liveNodesAll(spark, base).localCheckpoint()
+      val probes = live.filter(col("vec_id") < nProbes)
+        .select(col("vec_id").as("probe_id"), col("qe").as("pe"),
+          col("nq").as("pn"))
+        .localCheckpoint()
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val truth = live.join(broadcast(probes),
+          col("probe_id") =!= col("vec_id"))
+        .withColumn("cos", qCos(col("pe"), col("qe"), col("pn"), col("nq")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+      val got = serveStateWith(spark, base, state, probes, k)
+        .select(col("probe_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1L))
+      truth.join(got, Seq("probe_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(state).as("state"), col("n_truth"), col("n_hits"),
+          floor(lit(10000.0) * col("n_hits") / col("n_truth"))
+            .cast("long").as("recall_bp"))
+    }
+    leg(s"$root/g2snap", "g2")
+      .unionByName(leg(currentBase(root), "g3c"))
+      .orderBy(col("state"))
+  }
+
   /** Test hook: the final served state's live probe rows (vec_id, qe)
     * — StreamingSpec feeds these as micro-batches to prove the q211
     * probe-stream leg ≡ the batch serve. */
@@ -947,4 +991,55 @@ object GraphLifecycle {
       |SELECT state, probe_id, neighbor_id, cos, rnk FROM
       |  (SELECT * FROM s2res UNION ALL SELECT * FROM zzres)
       |ORDER BY state, probe_id, rnk""".stripMargin
+
+  /** Per-state brute-force truth over the live corpus (the q35 shape in
+    * the quantized domain), reusing the serve leg's probe CTE. */
+  private def bruteLegSql(name: String, probes: String,
+                          lv: String): String =
+    s"""$name AS (SELECT probe_id, neighbor_id FROM
+      |    (SELECT p.probe_id, n.vec_id AS neighbor_id,
+      |       row_number() OVER (PARTITION BY p.probe_id ORDER BY
+      |         round(list_sum(list_transform(list_zip(p.pe, n.qe),
+      |           z -> z[1] * z[2]))::DOUBLE / (p.pn * n.nq), 4) DESC,
+      |         n.vec_id) rn
+      |     FROM $probes p JOIN $lv n ON n.vec_id != p.probe_id)
+      |  WHERE rn <= 5)""".stripMargin
+
+  /** Oracle for [[graphLifecycleRecall]]: both serve legs verbatim
+    * (the q211 chains), a brute-truth leg per state, q39's left-join +
+    * floor scoring. */
+  val graphLifecycleRecallSql: String =
+    s"""$lifecycleCtes,
+      |lv2 AS MATERIALIZED (SELECT vec_id, qe, cluster, nq
+      |  FROM lvn WHERE s = 2 AND NOT del),
+      |e2 AS MATERIALIZED (SELECT src, dst, cos FROM lve WHERE s = 2),
+      |m0 AS (SELECT cluster, vec_id AS node FROM
+      |    (SELECT d.cluster, d.vec_id, row_number() OVER (PARTITION BY d.cluster
+      |       ORDER BY d.dist, d.vec_id) rn
+      |     FROM fpd d JOIN fpdx o ON o.vec_id = d.vec_id
+      |                           AND o.cluster = d.cluster) WHERE rn = 1),
+      |m2 AS (SELECT m0.cluster, m0.node FROM m0
+      |       JOIN lv2 b ON b.vec_id = m0.node),
+      |${serveLegSql("s2", "lv2", "e2", "m2", "fc2", "gc2", "kk", "g2")},
+      |zm0 AS (SELECT cluster, vec_id AS node FROM
+      |    (SELECT d.cluster, d.vec_id, row_number() OVER (PARTITION BY d.cluster
+      |       ORDER BY d.dist, d.vec_id) rn
+      |     FROM zfpd d JOIN zfpdx o ON o.vec_id = d.vec_id
+      |                            AND o.cluster = d.cluster) WHERE rn = 1),
+      |${serveLegSql("zz", "zn0", "zes", "zm0", "zfc2", "zgc2", "zkk", "g3c")},
+      |${bruteLegSql("t2", "s2p", "lv2")},
+      |${bruteLegSql("t3", "zzp", "zn0")},
+      |m AS (
+      |  SELECT 'g2' AS state, count(*) AS n_truth,
+      |    CAST(sum(CASE WHEN g.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      |  FROM t2 t LEFT JOIN s2res g
+      |    ON g.probe_id = t.probe_id AND g.neighbor_id = t.neighbor_id
+      |  UNION ALL
+      |  SELECT 'g3c' AS state, count(*) AS n_truth,
+      |    CAST(sum(CASE WHEN g.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      |  FROM t3 t LEFT JOIN zzres g
+      |    ON g.probe_id = t.probe_id AND g.neighbor_id = t.neighbor_id)
+      |SELECT state, n_truth, n_hits,
+      |  CAST(floor(10000.0 * n_hits / n_truth) AS BIGINT) AS recall_bp
+      |FROM m ORDER BY state""".stripMargin
 }

@@ -1405,6 +1405,105 @@ object Similarity {
       |    END AS mse
       |FROM v ORDER BY vec_id""".stripMargin
 
+  /** q213: brute-force cosine top-k over the SQ8 PACKED index — the
+    * memory-bandwidth scan tier (FAISS's SQ8 / IndexScalarQuantizer):
+    * every vector packed to dim signed BYTES (one
+    * [[graft.functions.VectorFunctions.int8Pack]] pass at build — the
+    * q74 scale rule, round-half-up x/scale into a BinaryType column),
+    * scored by the codegen'd [[graft.functions.VectorFunctions.int8Dot]]
+    * byte kernel. Cosine is invariant under the per-vector scale, so
+    * the serve needs NO stored scales or norms beyond the self-dot:
+    * cos8 = dot8 / √(selfdot_a · selfdot_b) — int64 exact on both
+    * engines (self-dots ≤ 64·127² ≈ 1e6, products ≤ ~1e12, exactly
+    * representable), rounded 4 like every house cosine.
+    *
+    * 100 TB shape: the packed index is 64 B/vector — 4× under
+    * array<float> — so the in-memory scan tier holds 4× the corpus per
+    * executor; the probe set broadcasts and the corpus STREAMS through
+    * one whole-stage-codegen'd byte loop (the q35 shape with a 4×
+    * denser cache line). q214 measures what the 8-bit truncation costs
+    * in recall against the float truth. */
+  def sq8TopK(embeddings: DataFrame, nProbes: Int = 10,
+              k: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions.{int8Dot, int8Pack}
+    val c = embeddings
+      .select(col("vec_id"), int8Pack(col("embedding")).as("b8"))
+      .withColumn("nsq", int8Dot(col("b8"), col("b8")))
+    val p = c.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("b8").as("pb"),
+        col("nsq").as("pn"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    c.join(broadcast(p), col("probe_id") =!= col("vec_id"))
+      .withColumn("cos", round(
+        int8Dot(col("pb"), col("b8")).cast("double") /
+          sqrt((col("pn") * col("nsq")).cast("double")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("cos"), col("rn").cast("long").as("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Oracle for [[sq8TopK]]: the same quantization in the list domain
+    * (values are what matters — the packed BYTES are a Spark-side
+    * representation), int64 dots, one sqrt of the exact self-dot
+    * product. */
+  val sq8TopKSql: String =
+    """WITH sc AS (SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+      |  FROM embeddings),
+      |q8 AS (SELECT vec_id, CASE WHEN scale = 0
+      |    THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |    ELSE list_transform(embedding,
+      |      x -> CAST(round(x::DOUBLE / scale, 0) AS BIGINT)) END AS q
+      |  FROM sc),
+      |n8 AS (SELECT vec_id, q,
+      |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq
+      |  FROM q8),
+      |p AS (SELECT vec_id AS probe_id, q AS pq, nsq AS pn
+      |      FROM n8 WHERE vec_id < 10),
+      |pr AS (SELECT p.probe_id, c.vec_id AS neighbor_id,
+      |    round(CAST(list_sum(list_transform(list_zip(p.pq, c.q),
+      |        z -> z[1] * z[2])) AS BIGINT)::DOUBLE
+      |      / sqrt((p.pn * c.nsq)::DOUBLE), 4) AS cos
+      |  FROM p JOIN n8 c ON c.vec_id != p.probe_id)
+      |SELECT probe_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |     ORDER BY cos DESC, neighbor_id) rn FROM pr)
+      |WHERE rn <= 5 ORDER BY probe_id, rnk""".stripMargin
+
+  /** q214: the SQ8 tier's acceptance gate — recall@5 of [[sq8TopK]]
+    * against the float brute-force truth (q35), the q39/q210 pattern.
+    * This is the measured answer to "what does 8-bit truncation cost":
+    * the production fact that justifies running the scan tier on the
+    * packed index. */
+  def sq8Recall(embeddings: DataFrame, nProbes: Int = 10,
+                k: Int = 5): DataFrame = {
+    val truth = cosineTopK(embeddings, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val a = sq8TopK(embeddings, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    truth.join(a, Seq("probe_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(lit("sq8_brute").as("method"), col("n_truth"),
+        col("n_hits"),
+        floor(lit(10000.0) * col("n_hits") / col("n_truth")).cast("long")
+          .as("recall_bp"))
+  }
+
+  val sq8RecallSql: String =
+    s"""WITH truth AS (SELECT probe_id, neighbor_id FROM ($cosineTopKSql) q),
+      |g AS (SELECT probe_id, neighbor_id FROM ($sq8TopKSql) q)
+      |SELECT 'sq8_brute' AS method, count(*) AS n_truth,
+      |  CAST(sum(CASE WHEN g.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |  CAST(floor(10000.0 * sum(CASE WHEN g.probe_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    / count(*)) AS BIGINT) AS recall_bp
+      |FROM truth t LEFT JOIN g
+      |  ON g.probe_id = t.probe_id AND g.neighbor_id = t.neighbor_id""".stripMargin
+
   /** Product quantization with asymmetric-distance scoring (the back
     * half of the PQ family; q74's int8 scalar quantization is the front
     * half): split the 64-dim space into `m` contiguous subspaces, give

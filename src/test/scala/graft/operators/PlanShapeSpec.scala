@@ -40,6 +40,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"rank filter not pushed:\n$p")
   }
 
+  test("SQ8 scan (q213) broadcasts the probes and keeps the byte " +
+    "kernel in the plan") {
+    // the packed-index scan tier's contract: the 10-row probe side
+    // broadcasts (the corpus STREAMS — never a shuffle of packed
+    // vectors), the codegen'd int8_dot kernel scores in-plan, and the
+    // row_number top-k gets the group-limit pushdown like q35's
+    val p = plan(graft.llm.Similarity.sq8TopK(Tables.embeddings(spark, sf)))
+    assert(p.contains("int8_dot"), s"byte kernel not in plan:\n$p")
+    assert(p.contains("Broadcast"), s"probe side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in SQ8 plan:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k rank not pushed:\n$p")
+  }
+
   test("range join with equi key never plans a cartesian/nested loop over both sides") {
     val p = plan(Relational.rangeJoin(Tables.events(spark, sf)))
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
