@@ -729,4 +729,43 @@ class SimilaritySpec extends SparkSpec {
     assert(a.join(b, Seq("probe_id", "rnk"))
       .filter(col("maxsim") < col("nxt")).isEmpty)
   }
+
+  test("SQ8 pack/dot kernels: scale anchor, symmetry, and recall " +
+    "floor (q213/q214)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.{int8Dot, int8Pack}
+    val emb = Tables.embeddings(spark, sf)
+    val packed = emb.select(col("vec_id"),
+        int8Pack(col("embedding")).as("b8"))
+      .withColumn("nsq", int8Dot(col("b8"), col("b8")))
+      .localCheckpoint()
+    // every packed vector is dim bytes and (unless all-zero) saturates
+    // the scale: max |byte| == 127 by the max|x|/127 rule (checked on
+    // a driver-side sample — binary has no array<byte> cast)
+    assert(packed.filter(length(col("b8")) =!= 64).isEmpty,
+      "packed length != dim")
+    packed.limit(20).collect().foreach { r =>
+      val bs = r.getAs[Array[Byte]]("b8")
+      val mx = bs.map(b => math.abs(b.toInt)).max
+      assert(r.getLong(2) == 0L || mx == 127,
+        s"non-zero packed vector saturates at $mx, not 127")
+    }
+    // self-dot positivity and symmetry of the byte kernel
+    val pair = packed.limit(2).collect()
+    if (pair.length == 2) {
+      val d1 = packed.as("a").crossJoin(packed.as("b"))
+        .filter(col("a.vec_id") === pair(0).getLong(0) &&
+          col("b.vec_id") === pair(1).getLong(0))
+        .select(int8Dot(col("a.b8"), col("b.b8"))).head().getLong(0)
+      val d2 = packed.as("a").crossJoin(packed.as("b"))
+        .filter(col("a.vec_id") === pair(1).getLong(0) &&
+          col("b.vec_id") === pair(0).getLong(0))
+        .select(int8Dot(col("a.b8"), col("b.b8"))).head().getLong(0)
+      assert(d1 === d2, "byte dot is not symmetric")
+    }
+    // 8-bit truncation costs little recall on the fixture
+    val r = Similarity.sq8Recall(emb).head()
+    assert(r.getLong(3) >= 9000,
+      s"sq8 recall ${r.getLong(3)} bp below the 9000 floor")
+  }
 }
