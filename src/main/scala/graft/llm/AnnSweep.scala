@@ -182,18 +182,28 @@ object GraphSweep {
       else Array(GraphAnn.DegreeIn, GraphAnn.DegreeOut, GraphAnn.PoolIn,
         GraphAnn.PoolOut, GraphAnn.ForeignCells,
         GraphAnn.AlphaNum.toInt, GraphAnn.AlphaDen.toInt)
-    val (aN, aD) = if (recipe.length > 6) (recipe(5).toLong, recipe(6).toLong)
+    // exactly 5 (defaults for α) or 7 fields — a 6-field recipe would
+    // otherwise silently drop the caller's alphaNum (ADVICE r14 #1)
+    require(recipe.length == 5 || recipe.length == 7,
+      s"recipe needs 5 or 7 comma-separated ints " +
+        s"(got ${recipe.length}): degreeIn,degreeOut,poolIn,poolOut," +
+        "fcells[,alphaNum,alphaDen]")
+    val (aN, aD) = if (recipe.length == 7) (recipe(5).toLong, recipe(6).toLong)
       else (GraphAnn.AlphaNum, GraphAnn.AlphaDen)
     val (v, edgesRaw, medoidsRaw, centsRaw, coarseRaw) =
       GraphAnn.graphFrames(emb, degreeIn = recipe(0), degreeOut = recipe(1),
         poolIn = recipe(2), poolOut = recipe(3), fcells = recipe(4),
         aNum = aN, aDen = aD)
     val edges = edgesRaw.localCheckpoint()
-    val medoids = medoidsRaw.localCheckpoint()
+    val medoids = medoidsRaw.withColumn("cell", col("cluster"))
+      .localCheckpoint()
     val cents = centsRaw.localCheckpoint()
     val coarse = coarseRaw.localCheckpoint()
-    val base = v.select(col("vec_id"), col("embedding"), col("nrm"))
+    val base = v.select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cluster"))
       .localCheckpoint()
+    val baseFor: Seq[Long] => org.apache.spark.sql.DataFrame =
+      cells => base.filter(col("cluster").isin(cells: _*))
     val probes = Similarity.probesFrame(emb, 10).localCheckpoint()
     println(s"== graph sweep n=$n recipe=${recipe.mkString(",")} " +
       s"edges=${edges.count()}")
@@ -205,7 +215,7 @@ object GraphSweep {
       yield (beam, hops)
     for ((beam, hops) <- grid) {
       val t0 = System.nanoTime()
-      val got = GraphAnn.beamFrom(probes, base, edges, medoids, cents,
+      val got = GraphAnn.beamFrom(probes, baseFor, edges, medoids, cents,
           coarse, 5, beam, hops)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (truth intersect got).size.toDouble / truth.size

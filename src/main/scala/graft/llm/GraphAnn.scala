@@ -191,11 +191,14 @@ object GraphAnn {
     * one anti-join — no recursion, no driver loop, bit-exact on both
     * engines. The pool's rank-1 row has no predecessors and always
     * survives. `key` carries any extra equi-columns (the lifecycle's
-    * per-generation chains prune within a generation). */
+    * per-generation chains prune within a generation); `carry` passes
+    * extra pool columns through to the kept edges (r15: the endpoint
+    * CELL ids the serve-time partition pruning rides on). */
   private[llm] def alphaPrune(pool: DataFrame, budget: Int,
                               key: Seq[String] = Seq("src"),
                               aNum: Long = AlphaNum,
-                              aDen: Long = AlphaDen): DataFrame = {
+                              aDen: Long = AlphaDen,
+                              carry: Seq[String] = Seq.empty): DataFrame = {
     val cond = key.map(c => col(s"x.$c") === col(s"y.$c"))
       .reduce(_ && _) && col("x.rnk") < col("y.rnk")
     val occ = pool.as("x").join(pool.as("y"), cond)
@@ -208,7 +211,8 @@ object GraphAnn {
     pool.join(occ, key :+ "dst", "left_anti")
       .withColumn("rn2", row_number().over(w2))
       .filter(col("rn2") <= budget)
-      .select(key.map(col) ++ Seq(col("dst"), col("cos")): _*)
+      .select(key.map(col) ++ Seq(col("dst"), col("cos")) ++
+        carry.map(col): _*)
   }
 
   /** The build frames: the blocked corpus `v(vec_id, embedding, nrm,
@@ -264,8 +268,12 @@ object GraphAnn {
       graft.functions.VectorFunctions.longSqDist(col("a.qe"), col("b.qe"))
     val wk = Window.partitionBy(col("a.vec_id"))
       .orderBy(col("cos").desc, col("b.vec_id"))
+    // scell/dcell ride along so the symmetrized adjacency can carry the
+    // DESTINATION's cell — the serve-time census the partition-pruned
+    // vector reads need (VERDICT r14 #1)
     def poolCols = Seq(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-      col("cos"), col("qd"), col("b.qe").as("qe"), col("rnk"))
+      col("cos"), col("qd"), col("b.qe").as("qe"), col("rnk"),
+      col("a.cluster").as("scell"), col("b.cluster").as("dcell"))
 
     // layer 1: in-cell candidate pool (the q147 join at k = poolIn),
     // α-pruned to degreeIn. Checkpointed: consumed three times by the
@@ -291,10 +299,17 @@ object GraphAnn {
       .select(poolCols: _*)
       .localCheckpoint()
 
-    val dir = alphaPrune(icp, degreeIn, aNum = aNum, aDen = aDen)
-      .unionAll(alphaPrune(fcp, degreeOut, aNum = aNum, aDen = aDen))
-    val edges = dir.unionAll(
-        dir.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+    val carry = Seq("scell", "dcell")
+    val dir = alphaPrune(icp, degreeIn, aNum = aNum, aDen = aDen,
+        carry = carry)
+      .unionAll(alphaPrune(fcp, degreeOut, aNum = aNum, aDen = aDen,
+        carry = carry))
+    // symmetrize carrying each row's DESTINATION cell (the reversed
+    // edge's destination is the original source); dcell is functionally
+    // determined by dst, so the distinct edge set is unchanged
+    val edges = dir.select(col("src"), col("dst"), col("cos"), col("dcell"))
+      .unionAll(dir.select(col("dst").as("src"), col("src").as("dst"),
+        col("cos"), col("scell").as("dcell")))
       .distinct()
 
     // per-cell entry medoids: min distance to own centroid, tie vec_id
@@ -315,21 +330,36 @@ object GraphAnn {
     * green hash pins BOTH edge layers and the symmetrization. */
   def knnGraph(embeddings: DataFrame): DataFrame = {
     val (_, edges, _, _, _) = graphFrames(embeddings)
-    edges.orderBy(col("src"), col("dst"))
+    edges.select(col("src"), col("dst"), col("cos"))
+      .orderBy(col("src"), col("dst"))
   }
 
-  /** Scores a (probe_id, node) candidate frame: the candidate list is
-    * the broadcast side twice — against the corpus for the node vector
-    * and against the probe frame for the query vector — so the corpus
-    * only ever STREAMS. House cosine discipline: round(4) before any
-    * ranking, ties on ascending node id. */
-  private def scored(cand: DataFrame, base: DataFrame,
-                     probes: DataFrame): DataFrame =
+  /** Scores a (probe_id, node, cell) candidate frame: the candidate
+    * list is the broadcast side twice — against the base for the node
+    * vector and against the probe frame for the query vector. The base
+    * read is PRUNED to the candidates' cell census first (r15, VERDICT
+    * r14 #1): every candidate arrived with its cell (medoids carry
+    * their own, adjacency rows carry the destination's), so the census
+    * is driver-bounded at ≤ beam·2·degree cells per hop and `baseFor`
+    * turns it into static partition pruning on the stored node table —
+    * the serve never streams unprobed cells' vectors. House cosine
+    * discipline: round(4) before any ranking, ties on ascending node
+    * id. */
+  private def scored(cand0: DataFrame, baseFor: Seq[Long] => DataFrame,
+                     probes: DataFrame): DataFrame = {
+    // consumed twice (cell census + scoring join) — checkpoint so the
+    // frontier lineage is not evaluated twice per hop
+    val cand = cand0.localCheckpoint()
+    val cells = cand.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val base = baseFor(cells)
     base.join(broadcast(cand), base("vec_id") === cand("node"))
       .join(broadcast(probes), "probe_id")
       .withColumn("cos",
         round(dot(col("pe"), col("embedding")) / (col("pn") * col("nrm")), 4))
-      .select(col("probe_id"), col("node"), col("cos"))
+      .select(col("probe_id"), col("node"), base("cluster").as("cell"),
+        col("cos"))
+  }
 
   /** Beam search over a prebuilt graph: each probe's beam is seeded
     * with the medoids of its [[SeedCells]] nearest cells (centroid-
@@ -339,8 +369,17 @@ object GraphAnn {
     * final top-k from the last beam. Every hop's beam is a tiny
     * (probes·B) frame — localCheckpoint'd so the unrolled DAG stays
     * flat for Catalyst (the dynamicKBlocked lineage lesson) and each
-    * hop's joins replan against materialized sizes. */
-  private[llm] def beamFrom(probes: DataFrame, base: DataFrame,
+    * hop's joins replan against materialized sizes.
+    *
+    * Vector reads (r15): `baseFor(cells)` must return the node table
+    * (vec_id, embedding, nrm, cluster) restricted to `cells` — the
+    * serve legs hand a partition-pruned read of the stored
+    * cluster-partitioned node table, so each pass's scan IO is the
+    * candidate cells' partitions, not the corpus (VERDICT r14 #1).
+    * `edges` must carry the destination cell `dcell`; `medoids` carry
+    * (cluster = seed cell, node, cell = the node's own cell). */
+  private[llm] def beamFrom(probes: DataFrame,
+                            baseFor: Seq[Long] => DataFrame,
                             edges: DataFrame, medoids: DataFrame,
                             cents: DataFrame, coarse: DataFrame,
                             k: Int, beam: Int = Beam,
@@ -380,19 +419,22 @@ object GraphAnn {
       .select(col("probe_id"), col("cluster"))
     val c0 = selc.join(broadcast(medoids), "cluster")
       .filter(col("node") =!= col("probe_id"))
-      .select(col("probe_id"), col("node"))
-    var bm = rank(scored(c0, base, probes), beam)
-      .select(col("probe_id"), col("node")).localCheckpoint()
+      .select(col("probe_id"), col("node"), col("cell"))
+    var bm = rank(scored(c0, baseFor, probes), beam)
+      .select(col("probe_id"), col("node"), col("cell")).localCheckpoint()
     for (_ <- 1 to hops) {
       val expand = edges.join(broadcast(bm), col("src") === col("node"))
-        .select(col("probe_id"), col("dst").as("node"))
+        .select(col("probe_id"), col("dst").as("node"),
+          col("dcell").as("cell"))
+      // cell is functionally determined by node, so the 3-column
+      // distinct keeps exactly the (probe, node) candidate set
       val cand = bm.unionAll(expand)
         .filter(col("node") =!= col("probe_id"))
         .distinct()
-      bm = rank(scored(cand, base, probes), beam)
-        .select(col("probe_id"), col("node")).localCheckpoint()
+      bm = rank(scored(cand, baseFor, probes), beam)
+        .select(col("probe_id"), col("node"), col("cell")).localCheckpoint()
     }
-    rank(scored(bm, base, probes), k)
+    rank(scored(bm, baseFor, probes), k)
       .select(col("probe_id"), col("node").as("neighbor_id"), col("cos"),
         col("rn").cast("long").as("rnk"))
       .orderBy(col("probe_id"), col("rnk"))
@@ -406,24 +448,38 @@ object GraphAnn {
     * tie rules. */
   def beamTopK(embeddings: DataFrame, nProbes: Int = 10,
                k: Int = 5): DataFrame = {
-    val (v, edgesRaw, medoidsRaw, cents, coarse) = graphFrames(embeddings)
+    val (v0, edgesRaw, medoidsRaw, cents, coarse) = graphFrames(embeddings)
     val edges = edgesRaw.localCheckpoint()
-    val medoids = medoidsRaw.localCheckpoint()
-    val base = v.select(col("vec_id"), col("embedding"), col("nrm"))
-    beamFrom(Similarity.probesFrame(embeddings, nProbes), base,
+    val medoids = medoidsRaw.withColumn("cell", col("cluster"))
+      .localCheckpoint()
+    // consumed once per seed/hop/final pass — checkpoint so the blocking
+    // lineage is not replayed 6×; the fresh path prunes by filter (the
+    // stored path's partition pruning needs the parquet layout, q203)
+    val v = v0.select(col("vec_id"), col("embedding"), col("nrm"),
+      col("cluster")).localCheckpoint()
+    val baseFor: Seq[Long] => DataFrame =
+      cells => v.filter(col("cluster").isin(cells: _*))
+    beamFrom(Similarity.probesFrame(embeddings, nProbes), baseFor,
       edges, medoids, cents, coarse, k)
   }
 
-  /** Writes the four serving tables — `edges(src, dst, cos)`,
-    * `medoids(cluster, node)`, the fine `centroids(cluster, parent,
-    * ce)` and the `coarse(cluster, ce)` seed level — under `root`. The
-    * build (two-level Lloyd blocking + two kNN layers) runs here, once
-    * per corpus; the serve leg reads them back and pays only the
-    * two-level seed rank plus the H broadcast-join hops. */
+  /** Writes the five serving tables — the node table `nodes(vec_id,
+    * embedding, nrm) partitionBy(cluster)` (r15: the serve's vector
+    * reads prune to each hop's candidate cells instead of streaming the
+    * corpus — VERDICT r14 #1), `edges(src, dst, cos, dcell)` with the
+    * destination's cell, `medoids(cluster, node)`, the fine
+    * `centroids(cluster, parent, ce)` and the `coarse(cluster, ce)`
+    * seed level — under `root`. The build (two-level Lloyd blocking +
+    * two kNN layers) runs here, once per corpus; the serve leg reads
+    * them back and pays only the two-level seed rank plus the H
+    * broadcast-join hops over partition-pruned node reads. */
   private[llm] def writeGraphIndex(embeddings: DataFrame,
                                    root: String): Unit =
     Similarity.sweepAfter(embeddings.sparkSession) {
-      val (_, edges, medoids, cents, coarse) = graphFrames(embeddings)
+      val (v, edges, medoids, cents, coarse) = graphFrames(embeddings)
+      v.select(col("vec_id"), col("embedding"), col("nrm"), col("cluster"))
+        .write.partitionBy("cluster").mode("overwrite")
+        .parquet(s"$root/nodes")
       edges.write.mode("overwrite").parquet(s"$root/edges")
       medoids.write.mode("overwrite").parquet(s"$root/medoids")
       cents.write.mode("overwrite").parquet(s"$root/centroids")
@@ -437,26 +493,46 @@ object GraphAnn {
     * frontier joins against the stored adjacency plus B·degree·H
     * vector reads per probe — constant in N. */
   def beamTopKServed(embeddings: DataFrame, corpusTag: String,
-                     nProbes: Int = 10, k: Int = 5): DataFrame = {
-    val root = graft.FsUtil.ServedRoots.getOrBuild(
+                     nProbes: Int = 10, k: Int = 5): DataFrame =
+    serveRoot(servedRootFor(embeddings, corpusTag),
+      Similarity.probesFrame(embeddings, nProbes),
+      embeddings.sparkSession, k)
+
+  /** The stored graph root for a corpus — built once per corpus under
+    * the shared [[graft.FsUtil.ServedRoots]] cache (exposed so the
+    * plan-shape spec can pin the pruned node read against the real
+    * store). */
+  private[llm] def servedRootFor(embeddings: DataFrame,
+                                 corpusTag: String): String =
+    graft.FsUtil.ServedRoots.getOrBuild(
       Similarity.corpusKey(embeddings, "vec_id", s"gann:$corpusTag",
         Similarity.embSig),
       "graft_gann_served_")(writeGraphIndex(embeddings, _))
-    serveRoot(root, Similarity.probesFrame(embeddings, nProbes),
-      embeddings, k)
-  }
+
+  /** The stored node table pruned to `cells` — ONE pass's vector read
+    * of the served beam search: a static partition filter on the
+    * cluster-partitioned node table (the liveMembersIn discipline
+    * applied to serve; scan IO = the candidate cells' partitions).
+    * cluster comes back as an inferred partition column — normalize to
+    * long like the lifecycle's [[GraphLifecycle]] segment reads. */
+  private[llm] def servedBaseRead(spark: org.apache.spark.sql.SparkSession,
+                                  root: String)(
+      cells: Seq[Long]): DataFrame =
+    spark.read.parquet(s"$root/nodes")
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cluster").cast("long").as("cluster"))
+      .filter(if (cells.isEmpty) lit(false)
+              else col("cluster").isin(cells: _*))
 
   private[llm] def serveRoot(root: String, probes: DataFrame,
-                             embeddings: DataFrame, k: Int): DataFrame = {
-    val spark = embeddings.sparkSession
-    val base = embeddings.select(col("vec_id"), col("embedding"),
-      Similarity.l2norm(col("embedding")).as("nrm"))
-    beamFrom(probes, base,
+                             spark: org.apache.spark.sql.SparkSession,
+                             k: Int): DataFrame =
+    beamFrom(probes, servedBaseRead(spark, root),
       spark.read.parquet(s"$root/edges"),
-      spark.read.parquet(s"$root/medoids"),
+      spark.read.parquet(s"$root/medoids")
+        .withColumn("cell", col("cluster")),
       spark.read.parquet(s"$root/centroids"),
       spark.read.parquet(s"$root/coarse"), k)
-  }
 
   /** q210: graph-tier quality as a MEASURED query — recall@k of the
     * α-pruned beam search against the brute-force cosine truth (q35),
@@ -499,12 +575,9 @@ object GraphAnn {
       col("embedding").as("pe"),
       Similarity.l2norm(col("embedding")).as("pn"))
     val root = Similarity.streamRootFor(s"gann:$corpusTag") {
-      graft.FsUtil.ServedRoots.getOrBuild(
-        Similarity.corpusKey(embeddings, "vec_id", s"gann:$corpusTag",
-          Similarity.embSig),
-        "graft_gann_served_")(writeGraphIndex(embeddings, _))
+      servedRootFor(embeddings, corpusTag)
     }
-    serveRoot(root, probes, embeddings, k)
+    serveRoot(root, probes, batch.sparkSession, k)
       .write.mode("append").parquet(outDir)
     ()
   }

@@ -118,8 +118,11 @@ object GraphLifecycle {
       col("a.nq"), col("b.nq"))
     def qdAB: Column = graft.functions.VectorFunctions.longSqDist(
       col("a.qe"), col("b.qe"))
+    // scell/dcell: the endpoints' cells, stored on the edge rows so the
+    // serve's vector reads can prune to each hop's candidate cells (r15)
     def poolCols = Seq(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-      col("cos"), col("qd"), col("b.qe").as("qe"), col("rnk"))
+      col("cos"), col("qd"), col("b.qe").as("qe"), col("rnk"),
+      col("a.cluster").as("scell"), col("b.cluster").as("dcell"))
     val icp = arr.as("a").join(live.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -146,14 +149,23 @@ object GraphLifecycle {
       .filter(col("rnk") <= GraphAnn.PoolOut)
       .select(poolCols: _*)
       .localCheckpoint()
-    GraphAnn.alphaPrune(icp, GraphAnn.DegreeIn)
-      .unionAll(GraphAnn.alphaPrune(fcp, GraphAnn.DegreeOut))
+    val carry = Seq("scell", "dcell")
+    GraphAnn.alphaPrune(icp, GraphAnn.DegreeIn, carry = carry)
+      .unionAll(GraphAnn.alphaPrune(fcp, GraphAnn.DegreeOut, carry = carry))
   }
 
-  /** Both directions of the insert edges — the stored segment rows. */
+  /** Both directions of the insert edges — the stored segment rows,
+    * each carrying its DESTINATION's cell, deduplicated AT WRITE
+    * (VERDICT r14 #2: symmetrization dedup deferred to read time was a
+    * full-edge-set shuffle per serve call; a live duplicate can only be
+    * within-segment — a cross-segment duplicate's later copy implies an
+    * endpoint re-arrival that kills the earlier copy — so write-time
+    * distinct ≡ the old read-time distinct on the live view). */
   private def symmetrized(dir: DataFrame): DataFrame =
-    dir.unionAll(dir.select(col("dst").as("src"), col("src").as("dst"),
-      col("cos")))
+    dir.select(col("src"), col("dst"), col("cos"), col("dcell"))
+      .unionAll(dir.select(col("dst").as("src"), col("src").as("dst"),
+        col("cos"), col("scell").as("dcell")))
+      .distinct()
 
   /** One node segment read back with a stable schema: the base is
     * written partitionBy(cluster), so its `cluster` comes back as an
@@ -198,27 +210,33 @@ object GraphLifecycle {
     liveMembers(spark, base,
       if (cells.isEmpty) lit(false) else col("cluster").isin(cells: _*))
 
-  /** The WHOLE live node view of a store state — the serve path's base
-    * (q211). Same resolution as [[liveMembersIn]] minus the cell
-    * restriction: beam candidates arrive via edges from ANY cell, so
-    * the serve's vector reads cannot partition-prune — but the base
-    * scan still streams (broadcast touched-set anti-join + a window
-    * over the DELTA rows alone; never a corpus window). */
+  /** The WHOLE live node view of a store state — the CORPUS-SIZED
+    * resolution, used only where the whole corpus is genuinely needed
+    * (the q212 recall legs' brute-force truth). The serve path reads
+    * through [[liveMembers]] with each hop's candidate-cell predicate
+    * instead (r15, VERDICT r14 #1). */
   private def liveNodesAll(spark: SparkSession, base: String): DataFrame =
     liveMembers(spark, base, lit(true))
 
+  /** `pred` restricts BOTH the base scan (a partition filter when it is
+    * a cluster IN-list, a pushed predicate otherwise) and the delta
+    * view; any per-entity-stable predicate (cells, vec_id ranges)
+    * commutes with the latest-wins resolution. `dl` supplies a
+    * precomputed (checkpointed) [[deltaLatest]] so a serve call's ~6
+    * passes do not re-read the delta segments each time. */
   private def liveMembers(spark: SparkSession, base: String,
-                          inCells: Column): DataFrame = {
+                          pred: Column,
+                          dl: Option[DataFrame] = None): DataFrame = {
     val (b0, ds) = nodeSegs(base)
-    val baseSeg = readNodeSeg(spark, b0).filter(inCells)
+    val baseSeg = readNodeSeg(spark, b0).filter(pred)
     val resolved =
       if (ds.isEmpty) baseSeg
       else {
-        val dLatest = deltaLatest(spark, ds)
+        val dLatest = dl.getOrElse(deltaLatest(spark, ds))
         baseSeg
           .join(broadcast(dLatest.select(col("vec_id"))),
             Seq("vec_id"), "left_anti")
-          .unionByName(dLatest.filter(inCells))
+          .unionByName(dLatest.filter(pred))
       }
     resolved.filter(!col("del"))
       .select(col("vec_id"), col("qe"), qNorm(col("qe")).as("nq"),
@@ -242,7 +260,7 @@ object GraphLifecycle {
 
   /** The LIVE edge view: an edge from segment s survives iff neither
     * endpoint was re-written after s and neither is tombstoned;
-    * symmetrization dedup happens here (distinct). Only the TOUCHED
+    * symmetrization dedup happened at segment WRITE (r15). Only the TOUCHED
     * entity set (re-written or tombstoned since the base — delta-
     * bounded, never the corpus) joins in: an untouched endpoint passes
     * every liveness test by construction. The broadcast is
@@ -268,8 +286,10 @@ object GraphLifecycle {
       .filter(coalesce(col("sg"), lit(0L)) <= col("seg") &&
         coalesce(col("dg"), lit(0L)) <= col("seg") &&
         !coalesce(col("sd"), lit(false)) && !coalesce(col("dd"), lit(false)))
-      .select(col("src"), col("dst"), col("cos"))
-      .distinct()
+      // no distinct: segments are deduplicated at write ([[symmetrized]])
+      // and cross-segment duplicates cannot both be live, so the filter
+      // alone IS the live view — the read path pays no O(E) shuffle
+      .select(col("src"), col("dst"), col("cos"), col("dcell"))
   }
 
   /** Writes the gen-0 graph store under `root` from a quantized corpus
@@ -494,7 +514,8 @@ object GraphLifecycle {
     val base = currentBase(root)
     val (b0, ds) = nodeSegs(base)
     val nodes = resolvedNodes(spark, b0, ds)
-    (nodes, liveEdges(spark, nodes, edgeSegPaths(base)))
+    (nodes, liveEdges(spark, nodes, edgeSegPaths(base))
+      .select(col("src"), col("dst"), col("cos")))
   }
 
   private[llm] def arrivalsOf(q0: DataFrame, g: Int): DataFrame =
@@ -511,37 +532,55 @@ object GraphLifecycle {
 
   /** Beam search over ONE store state's LIVE view — the READ path of
     * the incremental graph index (q211). Base vectors = the live node
-    * view ([[liveNodesAll]]: broadcast touched-set anti-join + a window
-    * over the delta rows alone — never a corpus window), edges = the
-    * liveness-joined segment union ([[liveEdges]]), entry medoids = the
-    * stored build-time medoids LIVE-FILTERED (a tombstoned or
-    * re-written-then-tombstoned medoid drops out of the entry set; the
-    * lazy-repair degradation every incremental graph accepts until
-    * compaction), seed tables = the store's frozen centroids. The
-    * search itself is [[GraphAnn.beamFrom]] VERBATIM in the quantized
-    * domain — the shared dot kernel widens int64 exactly and the edge
-    * weights were stored with the same rounding, so serve ≡ the oracle
+    * view read PER PASS through [[liveMembers]] pruned to the hop's
+    * candidate-cell census (r15, VERDICT r14 #1: the base scan is a
+    * static partition filter on the cluster-partitioned node segment +
+    * broadcast touched-set anti-join + a window over the delta rows
+    * alone — never a full-partition materialization per serve), edges =
+    * the liveness-joined segment union ([[liveEdges]], deduplicated at
+    * write), entry medoids = the stored build-time medoids
+    * LIVE-FILTERED against the broadcast delta view (a tombstoned
+    * medoid drops out; a re-written one keeps its ORIGINAL seed cell —
+    * the oracle's m2 rule — while its census cell tracks its CURRENT
+    * cluster so the pruned read still finds its vector), seed tables =
+    * the store's frozen centroids. The search itself is
+    * [[GraphAnn.beamFrom]] VERBATIM in the quantized domain — the
+    * shared dot kernel widens int64 exactly and the edge weights were
+    * stored with the same rounding, so serve ≡ the oracle
     * bit-for-bit. */
   private def serveStateWith(spark: SparkSession, base: String,
                              state: String, probes: DataFrame,
                              k: Int): DataFrame = {
-    val live = liveNodesAll(spark, base).localCheckpoint()
-    val (_, ds) = nodeSegs(base)
-    val touched =
-      if (ds.isEmpty)
-        live.select(col("vec_id"), lit(0L).as("gen"), lit(false).as("del"))
-          .filter(lit(false))
-      else deltaLatest(spark, ds)
+    val (b0, ds) = nodeSegs(base)
+    val dl =
+      if (ds.isEmpty) None
+      else Some(deltaLatest(spark, ds).localCheckpoint())
+    val touched = dl match {
+      case Some(d) => d.select(col("vec_id"), col("gen"), col("del"))
+      case None => readNodeSeg(spark, b0).filter(lit(false))
         .select(col("vec_id"), col("gen"), col("del"))
+    }
     val edges = liveEdges(spark, touched, edgeSegPaths(base))
       .localCheckpoint()
-    val medoids = spark.read.parquet(s"$base/medoids")
-      .join(live.select(col("vec_id").as("node")), Seq("node"))
-      .select(col("cluster"), col("node"))
-      .localCheckpoint()
-    val baseV = live.select(col("vec_id"), col("qe").as("embedding"),
-      col("nq").as("nrm"))
-    GraphAnn.beamFrom(probes, baseV, edges, medoids,
+    val m0 = spark.read.parquet(s"$base/medoids")
+    val medoids = (dl match {
+      case None => m0.select(col("cluster"), col("node"),
+        col("cluster").as("cell"))
+      case Some(d) =>
+        m0.join(broadcast(d.select(col("vec_id").as("node"),
+            col("cluster").as("ncell"), col("del").as("ndel"))),
+            Seq("node"), "left")
+          .filter(!coalesce(col("ndel"), lit(false)))
+          .select(col("cluster"), col("node"),
+            coalesce(col("ncell"), col("cluster")).as("cell"))
+    }).localCheckpoint()
+    val baseFor: Seq[Long] => DataFrame = cells =>
+      liveMembers(spark, base,
+          if (cells.isEmpty) lit(false) else col("cluster").isin(cells: _*),
+          dl)
+        .select(col("vec_id"), col("qe").as("embedding"),
+          col("nq").as("nrm"), col("cluster"))
+    GraphAnn.beamFrom(probes, baseFor, edges, medoids,
         spark.read.parquet(s"$base/centroids"),
         spark.read.parquet(s"$base/coarse"), k)
       .select(lit(state).as("state"), col("probe_id"), col("neighbor_id"),
@@ -550,10 +589,12 @@ object GraphLifecycle {
 
   /** A state's registered probe set: the live view's vec_id < nProbes
     * rows with their CURRENT (possibly drifted) vectors — each serve
-    * leg queries the corpus the state actually holds. */
+    * leg queries the corpus the state actually holds. The vec_id
+    * predicate pushes into both segment scans (per-entity-stable, so it
+    * commutes with latest-wins) — never a full live-view pass. */
   private def stateProbes(spark: SparkSession, base: String,
                           nProbes: Int): DataFrame =
-    liveNodesAll(spark, base).filter(col("vec_id") < nProbes)
+    liveMembers(spark, base, col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("qe").as("pe"),
         col("nq").as("pn"))
 
@@ -669,7 +710,7 @@ object GraphLifecycle {
                                        nProbes: Int = 10): DataFrame = {
     val spark = embeddings.sparkSession
     val base = currentBase(servedRootFor(embeddings, corpusTag))
-    liveNodesAll(spark, base).filter(col("vec_id") < nProbes)
+    liveMembers(spark, base, col("vec_id") < nProbes)
       .select(col("vec_id"), col("qe"))
   }
 

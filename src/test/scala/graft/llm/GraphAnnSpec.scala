@@ -8,15 +8,24 @@ class GraphAnnSpec extends SparkSpec {
   private def emb = Tables.embeddings(spark, sf)
 
   test("adjacency is symmetric, self-loop-free, and edge-count bounded") {
-    val (_, edgesRaw, _, _, _) = GraphAnn.graphFrames(emb)
+    val (v, edgesRaw, _, _, _) = GraphAnn.graphFrames(emb)
     val edges = edgesRaw.localCheckpoint()
     assert(edges.filter(col("src") === col("dst")).isEmpty,
       "self loop in adjacency")
     // symmetrization contract: the edge SET equals its own reverse
+    val fwd = edges.select(col("src"), col("dst"), col("cos"))
     val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
       col("cos"))
-    assert(edges.except(rev).isEmpty && rev.except(edges).isEmpty,
+    assert(fwd.except(rev).isEmpty && rev.except(fwd).isEmpty,
       "adjacency is not symmetric")
+    // the carried destination cell (r15: the serve-time census the
+    // partition-pruned vector reads ride on) must be the destination's
+    // actual blocking cell on EVERY row
+    val wrong = edges.join(
+      v.select(col("vec_id").as("dst"), col("cluster").as("truecell")),
+      Seq("dst"))
+      .filter(col("dcell") =!= col("truecell")).count()
+    assert(wrong === 0, s"$wrong adjacency rows carry a wrong dcell")
     // ≤ 2·(DegreeIn + DegreeOut) directed rows per node: the α-pruned
     // in-cell + foreign budgets, doubled by symmetrization (the prune
     // and the dedup only shrink)
@@ -25,6 +34,32 @@ class GraphAnnSpec extends SparkSpec {
     // every endpoint is a corpus vector
     val ids = emb.select(col("vec_id"))
     assert(edges.select(col("src").as("vec_id")).except(ids).isEmpty)
+  }
+
+  test("served vector reads prune to the candidate cells: the stored " +
+    "node scan carries partition filters (VERDICT r14 #1)") {
+    val root = GraphAnn.servedRootFor(emb, s"gann-spec-$sf")
+    // the store co-locates the node vectors by cell
+    val all = spark.read.parquet(s"$root/nodes")
+      .select(col("cluster").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val cells = all.take(math.max(1, all.size / 3))
+    assert(cells.size < all.size,
+      "fixture degenerate: census covers every cell")
+    val pruned = GraphAnn.servedBaseRead(spark, root)(cells)
+    // (a) semantic pin: the pruned read is exactly the cells' members
+    val expect = spark.read.parquet(s"$root/nodes")
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .filter(col("cluster").isin(cells: _*))
+    val got = pruned.select(col("vec_id"), col("cluster"))
+    assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+    // (b) plan pin: the scan carries non-empty partition filters on
+    // cluster — each beam pass's vector read IS this shape, so the
+    // serve never streams unprobed cells' partitions
+    val p = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster[^\\]]*\\]".r
+      .findFirstIn(p).exists(f => f.contains("IN") || f.contains("=")),
+      s"stored node scan is not partition-pruned on cluster:\n$p")
   }
 
   test("medoids: exactly one per populated cell, each a cell member") {
