@@ -310,8 +310,11 @@ object SparkEntry {
     "q204_filtered_ann" -> ((s, d) =>
       Similarity.ivfTopKFiltered(embeddings(s, d))),
     "q205_maxsim_topk" -> ((s, d) => Similarity.maxSimTopK(embeddings(s, d))),
+    // r15: the audit reads the shared ServedRoots store — ONE lifecycle
+    // build per corpus feeds q206 + q211 + q212 (the scratch-root replay
+    // stays as GraphLifecycleSpec's hermetic mode)
     "q206_graph_lifecycle" -> ((s, d) =>
-      GraphLifecycle.graphLifecycle(embeddings(s, d))),
+      GraphLifecycle.graphLifecycleAudited(embeddings(s, d), d)),
     "q207_filtered_served" -> ((s, d) =>
       Similarity.ivfTopKFilteredServed(embeddings(s, d), d)),
     "q208_maxsim_rerank" -> ((s, d) =>

@@ -450,6 +450,21 @@ object GraphLifecycle {
     finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
   }
 
+  /** The registered q206 form (r15, VERDICT r14 #4): the SAME audit
+    * rows, read from the shared [[servedRootFor]] store — the suite
+    * runs ONE lifecycle build per corpus, feeding q206's audit and
+    * q211/q212's serve legs, instead of replaying the whole chain on a
+    * scratch root a second time. The rows are computed during the build
+    * (state by state, exactly [[graphLifecycleTo]]'s) and persisted
+    * under the root; the oracle is unchanged. The scratch-root
+    * [[graphLifecycle]] stays as the hermetic spec-only mode. */
+  def graphLifecycleAudited(embeddings: DataFrame,
+                            corpusTag: String): DataFrame = {
+    val spark = embeddings.sparkSession
+    spark.read.parquet(s"${servedRootFor(embeddings, corpusTag)}/audit")
+      .orderBy(col("state"))
+  }
+
   /** The q193 fixture band in the quantized domain. */
   private def arrivals(q0: DataFrame, g: Int): DataFrame = q0
     .filter(col("vec_id") % 100 === g || col("vec_id") % 100 === 4)
@@ -609,10 +624,12 @@ object GraphLifecycle {
       Similarity.corpusKey(embeddings, "vec_id", s"gannlcs:$corpusTag",
         Similarity.embSig),
       "graft_gannlc_served_") { r =>
+      // the audit rows land in the store too (q206 reads them back —
+      // one lifecycle build per corpus serves q206, q211 AND q212)
       graphLifecycleTo(embeddings, r, onState = { st =>
         if (st == "g2") graft.FsUtil.copyRecursively(
           new java.io.File(currentBase(r)), new java.io.File(s"$r/g2snap"))
-      })
+      }).write.mode("overwrite").parquet(s"$r/audit")
       ()
     }
 
