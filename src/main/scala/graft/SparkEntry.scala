@@ -327,7 +327,14 @@ object SparkEntry {
     "q212_lifecycle_recall" -> ((s, d) =>
       GraphLifecycle.graphLifecycleRecall(embeddings(s, d), d)),
     "q213_sq8_topk" -> ((s, d) => Similarity.sq8TopK(embeddings(s, d))),
-    "q214_sq8_recall" -> ((s, d) => Similarity.sq8Recall(embeddings(s, d)))
+    "q214_sq8_recall" -> ((s, d) => Similarity.sq8Recall(embeddings(s, d))),
+    "q215_sq8_served" -> ((s, d) =>
+      Similarity.sq8TopKServed(embeddings(s, d), d)),
+    "q216_ivf_sq8" -> ((s, d) => Similarity.ivfSq8TopK(embeddings(s, d))),
+    "q217_ivf_sq8_served" -> ((s, d) =>
+      Similarity.ivfSq8Served(embeddings(s, d), d)),
+    "q218_ivf_sq8_recall" -> ((s, d) =>
+      Similarity.ivfSq8Recall(embeddings(s, d), d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -566,6 +573,12 @@ object SparkEntry {
     "q211_graph_lifecycle_served" -> GraphLifecycle.graphLifecycleServedSql,
     "q212_lifecycle_recall" -> GraphLifecycle.graphLifecycleRecallSql,
     "q213_sq8_topk" -> Similarity.sq8TopKSql,
-    "q214_sq8_recall" -> Similarity.sq8RecallSql
+    "q214_sq8_recall" -> Similarity.sq8RecallSql,
+    // q215: q213's oracle VERBATIM — the store ≡ recompute proof
+    "q215_sq8_served" -> Similarity.sq8TopKSql,
+    "q216_ivf_sq8" -> Similarity.ivfSq8TopKSql,
+    // q217: q216's oracle VERBATIM — the store ≡ recompute proof
+    "q217_ivf_sq8_served" -> Similarity.ivfSq8TopKSql,
+    "q218_ivf_sq8_recall" -> Similarity.ivfSq8RecallSql
   )
 }

@@ -48,9 +48,31 @@ class PlanShapeSpec extends SparkSpec {
     // row_number top-k gets the group-limit pushdown like q35's
     val p = plan(graft.llm.Similarity.sq8TopK(Tables.embeddings(spark, sf)))
     assert(p.contains("int8_dot"), s"byte kernel not in plan:\n$p")
-    assert(p.contains("Broadcast"), s"probe side not broadcast:\n$p")
+    // DIRECTION pin (ADVICE r14 #4): the BroadcastExchange subtree must
+    // contain the PROBE filter (vec_id < 10) — a bare "Broadcast"
+    // grep would pass even if the corpus side were the one broadcast.
+    // The plan tree prints each exchange's subtree after its marker, so
+    // the probe filter must appear in the text following the exchange.
+    val bx = p.indexOf("BroadcastExchange")
+    assert(bx >= 0, s"probe side not broadcast:\n$p")
+    assert("vec_id#\\d+L? < 10".r.findFirstIn(p.substring(bx)).isDefined,
+      s"broadcast subtree does not carry the probe filter — wrong side " +
+        s"broadcast?:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in SQ8 plan:\n$p")
     assert(p.contains("WindowGroupLimit"), s"top-k rank not pushed:\n$p")
+  }
+
+  test("IVF-SQ8 serve (q217) partition-prunes the packed-byte scan") {
+    // the composed tier's central claim (the q187 pin applied to the
+    // packed store): the probed-cell join reaches the cell-partitioned
+    // packed table as a partition filter, so unprobed cells' 64 B/vec
+    // rows are never read — per-probe scan ~frac·N packed rows, not N
+    val emb = Tables.embeddings(spark, sf)
+    val p = plan(graft.llm.Similarity.ivfSq8Served(emb, s"planshape-$sf"))
+    assert(p.contains("dynamicpruning"),
+      s"packed scan lost dynamic partition pruning:\n$p")
+    assert(p.contains("int8_dot"), s"byte kernel not in plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in serve plan:\n$p")
   }
 
   test("range join with equi key never plans a cartesian/nested loop over both sides") {
