@@ -334,7 +334,11 @@ object SparkEntry {
     "q217_ivf_sq8_served" -> ((s, d) =>
       Similarity.ivfSq8Served(embeddings(s, d), d)),
     "q218_ivf_sq8_recall" -> ((s, d) =>
-      Similarity.ivfSq8Recall(embeddings(s, d), d))
+      Similarity.ivfSq8Recall(embeddings(s, d), d)),
+    "q219_filtered_graph" -> ((s, d) =>
+      GraphAnn.beamTopKFiltered(embeddings(s, d))),
+    "q220_filtered_graph_served" -> ((s, d) =>
+      GraphAnn.beamTopKFilteredServed(embeddings(s, d), d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -579,6 +583,9 @@ object SparkEntry {
     "q216_ivf_sq8" -> Similarity.ivfSq8TopKSql,
     // q217: q216's oracle VERBATIM — the store ≡ recompute proof
     "q217_ivf_sq8_served" -> Similarity.ivfSq8TopKSql,
-    "q218_ivf_sq8_recall" -> Similarity.ivfSq8RecallSql
+    "q218_ivf_sq8_recall" -> Similarity.ivfSq8RecallSql,
+    "q219_filtered_graph" -> GraphAnn.beamTopKFilteredSql,
+    // q220: q219's oracle VERBATIM — the store ≡ recompute proof
+    "q220_filtered_graph_served" -> GraphAnn.beamTopKFilteredSql
   )
 }

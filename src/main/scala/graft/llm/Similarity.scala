@@ -474,7 +474,7 @@ object Similarity {
     * Long.MaxValue while DuckDB's division NULLs — the engines must
     * agree on the empty-eligible case; both now fall back to the
     * unwidened budget and an empty, identical result). */
-  private def evenLabelWiden: Column = {
+  private[llm] def evenLabelWiden: Column = {
     val fcnt = sum((col("label") % 2 === 0).cast("long"))
     when(fcnt > 0,
       count(lit(1)).cast("double") / fcnt.cast("double")).otherwise(lit(1.0))
