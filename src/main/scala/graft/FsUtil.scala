@@ -14,9 +14,12 @@ private[graft] object FsUtil {
   /** Recursive directory copy — the segment-SNAPSHOT primitive (q211):
     * a serving system pins a store state by copying its segment
     * manifest; this local stand-in copies the (fixture-sized) segment
-    * files themselves. */
+    * files themselves. Symlinks are SKIPPED, never followed (ADVICE
+    * r14 #3): a linked directory would otherwise be deep-copied — or
+    * loop — and no segment store legitimately contains links. */
   def copyRecursively(src: java.io.File, dst: java.io.File): Unit = {
-    if (src.isDirectory) {
+    if (java.nio.file.Files.isSymbolicLink(src.toPath)) ()
+    else if (src.isDirectory) {
       dst.mkdirs()
       Option(src.listFiles()).getOrElse(Array.empty).foreach { c =>
         copyRecursively(c, new java.io.File(dst, c.getName))

@@ -259,6 +259,136 @@ object LifecycleSweep {
   }
 }
 
+/** Dev-only SCANNED-FRACTION gauge of the served graph search at
+  * N≈1e5 (r15, VERDICT r14 #1's acceptance row): builds the stored
+  * graph once, then replays the serve with an instrumented base read
+  * that records each pass's candidate-cell census — the fraction of
+  * the corpus each seed/hop/final vector read actually touches now
+  * that the node table is cluster-partitioned and pruned. Not part of
+  * the query surface.
+  *
+  * Usage: sbt "runMain graft.llm.GraphScanFrac [n]"
+  */
+object GraphScanFrac {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = if (args.nonEmpty) args(0).toLong else 100000L
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = spark.range(0, n, 1, 32)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          ((pmod(hash(col("id"), d), lit(2000)) - 1000) / lit(1000.0))
+            .cast("float")).as("embedding"),
+        pmod(col("id"), lit(10)).cast("int").as("label"))
+      .localCheckpoint()
+    val t0 = System.nanoTime()
+    val root = GraphAnn.servedRootFor(emb, s"scanfrac$n")
+    println(f"   [build took ${(System.nanoTime() - t0) / 1e9}%.1f s]")
+    val nodes = spark.read.parquet(s"$root/nodes")
+    val totalCells = nodes.select(col("cluster")).distinct().count()
+    val rowsPerCell = n.toDouble / totalCells
+    val passes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val baseFor: Seq[Long] => org.apache.spark.sql.DataFrame = cells => {
+      passes += cells.size
+      GraphAnn.servedBaseRead(spark, root)(cells)
+    }
+    val t1 = System.nanoTime()
+    GraphAnn.beamFrom(Similarity.probesFrame(emb, 10), baseFor,
+        spark.read.parquet(s"$root/edges"),
+        spark.read.parquet(s"$root/medoids")
+          .withColumn("cell", col("cluster")),
+        spark.read.parquet(s"$root/centroids"),
+        spark.read.parquet(s"$root/coarse"), 5)
+      .write.format("noop").mode("overwrite").save()
+    println(f"   [serve took ${(System.nanoTime() - t1) / 1e9}%.1f s]")
+    println(s"== graph serve scan fractions n=$n cells=$totalCells")
+    passes.zipWithIndex.foreach { case (c, i) =>
+      val name = if (i == 0) "seed " else if (i == passes.size - 1) "final"
+        else s"hop $i"
+      println(f"$name: cells=$c%4d  frac=${100.0 * c / totalCells}%5.1f%% " +
+        f"(~${c * rowsPerCell / n * 100}%5.1f%% of rows)")
+    }
+    spark.stop()
+  }
+}
+
+/** Dev-only EROSION-vs-CHURN measurement at N≈1e5 (r15, VERDICT r14
+  * missing #3): the q212 gauge at churn levels where lazy repair
+  * actually BINDS. One shared gen-0 store; per churn point c ∈
+  * {5, 10, 20, 30}% the store is copied, c% of entities are re-written
+  * in one delta generation (drifted, no tombstones — pure re-write
+  * churn), and recall@5 over 100 probes (±~20 bp resolution) is
+  * measured on the ERODED store vs a from-scratch REBUILD of the same
+  * live set — the pair the compaction-trigger policy trades between.
+  * The compaction trigger is bypassed on ingest (it would repair the
+  * 10–30% points on the spot — the whole reason q212's fixture churn
+  * read parity). Not part of the query surface.
+  *
+  * Usage: sbt "runMain graft.llm.ChurnSweep [n]"
+  */
+object ChurnSweep {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = if (args.nonEmpty) args(0).toLong else 100000L
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = spark.range(0, n, 1, 32)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          ((pmod(hash(col("id"), d), lit(2000)) - 1000) / lit(1000.0))
+            .cast("float")).as("embedding"))
+      .localCheckpoint()
+    val q0 = Similarity.quantized(
+      emb.select(col("vec_id"), col("embedding")), 1000).localCheckpoint()
+    val seedRoot =
+      java.nio.file.Files.createTempDirectory("graft_churn_seed_").toString
+    def timed[A](what: String)(body: => A): A = {
+      val t0 = System.nanoTime(); val a = body
+      println(f"   [$what took ${(System.nanoTime() - t0) / 1e9}%.1f s]"); a
+    }
+    try {
+      timed("gen-0 build")(GraphLifecycle.seedStoreAt(q0, seedRoot))
+      for (c <- Seq(5, 10, 20, 30)) {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_churn_$c").toString
+        try {
+          graft.FsUtil.copyRecursively(new java.io.File(seedRoot),
+            new java.io.File(root))
+          // c% of entities re-written with the fixture drift, one delta
+          val arr = q0.filter(pmod(col("vec_id"), lit(100)) < c)
+            .select(col("vec_id"),
+              transform(col("qe"), x => x + lit(500L)).as("qe"),
+              lit(false).as("del"))
+          timed(s"ingest $c%")(
+            GraphLifecycle.ingestOnly(spark, root, arr, 1L))
+          val base = GraphLifecycle.currentBaseOf(root)
+          val eroded = timed(s"eroded recall $c%")(
+            GraphLifecycle.recallLegAt(spark, base, s"c$c", 100, 5)
+              .collect()(0))
+          timed(s"rebuild $c%")(GraphLifecycle.rebuildAt(spark, root))
+          val rebuilt = GraphLifecycle.recallLegAt(spark,
+            GraphLifecycle.currentBaseOf(root), s"c${c}r", 100, 5)
+            .collect()(0)
+          println(f"churn=$c%2d%%  eroded=${eroded.getLong(3)}%5d bp  " +
+            f"rebuilt=${rebuilt.getLong(3)}%5d bp  " +
+            f"delta=${rebuilt.getLong(3) - eroded.getLong(3)}%5d bp  " +
+            f"(truth=${eroded.getLong(1)})")
+        } finally graft.FsUtil.deleteRecursively(new java.io.File(root))
+      }
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(seedRoot))
+    spark.stop()
+  }
+}
+
 /** Dev-only TWO-DECADES-ABOVE-FIXTURE validation of the ANN stack
   * (VERDICT r10 Next #6): a deterministic ~100k-vector corpus from
   * spark.range + a Murmur3-hash payload (the q26 generator discipline —

@@ -572,6 +572,10 @@ object GraphAnn {
     * probes×k rows. */
   def graphRecall(embeddings: DataFrame, corpusTag: String,
                   nProbes: Int = 10, k: Int = 5): DataFrame = {
+    // the oracle unrolls both chains at the registered probe set and
+    // depth; other values would silently break parity (ADVICE r14 #2)
+    require(nProbes == 10 && k == 5,
+      "graphRecall is oracle-gated at nProbes=10, k=5")
     val truth = Similarity.cosineTopK(embeddings, nProbes, k)
       .select(col("probe_id"), col("neighbor_id"))
     val a = beamTopKServed(embeddings, corpusTag, nProbes, k)

@@ -520,6 +520,29 @@ object GraphLifecycle {
     audits.reduce(_ unionAll _).orderBy(col("state")).localCheckpoint()
   }
 
+  /** Sweep hooks (ChurnSweep, r15): seed a store, append one arrival
+    * batch WITHOUT the compaction trigger (the sweep measures erosion
+    * at churn levels past the trigger, which maybeCompact would repair
+    * on the spot), and force a from-scratch rebuild of the current live
+    * set — the same body the trigger fires. */
+  private[llm] def seedStoreAt(q0: DataFrame, root: String): Unit =
+    seedStore(q0, s"$root/b0", 0L)
+
+  private[llm] def ingestOnly(spark: SparkSession, root: String,
+                              batch: DataFrame, g: Long): Unit =
+    ingestBatch(spark, currentBase(root), batch, g)
+
+  private[llm] def rebuildAt(spark: SparkSession, root: String): Unit = {
+    val base = currentBase(root)
+    val (b0, ds) = nodeSegs(base)
+    val lq = resolvedNodes(spark, b0, ds)
+      .filter(!col("del"))
+      .select(col("vec_id"), col("qe"))
+      .localCheckpoint()
+    val idx = base.split('/').last.drop(1).toInt
+    seedStore(lq, s"$root/b${idx + 1}", 0L)
+  }
+
   /** Test hooks: the resolved (nodes, live-edge view) of the current
     * store state, and the fixture band — GraphLifecycleSpec pins the
     * liveness contract and the stream ≡ batch store equivalence
@@ -644,6 +667,10 @@ object GraphLifecycle {
     * counterpart of the q203 store ≡ recompute proof. */
   def graphLifecycleServed(embeddings: DataFrame, corpusTag: String,
                            nProbes: Int = 10, k: Int = 5): DataFrame = {
+    // the oracle's probe CTE and final rank are unrolled at the
+    // registered constants (ADVICE r14 #2)
+    require(nProbes == 10 && k == 5,
+      "graphLifecycleServed is oracle-gated at nProbes=10, k=5")
     val spark = embeddings.sparkSession
     val root = servedRootFor(embeddings, corpusTag)
     val g2 = s"$root/g2snap"
@@ -688,35 +715,45 @@ object GraphLifecycle {
     * rows per state (the q35 shape); the scoring joins are probes×k. */
   def graphLifecycleRecall(embeddings: DataFrame, corpusTag: String,
                            nProbes: Int = 10, k: Int = 5): DataFrame = {
+    // the oracle unrolls the serve + truth chains at the registered
+    // probe set and depth; other values would silently break parity
+    // (ADVICE r14 #2) — the churn sweep uses [[recallLegAt]] directly
+    require(nProbes == 10 && k == 5,
+      "graphLifecycleRecall is oracle-gated at nProbes=10, k=5")
     val spark = embeddings.sparkSession
     val root = servedRootFor(embeddings, corpusTag)
-    def leg(base: String, state: String): DataFrame = {
-      val live = liveNodesAll(spark, base).localCheckpoint()
-      val probes = live.filter(col("vec_id") < nProbes)
-        .select(col("vec_id").as("probe_id"), col("qe").as("pe"),
-          col("nq").as("pn"))
-        .localCheckpoint()
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      val truth = live.join(broadcast(probes),
-          col("probe_id") =!= col("vec_id"))
-        .withColumn("cos", qCos(col("pe"), col("qe"), col("pn"), col("nq")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"))
-      val got = serveStateWith(spark, base, state, probes, k)
-        .select(col("probe_id"), col("neighbor_id"))
-        .withColumn("hit", lit(1L))
-      truth.join(got, Seq("probe_id", "neighbor_id"), "left")
-        .agg(count(lit(1)).as("n_truth"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .select(lit(state).as("state"), col("n_truth"), col("n_hits"),
-          floor(lit(10000.0) * col("n_hits") / col("n_truth"))
-            .cast("long").as("recall_bp"))
-    }
-    leg(s"$root/g2snap", "g2")
-      .unionByName(leg(currentBase(root), "g3c"))
+    recallLegAt(spark, s"$root/g2snap", "g2", nProbes, k)
+      .unionByName(recallLegAt(spark, currentBase(root), "g3c", nProbes, k))
       .orderBy(col("state"))
+  }
+
+  /** One state's recall@k row — the q212 leg, exposed for the churn
+    * sweep (which measures at 100 probes, outside the oracle gate). */
+  private[llm] def recallLegAt(spark: SparkSession, base: String,
+                               state: String, nProbes: Int,
+                               k: Int): DataFrame = {
+    val live = liveNodesAll(spark, base).localCheckpoint()
+    val probes = live.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("qe").as("pe"),
+        col("nq").as("pn"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val truth = live.join(broadcast(probes),
+        col("probe_id") =!= col("vec_id"))
+      .withColumn("cos", qCos(col("pe"), col("qe"), col("pn"), col("nq")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+    val got = serveStateWith(spark, base, state, probes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    truth.join(got, Seq("probe_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(lit(state).as("state"), col("n_truth"), col("n_hits"),
+        floor(lit(10000.0) * col("n_hits") / col("n_truth"))
+          .cast("long").as("recall_bp"))
   }
 
   /** Test hook: the final served state's live probe rows (vec_id, qe)

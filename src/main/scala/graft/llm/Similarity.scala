@@ -1425,6 +1425,10 @@ object Similarity {
     * in recall against the float truth. */
   def sq8TopK(embeddings: DataFrame, nProbes: Int = 10,
               k: Int = 5): DataFrame = {
+    // the oracle's probe CTE and final rank are unrolled at the
+    // registered constants (ADVICE r14 #2)
+    require(nProbes == 10 && k == 5,
+      "sq8TopK is oracle-gated at nProbes=10, k=5")
     val c = sq8Packed(embeddings)
     sq8ScanFrom(c, c.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("b8").as("pb"),
