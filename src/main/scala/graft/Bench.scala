@@ -121,7 +121,8 @@ object Bench {
       "q82_pq_adc", "q178_pq_refine", "q84_bucketed_join", "q147_knn_join",
       "q88_kmeans_lloyd", "q176_fp_index_update", "q181_index_lifecycle",
       "q206_graph_lifecycle", "q208_maxsim_rerank", "q210_graph_recall",
-      "q211_graph_lifecycle_served", "q212_lifecycle_recall")
+      "q211_graph_lifecycle_served", "q212_lifecycle_recall",
+      "q216_ivf_sq8", "q219_filtered_graph")
     val sfValue = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).toDouble).getOrElse(0.0)
     // Optional regex restriction for targeted perf work (not set by the

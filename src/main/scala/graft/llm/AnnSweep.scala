@@ -292,26 +292,29 @@ object GraphScanFrac {
     val nodes = spark.read.parquet(s"$root/nodes")
     val totalCells = nodes.select(col("cluster")).distinct().count()
     val rowsPerCell = n.toDouble / totalCells
-    val passes = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val baseFor: Seq[Long] => org.apache.spark.sql.DataFrame = cells => {
-      passes += cells.size
-      GraphAnn.servedBaseRead(spark, root)(cells)
-    }
-    val t1 = System.nanoTime()
-    GraphAnn.beamFrom(Similarity.probesFrame(emb, 10), baseFor,
-        spark.read.parquet(s"$root/edges"),
-        spark.read.parquet(s"$root/medoids")
-          .withColumn("cell", col("cluster")),
-        spark.read.parquet(s"$root/centroids"),
-        spark.read.parquet(s"$root/coarse"), 5)
-      .write.format("noop").mode("overwrite").save()
-    println(f"   [serve took ${(System.nanoTime() - t1) / 1e9}%.1f s]")
-    println(s"== graph serve scan fractions n=$n cells=$totalCells")
-    passes.zipWithIndex.foreach { case (c, i) =>
-      val name = if (i == 0) "seed " else if (i == passes.size - 1) "final"
-        else s"hop $i"
-      println(f"$name: cells=$c%4d  frac=${100.0 * c / totalCells}%5.1f%% " +
-        f"(~${c * rowsPerCell / n * 100}%5.1f%% of rows)")
+    for (nProbes <- Seq(10, 1)) {
+      val passes = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val baseFor: Seq[Long] => org.apache.spark.sql.DataFrame = cells => {
+        passes += cells.size
+        GraphAnn.servedBaseRead(spark, root)(cells)
+      }
+      val t1 = System.nanoTime()
+      GraphAnn.beamFrom(Similarity.probesFrame(emb, nProbes), baseFor,
+          spark.read.parquet(s"$root/edges"),
+          spark.read.parquet(s"$root/medoids")
+            .withColumn("cell", col("cluster")),
+          spark.read.parquet(s"$root/centroids"),
+          spark.read.parquet(s"$root/coarse"), 5)
+        .write.format("noop").mode("overwrite").save()
+      println(f"   [serve took ${(System.nanoTime() - t1) / 1e9}%.1f s]")
+      println(s"== graph serve scan fractions n=$n cells=$totalCells " +
+        s"probes=$nProbes")
+      passes.zipWithIndex.foreach { case (c, i) =>
+        val name = if (i == 0) "seed " else if (i == passes.size - 1) "final"
+          else s"hop $i"
+        println(f"$name: cells=$c%4d  frac=${100.0 * c / totalCells}%5.1f%% " +
+          f"(~${c * rowsPerCell / n * 100}%5.1f%% of rows)")
+      }
     }
     spark.stop()
   }

@@ -58,10 +58,16 @@ import org.apache.spark.sql.functions._
   * bodies never move, only (id, id, double) edges shuffle. The serve
   * leg never shuffles the corpus: per hop, the frontier
   * (probes × [[Beam]] rows) broadcasts against the adjacency table and
-  * the candidate list broadcasts against the embedding table — two
-  * broadcast-hash joins whose big sides stream. Raw-vector reads per
-  * probe are bounded by B·degree·H, constant in N at fixed parameters
-  * — the property that makes graph ANN the serving standard.
+  * the candidate list broadcasts against the NODE table — two
+  * broadcast-hash joins whose big sides stream. Scored rows per probe
+  * are bounded by B·2·degree·H, constant in N at fixed parameters, and
+  * since r15 the SCAN IO matches (VERDICT r14 #1): the stored index
+  * co-locates node vectors partitionBy(cluster), adjacency rows carry
+  * the destination's cell, and each pass's node read is statically
+  * pruned to the hop's candidate-cell census — ≤ probes·(seed budget +
+  * B·2·degree) cells per batch, a vanishing fraction of the N/128 cells
+  * at production N (the fixture-scale caveat and measured fractions
+  * live in PERF.md r15).
   */
 object GraphAnn {
 
@@ -498,10 +504,15 @@ object GraphAnn {
       val (v, edges, medoids, cents, coarse) = graphFrames(embeddings)
       // label rides along as co-stored metadata — the filtered search
       // (q219/q220) reads it as a pushed parquet filter, the way a
-      // production filtered-ANN index stores its filterable attributes
+      // production filtered-ANN index stores its filterable attributes.
+      // repartition(cluster) first: each cell's rows land in ONE task,
+      // so each partition dir holds one file instead of one per shuffle
+      // partition (at N=1e5 that is 797 files vs ~25k — the listing
+      // cost of the serve's 6 pruned reads per batch)
       v.join(embeddings.select(col("vec_id"), col("label")), "vec_id")
         .select(col("vec_id"), col("embedding"), col("nrm"), col("label"),
           col("cluster"))
+        .repartition(col("cluster"))
         .write.partitionBy("cluster").mode("overwrite")
         .parquet(s"$root/nodes")
       edges.write.mode("overwrite").parquet(s"$root/edges")
@@ -537,16 +548,20 @@ object GraphAnn {
     * of the served beam search: a static partition filter on the
     * cluster-partitioned node table (the liveMembersIn discipline
     * applied to serve; scan IO = the candidate cells' partitions).
-    * cluster comes back as an inferred partition column — normalize to
-    * long like the lifecycle's [[GraphLifecycle]] segment reads. */
+    * The parquet read (and its file-index listing) happens ONCE per
+    * serve call — the returned closure only adds the per-pass filter,
+    * so the 6 passes share one listed store. cluster comes back as an
+    * inferred partition column — normalize to long like the
+    * lifecycle's [[GraphLifecycle]] segment reads. */
   private[llm] def servedBaseRead(spark: org.apache.spark.sql.SparkSession,
-                                  root: String)(
-      cells: Seq[Long]): DataFrame =
-    spark.read.parquet(s"$root/nodes")
+                                  root: String): Seq[Long] => DataFrame = {
+    val nodes = spark.read.parquet(s"$root/nodes")
       .select(col("vec_id"), col("embedding"), col("nrm"), col("label"),
         col("cluster").cast("long").as("cluster"))
-      .filter(if (cells.isEmpty) lit(false)
-              else col("cluster").isin(cells: _*))
+    cells =>
+      nodes.filter(if (cells.isEmpty) lit(false)
+                   else col("cluster").isin(cells: _*))
+  }
 
   private[llm] def serveRoot(root: String, probes: DataFrame,
                              spark: org.apache.spark.sql.SparkSession,
@@ -657,8 +672,9 @@ object GraphAnn {
                                     embeddings: DataFrame,
                                     k: Int): DataFrame = {
     val spark = embeddings.sparkSession
+    val base = servedBaseRead(spark, root)
     val baseFor: Seq[Long] => DataFrame = cells =>
-      servedBaseRead(spark, root)(cells)
+      base(cells)
         .filter(col("label") % 2 === 0)
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cluster"))
     beamFrom(probes, baseFor,

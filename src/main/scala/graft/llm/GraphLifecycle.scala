@@ -228,16 +228,26 @@ object GraphLifecycle {
                           pred: Column,
                           dl: Option[DataFrame] = None): DataFrame = {
     val (b0, ds) = nodeSegs(base)
-    val baseSeg = readNodeSeg(spark, b0).filter(pred)
-    val resolved =
-      if (ds.isEmpty) baseSeg
-      else {
-        val dLatest = dl.getOrElse(deltaLatest(spark, ds))
+    liveMembersFrom(readNodeSeg(spark, b0),
+      if (ds.isEmpty) None
+      else Some(dl.getOrElse(deltaLatest(spark, ds))), pred)
+  }
+
+  /** The resolution body over an ALREADY-READ base segment frame — the
+    * serve path builds the segment reads once per call and each pass
+    * only adds its cell predicate (one file-index listing per serve,
+    * not per pass). */
+  private def liveMembersFrom(baseSeg0: DataFrame, dl: Option[DataFrame],
+                              pred: Column): DataFrame = {
+    val baseSeg = baseSeg0.filter(pred)
+    val resolved = dl match {
+      case None => baseSeg
+      case Some(dLatest) =>
         baseSeg
           .join(broadcast(dLatest.select(col("vec_id"))),
             Seq("vec_id"), "left_anti")
           .unionByName(dLatest.filter(pred))
-      }
+    }
     resolved.filter(!col("del"))
       .select(col("vec_id"), col("qe"), qNorm(col("qe")).as("nq"),
         col("cluster"))
@@ -325,8 +335,11 @@ object GraphLifecycle {
         .select(col("cluster"), col("vec_id").as("node"))
         .write.mode("overwrite").parquet(s"$root/medoids")
       // cluster-partitioned base (the q193 serving layout): the ingest
-      // path's live-member read prunes to the batch's candidate cells
-      nodes.write.partitionBy("cluster").mode("overwrite")
+      // path's live-member read prunes to the batch's candidate cells.
+      // repartition(cluster) keeps one file per cell dir (the r15
+      // listing-cost fix — see GraphAnn.writeGraphIndex)
+      nodes.repartition(col("cluster"))
+        .write.partitionBy("cluster").mode("overwrite")
         .parquet(s"$root/nodes0")
       val full = nodes.withColumn("nq", qNorm(col("qe")))
         .select(col("vec_id"), col("qe"), col("nq"), col("cluster"))
@@ -612,10 +625,10 @@ object GraphLifecycle {
           .select(col("cluster"), col("node"),
             coalesce(col("ncell"), col("cluster")).as("cell"))
     }).localCheckpoint()
+    val baseSeg = readNodeSeg(spark, b0)
     val baseFor: Seq[Long] => DataFrame = cells =>
-      liveMembers(spark, base,
-          if (cells.isEmpty) lit(false) else col("cluster").isin(cells: _*),
-          dl)
+      liveMembersFrom(baseSeg, dl,
+          if (cells.isEmpty) lit(false) else col("cluster").isin(cells: _*))
         .select(col("vec_id"), col("qe").as("embedding"),
           col("nq").as("nrm"), col("cluster"))
     GraphAnn.beamFrom(probes, baseFor, edges, medoids,
