@@ -447,6 +447,20 @@ object AnnScale {
     timed("sq8 scan")(
       println(f"sq8_brute: recall=${recallOf(
         Similarity.sq8TopK(emb)) * 10000}%5.0f bp (packed 64 B/vec)"))
+    // r15: the SQ8 serving pair — stored-pack scan (q215) and the
+    // IVF×SQ8 composed tier (q217) at the 0.40 compressed fraction
+    timed("sq8 build+serve")(
+      Similarity.sq8TopKServed(emb, "annscale").write.format("noop")
+        .mode("overwrite").save())
+    timed("sq8 serve")(
+      println(f"sq8_served: recall=${recallOf(
+        Similarity.sq8TopKServed(emb, "annscale")) * 10000}%5.0f bp"))
+    timed("ivf-sq8 build+serve")(
+      Similarity.ivfSq8Served(emb, "annscale").write.format("noop")
+        .mode("overwrite").save())
+    timed("ivf-sq8 serve")(
+      println(f"ivf_sq8 frac=${Similarity.IvfPqProbeFrac}: recall=${recallOf(
+        Similarity.ivfSq8Served(emb, "annscale")) * 10000}%5.0f bp"))
     val cb = timed("pq train")(Similarity.trainPqCodebook(emb))
     val recon = timed("pq encode")(
       Similarity.pqReconstruct(emb, cb, 16, 64).localCheckpoint())

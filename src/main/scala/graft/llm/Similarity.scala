@@ -1642,7 +1642,10 @@ object Similarity {
     sweepAfter(embeddings.sparkSession) {
       val (asg, cents) = trainLloyd(embeddings)
       cents.write.mode("overwrite").parquet(s"$root/centroids")
+      // one file per cell dir (the r15 graph-store listing fix): the
+      // serve's probed-cell read lists √N files, not √N × shuffle width
       sq8Packed(embeddings).join(asg, "vec_id")
+        .repartition(col("cluster"))
         .write.mode("overwrite").partitionBy("cluster")
         .parquet(s"$root/packed")
     }
@@ -2816,8 +2819,10 @@ object Similarity {
       cents.write.mode("overwrite").parquet(s"$root/centroids")
       val cb = trainPqCodebook(embeddings)
       cb.write.mode("overwrite").parquet(s"$root/codebook")
+      // one file per cell dir (the r15 graph-store listing fix)
       pqAssign(pqSubRows(embeddings, 16, 64, sampled = false), cb)
         .join(asg, "vec_id")
+        .repartition(col("cluster"))
         .write.mode("overwrite").partitionBy("cluster")
         .parquet(s"$root/invlists")
     }
