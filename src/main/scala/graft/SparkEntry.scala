@@ -338,7 +338,9 @@ object SparkEntry {
     "q219_filtered_graph" -> ((s, d) =>
       GraphAnn.beamTopKFiltered(embeddings(s, d))),
     "q220_filtered_graph_served" -> ((s, d) =>
-      GraphAnn.beamTopKFilteredServed(embeddings(s, d), d))
+      GraphAnn.beamTopKFilteredServed(embeddings(s, d), d)),
+    "q221_filtered_graph_recall" -> ((s, d) =>
+      GraphAnn.filteredGraphRecall(embeddings(s, d), d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -586,6 +588,7 @@ object SparkEntry {
     "q218_ivf_sq8_recall" -> Similarity.ivfSq8RecallSql,
     "q219_filtered_graph" -> GraphAnn.beamTopKFilteredSql,
     // q220: q219's oracle VERBATIM — the store ≡ recompute proof
-    "q220_filtered_graph_served" -> GraphAnn.beamTopKFilteredSql
+    "q220_filtered_graph_served" -> GraphAnn.beamTopKFilteredSql,
+    "q221_filtered_graph_recall" -> GraphAnn.filteredGraphRecallSql
   )
 }

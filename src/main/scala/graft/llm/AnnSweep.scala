@@ -320,6 +320,79 @@ object GraphScanFrac {
   }
 }
 
+/** Dev-only N≈1e5 measurement of the FILTERED graph search (q219/q220)
+  * — recall@5 vs the filtered brute truth, WITH the self-widening
+  * budgets vs WITHOUT (the q204-style evidence that the widening is
+  * what defends recall under a ~0.5-selectivity predicate). Not part
+  * of the query surface.
+  *
+  * Usage: sbt "runMain graft.llm.FilteredGraphScale [n]"
+  */
+object FilteredGraphScale {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = if (args.nonEmpty) args(0).toLong else 100000L
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = spark.range(0, n, 1, 32)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          ((pmod(hash(col("id"), d), lit(2000)) - 1000) / lit(1000.0))
+            .cast("float")).as("embedding"),
+        pmod(col("id"), lit(10)).cast("int").as("label"))
+      .localCheckpoint()
+    val base = emb.select(col("vec_id"), col("embedding"), col("label"),
+      Similarity.l2norm(col("embedding")).as("nrm")).localCheckpoint()
+    val probes = Similarity.probesFrame(emb, 10).localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    val truth = base.filter(col("label") % 2 === 0)
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(
+        graft.functions.VectorFunctions.floatDot(col("pe"), col("embedding"))
+          / (col("pn") * col("nrm")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth intersect got).size.toDouble / truth.size
+    }
+    val t0 = System.nanoTime()
+    val root = GraphAnn.servedRootFor(emb, s"fgscale$n")
+    println(f"   [build took ${(System.nanoTime() - t0) / 1e9}%.1f s]")
+    val t1 = System.nanoTime()
+    val widened = recallOf(
+      GraphAnn.beamTopKFilteredServed(emb, s"fgscale$n")
+        .select(col("probe_id"), col("neighbor_id")))
+    println(f"filtered+widened:   recall=${widened * 10000}%5.0f bp " +
+      f"(wall ${(System.nanoTime() - t1) / 1e9}%.1f s)")
+    // the UNWIDENED control: same predicate-filtered base, default
+    // budgets — what a naive filtered beam loses
+    val baseRead = GraphAnn.servedBaseRead(spark, root)
+    val t2 = System.nanoTime()
+    val unwidened = recallOf(
+      GraphAnn.beamFrom(probes,
+          cells => baseRead(cells).filter(col("label") % 2 === 0)
+            .select(col("vec_id"), col("embedding"), col("nrm"),
+              col("cluster")),
+          spark.read.parquet(s"$root/edges"),
+          spark.read.parquet(s"$root/medoids")
+            .withColumn("cell", col("cluster")),
+          spark.read.parquet(s"$root/centroids"),
+          spark.read.parquet(s"$root/coarse"), 5)
+        .select(col("probe_id"), col("neighbor_id")))
+    println(f"filtered unwidened: recall=${unwidened * 10000}%5.0f bp " +
+      f"(wall ${(System.nanoTime() - t2) / 1e9}%.1f s)")
+    spark.stop()
+  }
+}
+
 /** Dev-only EROSION-vs-CHURN measurement at N≈1e5 (r15, VERDICT r14
   * missing #3): the q212 gauge at churn levels where lazy repair
   * actually BINDS. One shared gen-0 store; per churn point c ∈

@@ -703,6 +703,44 @@ object GraphAnn {
     ()
   }
 
+  /** q221: the filtered graph tier's acceptance gate — recall@k of the
+    * SERVED filtered beam search (q220's store) against the FILTERED
+    * brute-force truth (the q35 scan restricted to eligible
+    * candidates), the q39/q210/q218 precedent applied to the filtered
+    * mode. This is the number the self-widening budgets exist to
+    * defend: without widening, a ~0.5-selectivity filter measurably
+    * thins every beam (the q204 story); the gate makes the filtered
+    * tier's quality a hard, oracle-checked row instead of a scaladoc
+    * claim. */
+  def filteredGraphRecall(embeddings: DataFrame, corpusTag: String,
+                          nProbes: Int = 10, k: Int = 5): DataFrame = {
+    // the oracle unrolls both chains at the registered constants
+    require(nProbes == 10 && k == 5,
+      "filteredGraphRecall is oracle-gated at nProbes=10, k=5")
+    val base = embeddings.select(col("vec_id"), col("embedding"),
+      col("label"), Similarity.l2norm(col("embedding")).as("nrm"))
+    val probes = Similarity.probesFrame(embeddings, nProbes)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val truth = base.filter(col("label") % 2 === 0)
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(dot(col("pe"), col("embedding")) /
+        (col("pn") * col("nrm")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+    val got = beamTopKFilteredServed(embeddings, corpusTag, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    truth.join(got, Seq("probe_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(lit("filtered_graph").as("method"), col("n_truth"),
+        col("n_hits"),
+        floor(lit(10000.0) * col("n_hits") / col("n_truth")).cast("long")
+          .as("recall_bp"))
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracles
   // ---------------------------------------------------------------------
@@ -923,6 +961,29 @@ object GraphAnn {
       |        ORDER BY cos DESC, node) rn FROM bf$Hops)
       |WHERE rn <= 5 ORDER BY probe_id, rnk""".stripMargin
   }
+
+  /** Oracle for [[filteredGraphRecall]]: the FILTERED brute truth (the
+    * q35 scan with the eligibility predicate on the candidate side)
+    * plus the q219 chain verbatim, q39's left-join + floor scoring. */
+  val filteredGraphRecallSql: String =
+    s"""WITH ev AS (SELECT vec_id, embedding, label,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
+      |  FROM embeddings),
+      |tp AS (SELECT p.vec_id probe_id, n.vec_id neighbor_id,
+      |    round(list_sum(list_transform(list_zip(p.embedding, n.embedding),
+      |      z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (p.nrm * n.nrm), 4) cos
+      |  FROM ev p JOIN ev n ON p.vec_id < 10 AND n.vec_id != p.vec_id
+      |                     AND n.label % 2 = 0),
+      |truth AS (SELECT probe_id, neighbor_id FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |       ORDER BY cos DESC, neighbor_id) rnk FROM tp) WHERE rnk <= 5),
+      |g AS (SELECT probe_id, neighbor_id FROM ($beamTopKFilteredSql) q)
+      |SELECT 'filtered_graph' AS method, count(*) AS n_truth,
+      |  CAST(sum(CASE WHEN g.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |  CAST(floor(10000.0 * sum(CASE WHEN g.probe_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    / count(*)) AS BIGINT) AS recall_bp
+      |FROM truth t LEFT JOIN g
+      |  ON g.probe_id = t.probe_id AND g.neighbor_id = t.neighbor_id""".stripMargin
 
   /** Oracle for [[graphRecall]]: the q35 and q202 oracles verbatim as
     * derived tables, scored with q39's left-join + floor arithmetic. */
