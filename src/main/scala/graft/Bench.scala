@@ -117,8 +117,18 @@ object Bench {
         "q200_fuzzy_served", "q203_graph_beam_served", "q206_graph_lifecycle",
         "q215_sq8_served", "q217_ivf_sq8_served")
         .filter(SparkEntry.queries.contains)
+    // a prewarm Left is NOT dropped (ADVICE r15 #2): a failed store
+    // build would otherwise surface nowhere — not in `failures` (the
+    // query may pass later by rebuilding in-sample) — and the build
+    // cost would silently fall back into whichever timed query rebuilds
+    // the store, reintroducing the attribution noise prewarm exists to
+    // fix. Failed prewarms are reported under `prewarm_failures`.
+    val prewarmRuns: Seq[(String, Either[String, Double])] =
+      prewarmNames.map(n => n -> once(n))
     val prewarm: Seq[(String, Double)] =
-      prewarmNames.flatMap(n => once(n).toOption.map(n -> _))
+      prewarmRuns.collect { case (n, Right(t)) => n -> t }
+    val prewarmFailures: Seq[String] =
+      prewarmRuns.collect { case (n, Left(_)) => n }
 
     // Exact all-pairs VALIDATION harnesses (q33 AllPairs/PPJoin Jaccard,
     // q36 label-blocked all-pairs cosine): deliberately quadratic truth
@@ -337,11 +347,20 @@ object Bench {
     val pw = prewarm.map { case (k, v) =>
       "\"" + k + "\":" + math.round(v * 100.0) / 100.0 }
       .mkString("{", ",", "}")
+    val pwf = prewarmFailures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // cross-round totals stay comparable BY CONSTRUCTION (VERDICT r15
+    // #4): the headline `value` holds medians only (prewarm moved the
+    // one-time builds out of them in r15), so the build-inclusive
+    // number is emitted as its own field instead of a hand-added
+    // PERF.md sum that future rounds could silently drop
+    val totalWithPrewarm =
+      BenchGuard.totalWithPrewarm(total, prewarm.map(_._2))
     val json = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
+      s""""total_with_prewarm":$totalWithPrewarm,""" +
       s""""subsec_iters":$subsecIters,"noisy_after_topup":$noisyLeft,""" +
       s""""singles_suspect":$singlesSuspect,"singles_rerun":$rr,""" +
       s""""topped_up":$tu,"only":$onlyTag,"build_single":$bs,""" +
-      s""""prewarm":$pw,""" +
+      s""""prewarm":$pw,"prewarm_failures":$pwf,""" +
       s""""queries":$qs,"spread":$sp,"failures":$fs,"sf":"$sfDir"}"""
     // a targeted run must not clobber the headline full-suite BENCH.json
     // the driver parses (ADVICE r7); it still lands in the history below
@@ -366,6 +385,7 @@ object Bench {
     // after it: once behind a grep-stable sentinel, once bare as the
     // absolute final stdout line.
     val short = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""total_with_prewarm":$totalWithPrewarm,""" +
       s""""iters":$iters,"n_queries":${medians.size},""" +
       s""""n_build_single":${names.count(singleSample)},""" +
       s""""noisy_after_topup":$noisyLeft,""" +

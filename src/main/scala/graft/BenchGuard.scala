@@ -92,4 +92,13 @@ object BenchGuard {
     val best = samples.min
     (best, hist.exists(h => h > 0 && best > factor * h))
   }
+
+  /** The build-inclusive headline (VERDICT r15 #4): medians total plus
+    * every successful prewarm wall, the number that stays comparable
+    * across rounds whose prewarm set differs — a round that moves a
+    * build in or out of prewarm moves seconds between the two terms,
+    * never out of the sum. */
+  def totalWithPrewarm(mediansTotal: Double,
+                       prewarmWalls: Seq[Double]): Double =
+    mediansTotal + prewarmWalls.sum
 }

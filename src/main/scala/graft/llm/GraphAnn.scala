@@ -405,6 +405,13 @@ object GraphAnn {
                             widen: Option[DataFrame] = None): DataFrame = {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("node"))
+    // budgets materialize ONCE per beamFrom call (ADVICE r15 #1): the
+    // 1-row frame is crossJoined into every pass and each pass ends in
+    // its own action, so without the checkpoint the budget subtree —
+    // including a filtered serve's full-corpus `widen` aggregate —
+    // would re-execute H+2 times per serve
+    val budgets: DataFrame =
+      broadcast(seedBudgets(cents, coarse, beam, widen).localCheckpoint())
     // beam ranks cut at the (possibly widened) beamw budget, the final
     // rank at the literal k — the 1-row budget frame rides a broadcast
     // crossJoin exactly like the seed budgets
@@ -418,8 +425,6 @@ object GraphAnn {
     // cells via a √k-row broadcast, then the SeedCells nearest fine
     // children via a parent equi-join; the k-row fine frame is never
     // broadcast and never fully ranked
-    lazy val budgets: DataFrame =
-      broadcast(seedBudgets(cents, coarse, beam, widen))
     val gcells = coarse.select(col("cluster").as("ccell"),
       transform(col("ce"), x => x.cast("double")).as("gcent"))
     val wg = Window.partitionBy(col("probe_id"))
@@ -642,6 +647,10 @@ object GraphAnn {
     * more eligible stepping stones instead. */
   def beamTopKFiltered(embeddings: DataFrame, nProbes: Int = 10,
                        k: Int = 5): DataFrame = {
+    // the oracle's probe CTE and final rank are unrolled at the
+    // registered constants (ADVICE r15 #3)
+    require(nProbes == 10 && k == 5,
+      "beamTopKFiltered is oracle-gated at nProbes=10, k=5")
     val (v0, edgesRaw, medoidsRaw, cents, coarse) = graphFrames(embeddings)
     val edges = edgesRaw.localCheckpoint()
     val medoids = medoidsRaw.withColumn("cell", col("cluster"))
@@ -663,10 +672,15 @@ object GraphAnn {
     * pushed parquet filter on the co-stored label column, and the
     * widening aggregate is query-time (one narrow count pair). */
   def beamTopKFilteredServed(embeddings: DataFrame, corpusTag: String,
-                             nProbes: Int = 10, k: Int = 5): DataFrame =
+                             nProbes: Int = 10, k: Int = 5): DataFrame = {
+    // q219's oracle (reused verbatim) is unrolled at the registered
+    // constants (ADVICE r15 #3)
+    require(nProbes == 10 && k == 5,
+      "beamTopKFilteredServed is oracle-gated at nProbes=10, k=5")
     filteredServeFromRoot(servedRootFor(embeddings, corpusTag),
       Similarity.probesFrame(embeddings, nProbes),
       embeddings, k)
+  }
 
   private def filteredServeFromRoot(root: String, probes: DataFrame,
                                     embeddings: DataFrame,

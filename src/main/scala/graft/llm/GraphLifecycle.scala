@@ -220,8 +220,14 @@ object GraphLifecycle {
 
   /** `pred` restricts BOTH the base scan (a partition filter when it is
     * a cluster IN-list, a pushed predicate otherwise) and the delta
-    * view; any per-entity-stable predicate (cells, vec_id ranges)
-    * commutes with the latest-wins resolution. `dl` supplies a
+    * view. The real invariant (ADVICE r15 #5): a CLUSTER predicate is
+    * NOT entity-stable — a re-written node can change cells — so
+    * correctness rests on [[liveMembersFrom]] anti-joining the base
+    * against the UNFILTERED delta vec_id set; only per-entity-stable
+    * predicates (vec_id ranges) may ever be pushed below that
+    * anti-join. A refactor that filtered `dl` by `pred` BEFORE the
+    * anti-join would silently resurrect the stale base row of any
+    * entity that moved out of the predicate's cells. `dl` supplies a
     * precomputed (checkpointed) [[deltaLatest]] so a serve call's ~6
     * passes do not re-read the delta segments each time. */
   private def liveMembers(spark: SparkSession, base: String,

@@ -1484,6 +1484,10 @@ object Similarity {
     * the codegen'd byte kernel — the float corpus is never read. */
   def sq8TopKServed(embeddings: DataFrame, corpusTag: String,
                     nProbes: Int = 10, k: Int = 5): DataFrame = {
+    // q213's oracle (reused verbatim) unrolls the probe CTE and final
+    // rank at the registered constants (ADVICE r15 #3)
+    require(nProbes == 10 && k == 5,
+      "sq8TopKServed is oracle-gated at nProbes=10, k=5")
     val root = sq8RootFor(embeddings, corpusTag)
     val c = embeddings.sparkSession.read.parquet(s"$root/packed")
     sq8ScanFrom(c, c.filter(col("vec_id") < nProbes)
@@ -1600,6 +1604,10 @@ object Similarity {
     * product, round 4, ties on vec_id). */
   def ivfSq8TopK(embeddings: DataFrame, nProbes: Int = 10,
                  k: Int = 5): DataFrame = {
+    // the oracle's probe CTE and final rank are unrolled at the
+    // registered constants (ADVICE r15 #3)
+    require(nProbes == 10 && k == 5,
+      "ivfSq8TopK is oracle-gated at nProbes=10, k=5")
     val (asg, cents) = trainLloyd(embeddings)
     ivfSq8Rank(
       broadcast(probeCellsFor(probesFrame(embeddings, nProbes),
@@ -1657,9 +1665,14 @@ object Similarity {
     * plan touches an unprobed cell's bytes, and the float corpus is
     * never read at query time. */
   def ivfSq8Served(embeddings: DataFrame, corpusTag: String,
-                   nProbes: Int = 10, k: Int = 5): DataFrame =
+                   nProbes: Int = 10, k: Int = 5): DataFrame = {
+    // q216's oracle (reused verbatim) is unrolled at the registered
+    // constants (ADVICE r15 #3)
+    require(nProbes == 10 && k == 5,
+      "ivfSq8Served is oracle-gated at nProbes=10, k=5")
     ivfSq8ServeRoot(ivfSq8RootFor(embeddings, corpusTag),
       probesFrame(embeddings, nProbes), embeddings, k)
+  }
 
   private def ivfSq8RootFor(embeddings: DataFrame,
                             corpusTag: String): String =

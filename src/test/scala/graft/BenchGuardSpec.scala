@@ -58,6 +58,15 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(s4)
   }
 
+  test("total_with_prewarm = medians total + every successful prewarm " +
+    "wall (VERDICT r15 #4: build costs can never silently drop out of " +
+    "the cross-round number)") {
+    assert(BenchGuard.totalWithPrewarm(470.6, Seq(57.6, 18.0, 11.9))
+      === 470.6 + 87.5)
+    // no prewarm phase (targeted runs): the number degrades to the total
+    assert(BenchGuard.totalWithPrewarm(470.6, Nil) === 470.6)
+  }
+
   test("line parser survives the real Bench format incl. new fields") {
     val real = """{"ts":"2026-08-15T01:02:03Z","metric":"total",""" +
       """"value":496.6,"unit":"sec","iters":3,"subsec_iters":5,""" +

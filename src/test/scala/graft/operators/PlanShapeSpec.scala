@@ -51,11 +51,19 @@ class PlanShapeSpec extends SparkSpec {
     // DIRECTION pin (ADVICE r14 #4): the BroadcastExchange subtree must
     // contain the PROBE filter (vec_id < 10) — a bare "Broadcast"
     // grep would pass even if the corpus side were the one broadcast.
-    // The plan tree prints each exchange's subtree after its marker, so
-    // the probe filter must appear in the text following the exchange.
-    val bx = p.indexOf("BroadcastExchange")
-    assert(bx >= 0, s"probe side not broadcast:\n$p")
-    assert("vec_id#\\d+L? < 10".r.findFirstIn(p.substring(bx)).isDefined,
+    // The search is bounded to the exchange's INDENTED SUBTREE (ADVICE
+    // r15 #4): everything-after-the-marker would false-pass if the
+    // probe filter appeared on the streamed side printed below the
+    // exchange, or under a second exchange.
+    val lines = p.linesIterator.toVector
+    def depthOf(l: String): Int = l.indexWhere(_.isLetter)
+    val bi = lines.indexWhere(_.contains("BroadcastExchange"))
+    assert(bi >= 0, s"probe side not broadcast:\n$p")
+    val bd = depthOf(lines(bi))
+    val subtree = lines.drop(bi + 1)
+      .takeWhile(l => depthOf(l) < 0 || depthOf(l) > bd)
+      .mkString("\n")
+    assert("vec_id#\\d+L? < 10".r.findFirstIn(subtree).isDefined,
       s"broadcast subtree does not carry the probe filter — wrong side " +
         s"broadcast?:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in SQ8 plan:\n$p")
