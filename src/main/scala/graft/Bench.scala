@@ -160,7 +160,7 @@ object Bench {
       "q88_kmeans_lloyd", "q176_fp_index_update", "q181_index_lifecycle",
       "q206_graph_lifecycle", "q208_maxsim_rerank", "q210_graph_recall",
       "q211_graph_lifecycle_served", "q212_lifecycle_recall",
-      "q216_ivf_sq8", "q219_filtered_graph")
+      "q216_ivf_sq8", "q219_filtered_graph", "q222_filtered_ivf_sq8")
     val sfValue = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).toDouble).getOrElse(0.0)
     // Optional regex restriction for targeted perf work (not set by the

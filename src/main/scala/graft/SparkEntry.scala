@@ -340,7 +340,13 @@ object SparkEntry {
     "q220_filtered_graph_served" -> ((s, d) =>
       GraphAnn.beamTopKFilteredServed(embeddings(s, d), d)),
     "q221_filtered_graph_recall" -> ((s, d) =>
-      GraphAnn.filteredGraphRecall(embeddings(s, d), d))
+      GraphAnn.filteredGraphRecall(embeddings(s, d), d)),
+    "q222_filtered_ivf_sq8" -> ((s, d) =>
+      Similarity.ivfSq8TopKFiltered(embeddings(s, d))),
+    "q223_filtered_ivf_sq8_served" -> ((s, d) =>
+      Similarity.ivfSq8FilteredServed(embeddings(s, d), d)),
+    "q224_filtered_ivf_sq8_recall" -> ((s, d) =>
+      Similarity.ivfSq8FilteredRecall(embeddings(s, d), d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -589,6 +595,10 @@ object SparkEntry {
     "q219_filtered_graph" -> GraphAnn.beamTopKFilteredSql,
     // q220: q219's oracle VERBATIM — the store ≡ recompute proof
     "q220_filtered_graph_served" -> GraphAnn.beamTopKFilteredSql,
-    "q221_filtered_graph_recall" -> GraphAnn.filteredGraphRecallSql
+    "q221_filtered_graph_recall" -> GraphAnn.filteredGraphRecallSql,
+    "q222_filtered_ivf_sq8" -> Similarity.ivfSq8FilteredTopKSql,
+    // q223: q222's oracle VERBATIM — the store ≡ recompute proof
+    "q223_filtered_ivf_sq8_served" -> Similarity.ivfSq8FilteredTopKSql,
+    "q224_filtered_ivf_sq8_recall" -> Similarity.ivfSq8FilteredRecallSql
   )
 }

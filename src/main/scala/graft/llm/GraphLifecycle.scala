@@ -196,19 +196,35 @@ object GraphLifecycle {
       .withColumn("nq", qNorm(col("qe")))
   }
 
+  /** The number of bucket dirs under a base's node segment — derived
+    * from the stored centroid table by the same deterministic rule the
+    * write side used ([[CellStore.bucketCount]]); no meta file. */
+  private def nodeBucketsOf(spark: SparkSession, base: String): Long =
+    CellStore.bucketCount(
+      spark.read.parquet(s"$base/centroids").count())
+
   /** The LIVE members of `cells` alone — the per-batch live-view
     * resolution (the q193/q194 serve discipline applied to ingest,
-    * VERDICT r13 #1): the base scan is partition-pruned to the literal
-    * cell list, entities re-written or tombstoned since the base are
-    * removed by broadcast anti-join of the TOUCHED set (delta-bounded),
-    * and the deltas' own latest-wins window runs over the delta rows
-    * alone. Equivalent to `resolvedNodes(...).filter(!del &&
-    * cluster ∈ cells)` — pinned by GraphLifecycleSpec — at
-    * O(probed-cell partitions + delta rows) instead of O(corpus). */
+    * VERDICT r13 #1): the base scan prunes to the literal cell list
+    * (bucket partition filter + pushed cluster IN-filter riding the
+    * in-file cluster sort — [[CellStore.prunedTo]]), entities
+    * re-written or tombstoned since the base are removed by broadcast
+    * anti-join of the TOUCHED set (delta-bounded), and the deltas' own
+    * latest-wins window runs over the delta rows alone. Equivalent to
+    * `resolvedNodes(...).filter(!del && cluster ∈ cells)` — pinned by
+    * GraphLifecycleSpec — at O(probed-cell buckets + delta rows)
+    * instead of O(corpus). */
   private def liveMembersIn(spark: SparkSession, base: String,
-                            cells: Seq[Long]): DataFrame =
-    liveMembers(spark, base,
+                            cells: Seq[Long]): DataFrame = {
+    val (b0, ds) = nodeSegs(base)
+    val baseSeg = CellStore.prunedTo(spark.read.parquet(b0),
+        nodeBucketsOf(spark, base), cells)
+      .select(col("vec_id"), col("qe"),
+        col("cluster").cast("long").as("cluster"), col("gen"), col("del"))
+    liveMembersFrom(baseSeg,
+      if (ds.isEmpty) None else Some(deltaLatest(spark, ds)),
       if (cells.isEmpty) lit(false) else col("cluster").isin(cells: _*))
+  }
 
   /** The WHOLE live node view of a store state — the CORPUS-SIZED
     * resolution, used only where the whole corpus is genuinely needed
@@ -253,6 +269,37 @@ object GraphLifecycle {
           .join(broadcast(dLatest.select(col("vec_id"))),
             Seq("vec_id"), "left_anti")
           .unionByName(dLatest.filter(pred))
+    }
+    resolved.filter(!col("del"))
+      .select(col("vec_id"), col("qe"), qNorm(col("qe")).as("nq"),
+        col("cluster"))
+  }
+
+  /** The resolution body for the SERVE path's per-pass census FRAME
+    * (VERDICT r15 #2 — the in-plan counterpart of [[liveMembersFrom]]):
+    * the base scan prunes via [[CellStore.prunedToF]]'s broadcast
+    * semi-join with dynamic partition pruning on the bucket column —
+    * no per-pass driver collect — and the delta view prunes by the
+    * same census semi-join on its CURRENT cluster. The liveness
+    * invariant is unchanged: the anti-join uses the UNFILTERED delta
+    * vec_id set (cluster predicates are not entity-stable — see
+    * [[liveMembers]]). `baseRaw` is the already-listed base segment
+    * read (one file-index listing per serve call, shared by all
+    * passes). */
+  private def liveMembersFromF(baseRaw: DataFrame, nb: Long,
+                               dl: Option[DataFrame],
+                               cellsF: DataFrame): DataFrame = {
+    val baseSeg = CellStore.prunedToF(baseRaw, nb, cellsF)
+      .select(col("vec_id"), col("qe"),
+        col("cluster").cast("long").as("cluster"), col("gen"), col("del"))
+    val resolved = dl match {
+      case None => baseSeg
+      case Some(dLatest) =>
+        baseSeg
+          .join(broadcast(dLatest.select(col("vec_id"))),
+            Seq("vec_id"), "left_anti")
+          .unionByName(dLatest.join(broadcast(cellsF),
+            dLatest("cluster") === cellsF("cell"), "left_semi"))
     }
     resolved.filter(!col("del"))
       .select(col("vec_id"), col("qe"), qNorm(col("qe")).as("nq"),
@@ -340,13 +387,14 @@ object GraphLifecycle {
         .filter(col("rn") === 1)
         .select(col("cluster"), col("vec_id").as("node"))
         .write.mode("overwrite").parquet(s"$root/medoids")
-      // cluster-partitioned base (the q193 serving layout): the ingest
-      // path's live-member read prunes to the batch's candidate cells.
-      // repartition(cluster) keeps one file per cell dir (the r15
-      // listing-cost fix — see GraphAnn.writeGraphIndex)
-      nodes.repartition(col("cluster"))
-        .write.partitionBy("cluster").mode("overwrite")
-        .parquet(s"$root/nodes0")
+      // bucketed base (VERDICT r15 #1 — see [[CellStore]]): the ingest
+      // path's live-member read prunes to the batch's candidate cells
+      // via bucket partition pruning + the pushed cluster IN-filter,
+      // and the file count stays bounded instead of one file per cell
+      CellStore.write(nodes,
+        CellStore.bucketCount(
+          spark.read.parquet(s"$root/centroids").count()),
+        s"$root/nodes0")
       val full = nodes.withColumn("nq", qNorm(col("qe")))
         .select(col("vec_id"), col("qe"), col("nq"), col("cluster"))
       symmetrized(insertEdges(full, cand, full))
@@ -631,10 +679,10 @@ object GraphLifecycle {
           .select(col("cluster"), col("node"),
             coalesce(col("ncell"), col("cluster")).as("cell"))
     }).localCheckpoint()
-    val baseSeg = readNodeSeg(spark, b0)
-    val baseFor: Seq[Long] => DataFrame = cells =>
-      liveMembersFrom(baseSeg, dl,
-          if (cells.isEmpty) lit(false) else col("cluster").isin(cells: _*))
+    val baseRaw = spark.read.parquet(b0)
+    val nb = nodeBucketsOf(spark, base)
+    val baseFor: DataFrame => DataFrame = cellsF =>
+      liveMembersFromF(baseRaw, nb, dl, cellsF)
         .select(col("vec_id"), col("qe").as("embedding"),
           col("nq").as("nrm"), col("cluster"))
     GraphAnn.beamFrom(probes, baseFor, edges, medoids,

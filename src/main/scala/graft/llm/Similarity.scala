@@ -1640,22 +1640,26 @@ object Similarity {
 
   /** Writes the composed IVF×SQ8 index under `root` in the
     * inverted-list layout (the [[writeIvfPqIndex]] discipline):
-    * `centroids(cluster, ce)` — broadcast-sized — plus
-    * `packed/cluster=<c>/` — the 64 B/vector packed rows co-written
-    * with their coarse cell and PARTITIONED BY it, so the serve's scan
-    * prunes to the probed cells' directories. Training, the pack pass,
-    * and the cell-label join are paid ONCE here. */
+    * `centroids(cluster, ce)` — broadcast-sized — plus `packed/` in
+    * the BUCKETED block-file layout ([[CellStore]], VERDICT r15 #1):
+    * the 64 B/vector packed rows co-written with their coarse cell,
+    * bucketed `cluster mod B` with B bounded and sorted by cluster
+    * in-file, so the serve's probed-cell semi-join prunes bucket dirs
+    * via DPP while file count stays sublinear in N. Training, the pack
+    * pass, and the cell-label join are paid ONCE here. */
   private[llm] def writeIvfSq8Index(embeddings: DataFrame,
                                     root: String): Unit =
     sweepAfter(embeddings.sparkSession) {
       val (asg, cents) = trainLloyd(embeddings)
       cents.write.mode("overwrite").parquet(s"$root/centroids")
-      // one file per cell dir (the r15 graph-store listing fix): the
-      // serve's probed-cell read lists √N files, not √N × shuffle width
-      sq8Packed(embeddings).join(asg, "vec_id")
-        .repartition(col("cluster"))
-        .write.mode("overwrite").partitionBy("cluster")
-        .parquet(s"$root/packed")
+      // label rides along as co-stored filterable metadata (the
+      // writeGraphIndex discipline) — the filtered composed search
+      // (q222–q224) reads it as a pushed parquet filter
+      CellStore.write(sq8Packed(embeddings).join(asg, "vec_id")
+          .join(embeddings.select(col("vec_id"), col("label")), "vec_id"),
+        CellStore.bucketCount(embeddings.sparkSession.read
+          .parquet(s"$root/centroids").count()),
+        s"$root/packed")
     }
 
   /** q217: the q216 composed search SERVED from the stored
@@ -1687,11 +1691,13 @@ object Similarity {
     val packed = spark.read.parquet(s"$root/packed")
     val pcells = broadcast(probeCellsFor(probes, embeddings, cents,
       nProbe = 0, frac = IvfPqProbeFrac))
-    // prune FIRST: the equi-join on the store's partition column
-    // reaches the scan as a partition filter (the ivfPqServeRoot shape)
-    val pruned = packed.join(
-      broadcast(pcells.select(col("cell")).distinct()),
-      col("cluster") === col("cell")).drop("cell")
+    // prune FIRST: the probed-cell semi-join's bucket key is the
+    // store's partition column, so DPP reaches the scan and only the
+    // probed cells' buckets are read (the ivfPqServeRoot shape over
+    // the bounded-file-count layout)
+    val pruned = CellStore.prunedToF(packed,
+      CellStore.bucketCount(cents.count()),
+      pcells.select(col("cell")).distinct())
     ivfSq8Rank(pcells, pruned, k)
   }
 
@@ -1785,6 +1791,204 @@ object Similarity {
     s"""WITH truth AS (SELECT probe_id, neighbor_id FROM ($cosineTopKSql) q),
       |g AS (SELECT probe_id, neighbor_id FROM ($ivfSq8TopKSql) q)
       |SELECT 'ivf_sq8' AS method, count(*) AS n_truth,
+      |  CAST(sum(CASE WHEN g.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |  CAST(floor(10000.0 * sum(CASE WHEN g.probe_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    / count(*)) AS BIGINT) AS recall_bp
+      |FROM truth t LEFT JOIN g
+      |  ON g.probe_id = t.probe_id AND g.neighbor_id = t.neighbor_id""".stripMargin
+
+  /** q222: FILTERED IVF×SQ8 — the q204 metadata-predicate discipline on
+    * the composed tier (VERDICT r15 missing #2: the predicate + widening
+    * machinery existed on IVF and the graph, but not on the ladder's
+    * best production operating point). The predicate (even `label`)
+    * applies to CANDIDATES at the packed-byte scan — never post-filtering
+    * the top-k — and the probed-cell budget self-widens by the measured
+    * 1/selectivity ([[evenLabelWiden]], one narrow count-pair aggregate),
+    * restoring the eligible candidate volume: ⌈0.40·√N·w⌉ probed cells.
+    *
+    * 100 TB shape: unchanged from q216 — centroids and the widened
+    * probe×cell fan-out broadcast, the probed cells' packed partitions
+    * stream through the codegen'd byte kernel; the label predicate rides
+    * the scan (a pushed parquet filter on the served leg), so ineligible
+    * rows never reach the kernel. */
+  def ivfSq8TopKFiltered(embeddings: DataFrame, nProbes: Int = 10,
+                         k: Int = 5): DataFrame = {
+    // the oracle's probe CTE and final rank are unrolled at the
+    // registered constants
+    require(nProbes == 10 && k == 5,
+      "ivfSq8TopKFiltered is oracle-gated at nProbes=10, k=5")
+    val (asg, cents) = trainLloyd(embeddings)
+    val labeled = sq8Packed(embeddings).join(asg, "vec_id")
+      .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
+    ivfSq8FilteredFrom(probesFrame(embeddings, nProbes), embeddings,
+      cents, labeled, k)
+  }
+
+  /** The filtered composed scan against an EXPLICIT (probes, centroids,
+    * labeled packed rows) — shared by q222 (fresh), q223 (stored) and
+    * the q223 probe-stream leg. The widening aggregate runs at query
+    * time over the corpus (selectivity is a query parameter, never
+    * index state); the predicate prunes the CANDIDATE side only. */
+  private def ivfSq8FilteredFrom(probes: DataFrame, embeddings: DataFrame,
+                                 cents: DataFrame, labeled: DataFrame,
+                                 k: Int): DataFrame = {
+    val pcells = broadcast(probeCellsFor(probes, embeddings, cents,
+      nProbe = 0, frac = IvfPqProbeFrac, widen = evenLabelWiden))
+    ivfSq8Rank(pcells, labeled.filter(col("label") % 2 === 0), k)
+  }
+
+  /** q223: the q222 filtered composed search SERVED from the q217
+    * store (oracle: q222's VERBATIM — store ≡ recompute). Same
+    * ServedRoots key as q217/q218, so ONE physical composed index
+    * serves the plain, gated and filtered legs; the predicate rides the
+    * DPP-pruned packed scan as a pushed parquet filter on the co-stored
+    * label column, and the widening is query-time. */
+  def ivfSq8FilteredServed(embeddings: DataFrame, corpusTag: String,
+                           nProbes: Int = 10, k: Int = 5): DataFrame = {
+    require(nProbes == 10 && k == 5,
+      "ivfSq8FilteredServed is oracle-gated at nProbes=10, k=5")
+    ivfSq8FilteredServeRoot(ivfSq8RootFor(embeddings, corpusTag),
+      probesFrame(embeddings, nProbes), embeddings, k)
+  }
+
+  private def ivfSq8FilteredServeRoot(root: String, probes: DataFrame,
+                                      embeddings: DataFrame,
+                                      k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cents = spark.read.parquet(s"$root/centroids")
+    val packed = spark.read.parquet(s"$root/packed")
+    val pcells = broadcast(probeCellsFor(probes, embeddings, cents,
+      nProbe = 0, frac = IvfPqProbeFrac, widen = evenLabelWiden))
+    // predicate FIRST (a pushed parquet filter on the stored label),
+    // then the probed-cell semi-join's bucket key prunes via DPP
+    val pruned = CellStore.prunedToF(
+      packed.filter(col("label") % 2 === 0),
+      CellStore.bucketCount(cents.count()),
+      pcells.select(col("cell")).distinct())
+    ivfSq8Rank(pcells, pruned, k)
+  }
+
+  /** The q223 serve leg under Structured Streaming (foreachBatch) —
+    * stream ≡ batch proved in StreamingSpec against
+    * [[ivfSq8FilteredServed]]'s rows. */
+  def ivfSq8FilteredStreamBatch(embeddings: DataFrame, corpusTag: String,
+                                outDir: String, k: Int = 5)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val probes = batch.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pe"), l2norm(col("embedding")).as("pn"))
+    val root = streamRootFor(s"ivfsq8:$corpusTag") {
+      ivfSq8RootFor(embeddings, corpusTag)
+    }
+    ivfSq8FilteredServeRoot(root, probes, embeddings, k)
+      .write.mode("append").parquet(outDir)
+    ()
+  }
+
+  /** q224: the filtered composed tier's acceptance gate — recall@k of
+    * the SERVED filtered IVF×SQ8 search (q223's store) against the
+    * FILTERED float brute truth, the q221 precedent on the composed
+    * tier. This is the number the widened probe budget defends: a
+    * ~0.5-selectivity filter halves every probed cell's eligible rows,
+    * and the widened ⌈0.40·√N·w⌉ cells buy the recall back. */
+  def ivfSq8FilteredRecall(embeddings: DataFrame, corpusTag: String,
+                           nProbes: Int = 10, k: Int = 5): DataFrame = {
+    require(nProbes == 10 && k == 5,
+      "ivfSq8FilteredRecall is oracle-gated at nProbes=10, k=5")
+    val base = embeddings.select(col("vec_id"), col("embedding"),
+      col("label"), l2norm(col("embedding")).as("nrm"))
+    val probes = probesFrame(embeddings, nProbes)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val truth = base.filter(col("label") % 2 === 0)
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(dot(col("pe"), col("embedding")) /
+        (col("pn") * col("nrm")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+    val got = ivfSq8FilteredServed(embeddings, corpusTag, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    truth.join(got, Seq("probe_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(lit("ivf_sq8_filtered").as("method"), col("n_truth"),
+        col("n_hits"),
+        floor(lit(10000.0) * col("n_hits") / col("n_truth")).cast("long")
+          .as("recall_bp"))
+  }
+
+  /** Oracle for [[ivfSq8TopKFiltered]]/[[ivfSq8FilteredServed]]: the
+    * q216 chain with (a) the probed-cell budget widened by the measured
+    * 1/selectivity (`wz`, the q204 count-pair) and (b) the eligible
+    * corpus as the scan side — candidates drop at the score join
+    * exactly like the Spark side's label-filtered packed rows. The
+    * build CTEs (training, quantization) are the VERBATIM unfiltered
+    * prefix — the index never sees the filter. */
+  lazy val ivfSq8FilteredTopKSql: String =
+    s"""$trainedLloydCteSql,
+      |sc8 AS (SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+      |  FROM embeddings),
+      |q8 AS (SELECT vec_id, CASE WHEN scale = 0
+      |    THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |    ELSE list_transform(embedding,
+      |      x -> CAST(round(x::DOUBLE / scale, 0) AS BIGINT)) END AS q
+      |  FROM sc8),
+      |n8 AS (SELECT vec_id, q,
+      |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq
+      |  FROM q8),
+      |cells AS (SELECT cluster AS cell,
+      |            list_transform(ce, x -> x::DOUBLE) AS centroid
+      |          FROM c4),
+      |probes AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pn
+      |           FROM v WHERE vec_id < 10),
+      |selz AS (SELECT count(*) AS cnt,
+      |           count(*) FILTER (WHERE label % 2 = 0) AS fcnt
+      |         FROM embeddings),
+      |wz AS (SELECT CASE WHEN fcnt > 0 THEN cnt::DOUBLE / fcnt
+      |              ELSE 1.0 END AS w FROM selz),
+      |pc AS (SELECT p.probe_id, c.cell,
+      |    list_sum(list_transform(list_zip(p.pe, c.centroid), z -> z[1]::DOUBLE * z[2]))
+      |      / (p.pn * sqrt(list_sum(list_transform(c.centroid, x -> x * x)))) AS ccos
+      |  FROM probes p CROSS JOIN cells c),
+      |pcr AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |          ORDER BY ccos DESC, cell) crnk FROM pc),
+      |sel AS (SELECT probe_id, cell FROM pcr
+      |        WHERE crnk <= (SELECT CAST(ceil($IvfPqProbeFrac * k * (SELECT w FROM wz)) AS BIGINT) FROM kk)),
+      |p8 AS (SELECT vec_id AS probe_id, q AS pq, nsq AS pn8
+      |       FROM n8 WHERE vec_id < 10),
+      |pairs AS (SELECT sel.probe_id, n.vec_id AS neighbor_id,
+      |    round(CAST(list_sum(list_transform(list_zip(p8.pq, n.q),
+      |        z -> z[1] * z[2])) AS BIGINT)::DOUBLE
+      |      / sqrt((p8.pn8 * n.nsq)::DOUBLE), 4) AS cos
+      |  FROM sel
+      |  JOIN p8 ON p8.probe_id = sel.probe_id
+      |  JOIN v a ON a.cluster = sel.cell AND a.vec_id != sel.probe_id
+      |  JOIN embeddings e ON e.vec_id = a.vec_id AND e.label % 2 = 0
+      |  JOIN n8 n ON n.vec_id = a.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |        ORDER BY cos DESC, neighbor_id) rnk FROM pairs)
+      |SELECT probe_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+
+  /** Oracle for [[ivfSq8FilteredRecall]]: the FILTERED float brute
+    * truth + the q222 chain verbatim, q39's left-join + floor
+    * scoring. */
+  lazy val ivfSq8FilteredRecallSql: String =
+    s"""WITH ev AS (SELECT vec_id, embedding, label,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
+      |  FROM embeddings),
+      |tp AS (SELECT p.vec_id probe_id, n.vec_id neighbor_id,
+      |    round(list_sum(list_transform(list_zip(p.embedding, n.embedding),
+      |      z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (p.nrm * n.nrm), 4) cos
+      |  FROM ev p JOIN ev n ON p.vec_id < 10 AND n.vec_id != p.vec_id
+      |                     AND n.label % 2 = 0),
+      |truth AS (SELECT probe_id, neighbor_id FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |       ORDER BY cos DESC, neighbor_id) rnk FROM tp) WHERE rnk <= 5),
+      |g AS (SELECT probe_id, neighbor_id FROM ($ivfSq8FilteredTopKSql) q)
+      |SELECT 'ivf_sq8_filtered' AS method, count(*) AS n_truth,
       |  CAST(sum(CASE WHEN g.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
       |  CAST(floor(10000.0 * sum(CASE WHEN g.probe_id IS NOT NULL THEN 1 ELSE 0 END)
       |    / count(*)) AS BIGINT) AS recall_bp
@@ -2818,13 +3022,14 @@ object Similarity {
   /** Writes the composed IVF-PQ index under `root` in the INVERTED-LIST
     * layout (the FAISS IVFADC file structure): `centroids(cluster, ce)`
     * and `codebook(m, cw, cv)` — both broadcast-sized — plus
-    * `invlists/cluster=<c>/` — the PQ encodings co-written with their
-    * coarse cell and PARTITIONED BY it, so a serve-time join on the
-    * cell id prunes the parquet scan to the probed directories
-    * (dynamic partition pruning; ~√N directories, the standard
-    * one-inverted-list-per-cell layout). The vec_id equi-join that
-    * labels each encoding with its cell is paid ONCE here, in the
-    * build job — never at query time. */
+    * `invlists/` in the BUCKETED block-file layout ([[CellStore]],
+    * VERDICT r15 #1): the PQ encodings co-written with their coarse
+    * cell, bucketed `cluster mod B` with B bounded and cluster-sorted
+    * in-file, so the serve-time probed-cell semi-join prunes bucket
+    * dirs via DPP while the file count stays sublinear in N (the
+    * one-dir-per-cell layout listed N/128 entries per serve). The
+    * vec_id equi-join that labels each encoding with its cell is paid
+    * ONCE here, in the build job — never at query time. */
   private[llm] def writeIvfPqIndex(embeddings: DataFrame,
                                    root: String): Unit = {
     sweepAfter(embeddings.sparkSession) {
@@ -2832,12 +3037,15 @@ object Similarity {
       cents.write.mode("overwrite").parquet(s"$root/centroids")
       val cb = trainPqCodebook(embeddings)
       cb.write.mode("overwrite").parquet(s"$root/codebook")
-      // one file per cell dir (the r15 graph-store listing fix)
-      pqAssign(pqSubRows(embeddings, 16, 64, sampled = false), cb)
-        .join(asg, "vec_id")
-        .repartition(col("cluster"))
-        .write.mode("overwrite").partitionBy("cluster")
-        .parquet(s"$root/invlists")
+      // bucketed block files (VERDICT r15 #1 — see [[CellStore]]):
+      // bounded dir/file count, in-file cluster sort, DPP off the
+      // probed-cell semi-join's bucket key at serve
+      CellStore.write(
+        pqAssign(pqSubRows(embeddings, 16, 64, sampled = false), cb)
+          .join(asg, "vec_id"),
+        CellStore.bucketCount(embeddings.sparkSession.read
+          .parquet(s"$root/centroids").count()),
+        s"$root/invlists")
     }
   }
 
@@ -2880,11 +3088,20 @@ object Similarity {
     val inv = spark.read.parquet(s"$root/invlists")
     val pcells = broadcast(probeCellsFor(probes, embeddings, cents,
       nProbe = 0, frac = IvfPqProbeFrac))
-    // prune FIRST, decode after: the equi-join on the store's partition
-    // column reaches the scan as a partition filter, so only probed
-    // cells' inverted lists are read or decoded
-    val pruned = inv.join(broadcast(pcells.select(col("cell")).distinct()),
-      col("cluster") === col("cell")).drop("cell")
+    // prune FIRST, decode after: only probed cells' inverted lists are
+    // read or decoded. The serve adapts to the store's PHYSICAL layout
+    // (the q190 promotion contract — semantics never depend on it):
+    // the production bucketed layout prunes via the probed-cell
+    // semi-join's bucket key (DPP, [[CellStore.prunedToF]]); a
+    // promoted generation in cluster-partitioned or flat layout prunes
+    // via the plain cluster semi-join.
+    val cellsF = pcells.select(col("cell")).distinct()
+    val pruned =
+      if (inv.columns.contains("bucket"))
+        CellStore.prunedToF(inv, CellStore.bucketCount(cents.count()),
+          cellsF)
+      else inv.join(broadcast(cellsF),
+        inv("cluster") === cellsF("cell"), "left_semi")
     ivfPqRank(pcells, pqDecodeLabeled(pruned, cb), probes, embeddings,
       k, RegisteredFixedR)
   }

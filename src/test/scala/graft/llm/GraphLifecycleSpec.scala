@@ -121,16 +121,21 @@ class GraphLifecycleSpec extends SparkSpec {
       val got = pruned.select(col("vec_id"), col("cluster"))
       assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
         "liveMembersIn != resolvedNodes filtered to the cells")
-      // (b) plan pin (VERDICT r13 #1 acceptance): the nodes0 scan under
-      // the pruned view carries non-empty partition filters on cluster.
-      // nodes0 is the ONLY cluster-partitioned relation in this plan
-      // (delta segments are unpartitioned, their scans print
-      // `PartitionFilters: []`), so a non-empty cluster IN-filter in the
-      // plan string can only sit on the base scan.
+      // (b) plan pin (VERDICT r13 #1 acceptance, r16 bucketed layout):
+      // the nodes0 scan under the pruned view carries non-empty
+      // partition filters on the BUCKET dirs plus the pushed cluster
+      // IN-filter (row-group skipping on the in-file sort). nodes0 is
+      // the ONLY bucket-partitioned relation in this plan (delta
+      // segments are unpartitioned, their scans print
+      // `PartitionFilters: []`), so the filters can only sit on the
+      // base scan.
       val p = pruned.queryExecution.executedPlan.toString
-      assert("PartitionFilters: \\[[^\\]]*cluster[^\\]]*\\]".r
+      assert("PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\]".r
         .findFirstIn(p).exists(f => f.contains("IN") || f.contains("=")),
-        s"nodes0 scan is not partition-pruned on cluster:\n$p")
+        s"nodes0 scan is not partition-pruned on bucket:\n$p")
+      assert("PushedFilters: \\[[^\\]]*(In|EqualTo)\\(cluster[^\\]]*\\]".r
+        .findFirstIn(p).isDefined,
+        s"cluster IN-filter not pushed to the nodes0 scan:\n$p")
       // (c) the pruned base scan must NOT read every cluster partition
       assert(cells.size < all.size,
         "fixture degenerate: pruning set covers every cell")

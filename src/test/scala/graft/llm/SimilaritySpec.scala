@@ -376,6 +376,21 @@ class SimilaritySpec extends SparkSpec {
           .collect().toSeq
         assert(served === flat)
       } finally graft.FsUtil.deleteRecursively(new java.io.File(floot))
+      // and the production BUCKETED block-file layout (r16): same rows
+      // promoted through CellStore.write serve identically again —
+      // cluster-partitioned, flat and bucketed are interchangeable
+      val broot = Files.createTempDirectory("graft-promote-bkt").toString
+      try {
+        for (t <- Seq("centroids", "codebook"))
+          spark.read.parquet(s"$root/$t").write.parquet(s"$broot/$t")
+        CellStore.write(gen3,
+          CellStore.bucketCount(
+            spark.read.parquet(s"$broot/centroids").count()),
+          s"$broot/invlists")
+        val bucketed = Similarity.ivfPqServeRoot(broot, probes, emb, k = 5)
+          .collect().toSeq
+        assert(served === bucketed)
+      } finally graft.FsUtil.deleteRecursively(new java.io.File(broot))
       assert(served.nonEmpty)
       // the served neighbors come from the generation's live set alone
       val live = spark.read.parquet(s"$root/gen3")
