@@ -346,7 +346,13 @@ object SparkEntry {
     "q223_filtered_ivf_sq8_served" -> ((s, d) =>
       Similarity.ivfSq8FilteredServed(embeddings(s, d), d)),
     "q224_filtered_ivf_sq8_recall" -> ((s, d) =>
-      Similarity.ivfSq8FilteredRecall(embeddings(s, d), d))
+      Similarity.ivfSq8FilteredRecall(embeddings(s, d), d)),
+    "q225_sq8_lifecycle" -> ((s, d) =>
+      Similarity.sq8IndexLifecycle(embeddings(s, d))),
+    "q226_sq8_lifecycle_served" -> ((s, d) =>
+      Similarity.sq8LifecycleServed(embeddings(s, d), d)),
+    "q227_maxsim_graph_rerank" -> ((s, d) =>
+      GraphAnn.maxSimGraphRerank(embeddings(s, d), d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -599,6 +605,9 @@ object SparkEntry {
     "q222_filtered_ivf_sq8" -> Similarity.ivfSq8FilteredTopKSql,
     // q223: q222's oracle VERBATIM — the store ≡ recompute proof
     "q223_filtered_ivf_sq8_served" -> Similarity.ivfSq8FilteredTopKSql,
-    "q224_filtered_ivf_sq8_recall" -> Similarity.ivfSq8FilteredRecallSql
+    "q224_filtered_ivf_sq8_recall" -> Similarity.ivfSq8FilteredRecallSql,
+    "q225_sq8_lifecycle" -> Similarity.sq8IndexLifecycleSql,
+    "q226_sq8_lifecycle_served" -> Similarity.sq8LifecycleServedSql,
+    "q227_maxsim_graph_rerank" -> GraphAnn.maxSimGraphRerankSql
   )
 }

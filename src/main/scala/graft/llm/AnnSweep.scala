@@ -256,6 +256,33 @@ object LifecycleSweep {
     rows.foreach(r => println(
       f"state=${r.getString(0)}%4s truth=${r.getLong(1)}%3d " +
         f"hits=${r.getLong(2)}%3d recall=${r.getLong(3)}%5d bp"))
+    // the 10%-churn erosion point (r16, VERDICT r15 next #8): the first
+    // churn level where lazy repair measurably BINDS (+380 bp at the
+    // r15 ChurnSweep) — kept in the default sweep output so the number
+    // stays watched round over round without re-running the full
+    // ChurnSweep grid. Trigger bypassed, the ChurnSweep mechanics at
+    // the single binding point.
+    val q0 = Similarity.quantized(
+      emb.select(col("vec_id"), col("embedding")), 1000).localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lcsweep_churn_").toString
+    try {
+      GraphLifecycle.seedStoreAt(q0, root)
+      val arr = q0.filter(pmod(col("vec_id"), lit(100)) < 10)
+        .select(col("vec_id"),
+          transform(col("qe"), x => x + lit(500L)).as("qe"),
+          lit(false).as("del"))
+      GraphLifecycle.ingestOnly(spark, root, arr, 1L)
+      val eroded = GraphLifecycle.recallLegAt(spark,
+        GraphLifecycle.currentBaseOf(root), "c10", 100, 5).collect()(0)
+      GraphLifecycle.rebuildAt(spark, root)
+      val rebuilt = GraphLifecycle.recallLegAt(spark,
+        GraphLifecycle.currentBaseOf(root), "c10r", 100, 5).collect()(0)
+      println(f"churn=10%% eroded=${eroded.getLong(3)}%5d bp " +
+        f"rebuilt=${rebuilt.getLong(3)}%5d bp " +
+        f"erosion=${rebuilt.getLong(3) - eroded.getLong(3)}%5d bp " +
+        "(r15 reference: +380 bp)")
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(root))
     spark.stop()
   }
 }

@@ -765,6 +765,50 @@ object GraphAnn {
           .as("recall_bp"))
   }
 
+  /** q227: MaxSim rerank over the GRAPH shortlist — q208's composition
+    * with the beam tier as the retriever (VERDICT r15 next #7: at the
+    * same serve-cost envelope the graph shortlist recalls better than
+    * the IVF scan that q208 reranks). The stored q203 graph retrieves
+    * each probe's top-[[Similarity.RegisteredFixedR]] candidates by
+    * single-vector cosine (the final beam ranked at R instead of k —
+    * R ≤ [[Beam]], so the search does no extra work), then the q205
+    * late-interaction kernel rescores ONLY those probes·R rows and the
+    * final top-k ranks by MaxSim. Same ServedRoots key as
+    * q203/q210/q220 — ONE physical graph serves four query modes.
+    *
+    * 100 TB shape: the retrieval cost is the q203 serve (bucket-pruned
+    * node reads, constant per-probe candidate volume); the 4×nSub²
+    * sub-cosine kernel runs on probes·R broadcast-joined rows — never
+    * the corpus. */
+  def maxSimGraphRerank(embeddings: DataFrame, corpusTag: String,
+                        nProbes: Int = 10, k: Int = 5): DataFrame = {
+    // the oracle unrolls the beam chain at R and the kernel at the
+    // registered constants
+    require(nProbes == 10 && k == 5,
+      "maxSimGraphRerank is oracle-gated at nProbes=10, k=5")
+    val spark = embeddings.sparkSession
+    val root = servedRootFor(embeddings, corpusTag)
+    val short = serveRoot(root,
+        Similarity.probesFrame(embeddings, nProbes), spark,
+        Similarity.RegisteredFixedR)
+      .select(col("probe_id"), col("neighbor_id"))
+    val base = Similarity.maxSimBase(embeddings, 4, 64)
+    val probes = Similarity.maxSimBase(
+        embeddings.filter(col("vec_id") < nProbes), 4, 64)
+      .select(col("vec_id").as("probe_id"), col("sv").as("pv"),
+        col("sn").as("pn"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("maxsim").desc, col("neighbor_id"))
+    base.join(broadcast(short), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(probes), "probe_id")
+      .withColumn("maxsim", Similarity.maxSimScore(4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("maxsim"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracles
   // ---------------------------------------------------------------------
@@ -863,7 +907,10 @@ object GraphAnn {
       |    (SELECT *, row_number() OVER (PARTITION BY probe_id
       |       ORDER BY cos DESC, node) rn FROM ${name}s) WHERE rn <= $beamLim)""".stripMargin
 
-  val beamTopKSql: String = {
+  /** The q202 oracle with the FINAL rank cut at `finalK` — the rerank
+    * composition (q227) draws its graph shortlist from the same chain
+    * at the registered R instead of k. */
+  private[llm] def beamTopKSqlAt(finalK: Int): String = {
     val hops = (1 to Hops).map(i => hopCte(s"b${i - 1}", s"b$i"))
       .mkString(",\n")
     s"""${Similarity.dynamicKBlockedCteSql},
@@ -913,8 +960,10 @@ object GraphAnn {
       |SELECT probe_id, node AS neighbor_id, cos, CAST(rn AS BIGINT) AS rnk
       |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
       |        ORDER BY cos DESC, node) rn FROM b$Hops)
-      |WHERE rn <= 5 ORDER BY probe_id, rnk""".stripMargin
+      |WHERE rn <= $finalK ORDER BY probe_id, rnk""".stripMargin
   }
+
+  val beamTopKSql: String = beamTopKSqlAt(5)
 
   /** Oracle for [[beamTopKFiltered]]/[[beamTopKFilteredServed]]: the
     * q202 chain with (a) the eligible corpus `ve` (even label) as the
@@ -1008,6 +1057,36 @@ object GraphAnn {
       |    / count(*)) AS BIGINT) AS recall_bp
       |FROM truth t LEFT JOIN g
       |  ON g.probe_id = t.probe_id AND g.neighbor_id = t.neighbor_id""".stripMargin
+
+  /** Oracle for [[maxSimGraphRerank]]: the q202 chain cut at the
+    * registered R as the shortlist, then q208's MaxSim kernel CTEs
+    * verbatim (4 sub-vectors, max-cosine per probe sub, summed in sub
+    * order, round 4) and the final MaxSim rank. */
+  val maxSimGraphRerankSql: String =
+    s"""WITH short AS (SELECT probe_id, neighbor_id
+      |  FROM (${beamTopKSqlAt(Similarity.RegisteredFixedR)}) q),
+      |s AS (SELECT vec_id,
+      |    list_transform(range(4), i ->
+      |      embedding[i * 16 + 1 : i * 16 + 16]) AS sv,
+      |    list_transform(range(4), i ->
+      |      sqrt(list_sum(list_transform(embedding[i * 16 + 1 : i * 16 + 16],
+      |        x -> x::DOUBLE * x::DOUBLE)))) AS sn
+      |  FROM embeddings),
+      |sub AS (SELECT sh.probe_id, sh.neighbor_id, i.range AS i,
+      |    max(list_sum(list_transform(list_zip(p.sv[i.range + 1], n.sv[j.range + 1]),
+      |      z -> z[1]::DOUBLE * z[2]::DOUBLE))
+      |      / (p.sn[i.range + 1] * n.sn[j.range + 1])) AS mc
+      |  FROM short sh JOIN s p ON p.vec_id = sh.probe_id
+      |                JOIN s n ON n.vec_id = sh.neighbor_id
+      |  CROSS JOIN range(4) i CROSS JOIN range(4) j
+      |  GROUP BY sh.probe_id, sh.neighbor_id, i.range),
+      |sc AS (SELECT probe_id, neighbor_id,
+      |    round(list_sum(list(mc ORDER BY i)), 4) AS maxsim
+      |  FROM sub GROUP BY probe_id, neighbor_id),
+      |rr AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |        ORDER BY maxsim DESC, neighbor_id) rnk FROM sc)
+      |SELECT probe_id, neighbor_id, maxsim, CAST(rnk AS BIGINT) AS rnk
+      |FROM rr WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
 
   /** Oracle for [[graphRecall]]: the q35 and q202 oracles verbatim as
     * derived tables, scored with q39's left-join + floor arithmetic. */

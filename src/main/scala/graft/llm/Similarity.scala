@@ -590,7 +590,7 @@ object Similarity {
 
   /** The per-vector sub-vector frames of the MaxSim kernel:
     * (vec_id, sv = nSub slices, sn = their norms). */
-  private def maxSimBase(embeddings: DataFrame, nSub: Int,
+  private[llm] def maxSimBase(embeddings: DataFrame, nSub: Int,
                          dim: Int): DataFrame = {
     val sd = dim / nSub
     val subs = transform(sequence(lit(0), lit(nSub - 1)),
@@ -604,7 +604,7 @@ object Similarity {
   /** The row-level MaxSim expression over (pv, pn) × (sv, sn): sum over
     * probe sub-vectors of the max cosine against any doc sub-vector,
     * rounded once — no fan-out, no shuffle. */
-  private def maxSimScore(nSub: Int): Column =
+  private[llm] def maxSimScore(nSub: Int): Column =
     round(aggregate(sequence(lit(0), lit(nSub - 1)), lit(0.0d),
       (acc, i) => acc + array_max(transform(sequence(lit(0), lit(nSub - 1)),
         j => dot(element_at(col("pv"), i + 1), element_at(col("sv"), j + 1)) /
@@ -1994,6 +1994,282 @@ object Similarity {
       |    / count(*)) AS BIGINT) AS recall_bp
       |FROM truth t LEFT JOIN g
       |  ON g.probe_id = t.probe_id AND g.neighbor_id = t.neighbor_id""".stripMargin
+
+  // -----------------------------------------------------------------
+  // q225/q226: SQ8-family ingest lifecycle (VERDICT r15 missing #3 —
+  // every other index family had generations/tombstones; the packed
+  // tier had none)
+  // -----------------------------------------------------------------
+
+  /** The q184 entity/arrival fixture band: entities of four versions
+    * (ent = vec_id/4, version b = vec_id%4), gen-0 indexes the b=0
+    * rows, batch g re-writes each entity with its b=g row, vec_id%7=0
+    * arrivals are tombstones. */
+  private def sq8ArrivalBand(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+      floor(col("vec_id") / 4).cast("long").as("ent"),
+      col("vec_id"), (col("vec_id") % 4).as("b"),
+      col("embedding"), (col("vec_id") % 7 === 0).as("del"))
+
+  /** One composed store row per live arrival: the frozen-coarse argmin
+    * (the q184/q190 frozen-quantizer contract — arrivals are assigned
+    * by the STORED centroids, training never re-runs on ingest) plus
+    * the q213 per-row SQ8 pack — (ent, vec_id, b8, nsq, cluster).
+    * Batch-sized kernels only: quantize, one broadcast-centroid argmin,
+    * one pack pass. */
+  private def sq8ComposedRows(vecs: DataFrame,
+                              cents: DataFrame): DataFrame = {
+    val asg = quantized(vecs.select(col("vec_id"), col("embedding")), 1000)
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", graft.functions.VectorFunctions.longSqDist(
+        col("qe"), col("ce")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cluster"))).as("mm"))
+      .select(col("vec_id"), col("mm.cluster").as("cluster"))
+    sq8Packed(vecs.select(col("vec_id"), col("embedding")))
+      .join(asg, "vec_id")
+      .join(vecs.select(col("ent"), col("vec_id")), "vec_id")
+      .select(col("ent"), col("vec_id"), col("b8"), col("nsq"),
+        col("cluster"))
+  }
+
+  /** Seeds the SQ8 lifecycle store under `root`: frozen coarse
+    * centroids trained on the gen-0 live set, then `gen0` — the packed
+    * composed rows. */
+  private[graft] def sq8SeedTo(embeddings: DataFrame, root: String): Unit = {
+    val spark = embeddings.sparkSession
+    val live0 = sq8ArrivalBand(embeddings)
+      .filter(col("b") === 0 && !col("del"))
+    sweepAfter(spark) {
+      val (_, cents) =
+        trainLloyd(live0.select(col("vec_id"), col("embedding")))
+      cents.write.mode("overwrite").parquet(s"$root/centroids")
+    }
+    sq8ComposedRows(live0, spark.read.parquet(s"$root/centroids"))
+      .write.mode("overwrite").parquet(s"$root/gen0")
+  }
+
+  /** One arrival batch (ent, vec_id, embedding, del) merged into the
+    * packed store as generation `g`: live arrivals PACK per batch
+    * (idempotent per-row — bit-identical to a build-time pack), the
+    * entity anti-join retires every re-written entity's old row, and
+    * tombstoned entities simply do not re-enter (the q184 merge
+    * discipline on the packed row shape). The batch side broadcasts;
+    * the survivor scan is one map-side pass. */
+  private[llm] def sq8IngestBatch(spark: org.apache.spark.sql.SparkSession,
+                                  root: String, batch: DataFrame,
+                                  g: Long): Unit = {
+    val cents = spark.read.parquet(s"$root/centroids")
+    val prev = spark.read.parquet(s"$root/gen${g - 1}")
+    prev.join(broadcast(batch.select(col("ent")).distinct()),
+        Seq("ent"), "left_anti")
+      .unionByName(sq8ComposedRows(batch.filter(!col("del")), cents))
+      .write.mode("overwrite").parquet(s"$root/gen$g")
+  }
+
+  /** The next generation number under a lifecycle root (gen dirs are
+    * never reused — the lsmStorePaths discipline). */
+  private def sq8NextGen(root: String): Long = {
+    val gens = Option(new java.io.File(root).list()).getOrElse(Array.empty)
+      .filter(_.matches("gen\\d+")).map(_.drop(3).toLong)
+    require(gens.nonEmpty, s"SQ8 lifecycle store not seeded under $root")
+    gens.max + 1
+  }
+
+  /** The q225 ingest leg under Structured Streaming (foreachBatch):
+    * arrival micro-batches (ent, vec_id, embedding, del) merge into the
+    * CURRENT store state through the identical per-batch pack +
+    * anti-join — stream ≡ batch proved in StreamingSpec against the
+    * batch lifecycle's final generation. */
+  def sq8IngestStreamBatch(root: String)(batch: DataFrame,
+                                         batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    sq8IngestBatch(spark, root, batch, sq8NextGen(root))
+  }
+
+  /** The full q225 chain against `root`: seed + three arrival
+    * generations. Shared by the audit query, the served leg's
+    * ServedRoots build and the StreamingSpec batch reference. */
+  private[graft] def sq8LifecycleTo(embeddings: DataFrame,
+                                  root: String): Unit = {
+    val spark = embeddings.sparkSession
+    sq8SeedTo(embeddings, root)
+    val band = sq8ArrivalBand(embeddings)
+    for (g <- 1 to 3)
+      sq8IngestBatch(spark, root,
+        band.filter(col("b") === g)
+          .select(col("ent"), col("vec_id"), col("embedding"), col("del")),
+        g.toLong)
+  }
+
+  /** q225: the SQ8-family INGEST LIFECYCLE audit — the q184 discipline
+    * on the packed composed store (pack + frozen-coarse assignment per
+    * batch, entity anti-join merge, tombstones). One audit row per
+    * generation g0..g3: rows, entities, occupied cells, an
+    * assignment-sensitive checksum and the summed int64 self-dots (the
+    * pack-sensitive term — a mis-packed byte moves it). The oracle
+    * recomputes every generation's live set from scratch (latest-wins
+    * window over the band), re-assigns against the frozen centroids and
+    * re-quantizes — incremental merge must equal it bit-for-bit.
+    *
+    * 100 TB shape: per batch the work is batch-sized kernels (pack +
+    * broadcast argmin) plus one map-side survivor pass; nothing
+    * re-trains, nothing shuffles the corpus. */
+  def sq8IndexLifecycle(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_sq8gen_").toString
+    try {
+      sq8LifecycleTo(embeddings, scratch)
+      (0 to 3).map { g =>
+        spark.read.parquet(s"$scratch/gen$g")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("ent")).as("n_ents"),
+            countDistinct(col("cluster")).as("n_cells"),
+            sum(col("ent") * 100000L + col("vec_id") * 10L + col("cluster"))
+              .as("checksum"),
+            sum(col("nsq")).as("nsq_sum"))
+          .select(lit(s"g$g").as("state"), col("n_rows"), col("n_ents"),
+            col("n_cells"), col("checksum"), col("nsq_sum"))
+      }.reduce(_ unionAll _).orderBy(col("state")).localCheckpoint()
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
+  }
+
+  /** q226: the SQ8 lifecycle's SERVE leg — the FINAL store state
+    * (gen3) served through the composed scan: the registered probes
+    * rank the FROZEN stored centroids (probe budget =
+    * ⌈[[IvfPqProbeFrac]]·√|gen-0 live|⌉ — the trained tree's own
+    * scale, exactly the budget rule the store was built under) and the
+    * probed cells' live packed rows stream through the byte kernel.
+    * One lifecycle build per corpus under ServedRoots feeds q225's
+    * audit shape and this serve. The oracle recomputes gen3's live set
+    * from scratch and unrolls the identical scan — the lifecycle
+    * counterpart of the q217 store ≡ recompute proof. */
+  def sq8LifecycleServed(embeddings: DataFrame, corpusTag: String,
+                         nProbes: Int = 10, k: Int = 5): DataFrame = {
+    require(nProbes == 10 && k == 5,
+      "sq8LifecycleServed is oracle-gated at nProbes=10, k=5")
+    val spark = embeddings.sparkSession
+    val root = graft.FsUtil.ServedRoots.getOrBuild(
+      corpusKey(embeddings, "vec_id", s"sq8lc:$corpusTag", embSig),
+      "graft_sq8lc_served_")(sq8LifecycleTo(embeddings, _))
+    val cents = spark.read.parquet(s"$root/centroids")
+    val live0 = sq8ArrivalBand(embeddings)
+      .filter(col("b") === 0 && !col("del"))
+      .select(col("vec_id"), col("embedding"))
+    val pcells = broadcast(probeCellsFor(probesFrame(embeddings, nProbes),
+      live0, cents, nProbe = 0, frac = IvfPqProbeFrac))
+    ivfSq8Rank(pcells,
+      spark.read.parquet(s"$root/gen3")
+        .select(col("vec_id"), col("b8"), col("nsq"), col("cluster")), k)
+  }
+
+  /** Oracle for [[sq8IndexLifecycle]]: frozen centroids from the
+    * trained-Lloyd CTE over the gen-0 live subset (q184's), every
+    * generation's live set from one latest-wins window, re-assigned
+    * from scratch against the frozen c4 and re-quantized through the
+    * q213 chain. */
+  lazy val sq8IndexLifecycleSql: String =
+    s"""${trainedLloydCteSqlWhere("vec_id % 4 = 0 AND vec_id % 7 != 0")},
+      |allv AS (SELECT vec_id // 4 AS ent, vec_id, vec_id % 4 AS b,
+      |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qe,
+      |    (vec_id % 7 = 0) AS del
+      |  FROM embeddings),
+      |st AS (SELECT i.range AS g, ent, vec_id, qe, del,
+      |    row_number() OVER (PARTITION BY i.range, ent ORDER BY b DESC) AS rn
+      |  FROM allv CROSS JOIN range(4) i WHERE b <= i.range),
+      |lv AS (SELECT g, ent, vec_id, qe FROM st WHERE rn = 1 AND NOT del),
+      |pa AS (SELECT lv.g, lv.ent, lv.vec_id, c.cluster,
+      |    CAST(list_sum(list_transform(range(64), i ->
+      |      (lv.qe[i + 1] - c.ce[i + 1]) * (lv.qe[i + 1] - c.ce[i + 1])))
+      |      AS BIGINT) AS dist
+      |  FROM lv CROSS JOIN c4 c),
+      |asgg AS (SELECT g, ent, vec_id, cluster FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY g, vec_id
+      |       ORDER BY dist, cluster) rn FROM pa) WHERE rn = 1),
+      |sc8 AS (SELECT vec_id,
+      |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale,
+      |    embedding
+      |  FROM embeddings),
+      |n8 AS (SELECT vec_id, CAST(list_sum(list_transform(
+      |    CASE WHEN scale = 0
+      |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |      ELSE list_transform(embedding,
+      |        x -> CAST(round(x::DOUBLE / scale, 0) AS BIGINT)) END,
+      |    x -> x * x)) AS BIGINT) AS nsq
+      |  FROM sc8)
+      |SELECT 'g' || CAST(a.g AS VARCHAR) AS state,
+      |  count(*) AS n_rows,
+      |  count(DISTINCT a.ent) AS n_ents,
+      |  count(DISTINCT a.cluster) AS n_cells,
+      |  CAST(sum(a.ent * 100000 + a.vec_id * 10 + a.cluster) AS BIGINT)
+      |    AS checksum,
+      |  CAST(sum(n8.nsq) AS BIGINT) AS nsq_sum
+      |FROM asgg a JOIN n8 ON n8.vec_id = a.vec_id
+      |GROUP BY a.g ORDER BY state""".stripMargin
+
+  /** Oracle for [[sq8LifecycleServed]]: gen3's live set from the same
+    * latest-wins chain, the q216 probed-cell rank against the frozen
+    * c4 (budget ⌈frac·kk⌉ over the gen-0 trained tree) and the q213
+    * byte-kernel scoring restricted to the probed cells' live rows. */
+  lazy val sq8LifecycleServedSql: String =
+    s"""${trainedLloydCteSqlWhere("vec_id % 4 = 0 AND vec_id % 7 != 0")},
+      |allv AS (SELECT vec_id // 4 AS ent, vec_id, vec_id % 4 AS b,
+      |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qe,
+      |    (vec_id % 7 = 0) AS del
+      |  FROM embeddings),
+      |st AS (SELECT ent, vec_id, qe, del,
+      |    row_number() OVER (PARTITION BY ent ORDER BY b DESC) AS rn
+      |  FROM allv),
+      |lv AS (SELECT ent, vec_id, qe FROM st WHERE rn = 1 AND NOT del),
+      |pa AS (SELECT lv.ent, lv.vec_id, c.cluster,
+      |    CAST(list_sum(list_transform(range(64), i ->
+      |      (lv.qe[i + 1] - c.ce[i + 1]) * (lv.qe[i + 1] - c.ce[i + 1])))
+      |      AS BIGINT) AS dist
+      |  FROM lv CROSS JOIN c4 c),
+      |asgg AS (SELECT ent, vec_id, cluster FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |       ORDER BY dist, cluster) rn FROM pa) WHERE rn = 1),
+      |sc8 AS (SELECT vec_id,
+      |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale,
+      |    embedding
+      |  FROM embeddings),
+      |q8 AS (SELECT vec_id, CASE WHEN scale = 0
+      |    THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |    ELSE list_transform(embedding,
+      |      x -> CAST(round(x::DOUBLE / scale, 0) AS BIGINT)) END AS q
+      |  FROM sc8),
+      |n8 AS (SELECT vec_id, q,
+      |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq
+      |  FROM q8),
+      |cells AS (SELECT cluster AS cell,
+      |            list_transform(ce, x -> x::DOUBLE) AS centroid
+      |          FROM c4),
+      |probes AS (SELECT vec_id AS probe_id, embedding AS pe,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS pn
+      |  FROM embeddings WHERE vec_id < 10),
+      |pc AS (SELECT p.probe_id, c.cell,
+      |    list_sum(list_transform(list_zip(p.pe, c.centroid), z -> z[1]::DOUBLE * z[2]))
+      |      / (p.pn * sqrt(list_sum(list_transform(c.centroid, x -> x * x)))) AS ccos
+      |  FROM probes p CROSS JOIN cells c),
+      |pcr AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |          ORDER BY ccos DESC, cell) crnk FROM pc),
+      |sel AS (SELECT probe_id, cell FROM pcr
+      |        WHERE crnk <= (SELECT CAST(ceil($IvfPqProbeFrac * k) AS BIGINT) FROM kk)),
+      |p8 AS (SELECT vec_id AS probe_id, q AS pq, nsq AS pn8
+      |       FROM n8 WHERE vec_id < 10),
+      |pairs AS (SELECT sel.probe_id, a.vec_id AS neighbor_id,
+      |    round(CAST(list_sum(list_transform(list_zip(p8.pq, n.q),
+      |        z -> z[1] * z[2])) AS BIGINT)::DOUBLE
+      |      / sqrt((p8.pn8 * n.nsq)::DOUBLE), 4) AS cos
+      |  FROM sel
+      |  JOIN p8 ON p8.probe_id = sel.probe_id
+      |  JOIN asgg a ON a.cluster = sel.cell AND a.vec_id != sel.probe_id
+      |  JOIN n8 n ON n.vec_id = a.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |        ORDER BY cos DESC, neighbor_id) rnk FROM pairs)
+      |SELECT probe_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
 
   /** Product quantization with asymmetric-distance scoring (the back
     * half of the PQ family; q74's int8 scalar quantization is the front
@@ -4143,7 +4419,17 @@ object Similarity {
   /** Compaction threshold for the LSM vector index (q193), in percent
     * of the base segment's rows — integer arithmetic, oracle-mirrored
     * (the ADVICE-r10 one-constant lesson: both the operator and the
-    * oracle derive from this value). */
+    * oracle derive from this value).
+    *
+    * MEASURED-safe for the graph lifecycle's lazy-repair erosion
+    * (ChurnSweep, N=1e5, 100 probes — PERF.md r15 table): eroded vs
+    * from-scratch-rebuilt recall reads PARITY at 5% re-write churn
+    * (−180 bp, inside the gauge's resolution); erosion only binds at
+    * ~2× the trigger (+380 bp at 10%) and peaks near 20% (+700 bp) —
+    * so a store that compacts at this threshold never serves a
+    * measurably eroded graph, with ~2× margin. LifecycleSweep keeps
+    * the 10% binding point in its default output so the margin stays
+    * watched round over round. */
   private[llm] val LsmDeltaPct = 5L
 
   /** Absolute delta-row floor on the GRAPH lifecycle's compaction

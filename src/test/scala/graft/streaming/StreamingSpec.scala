@@ -824,6 +824,55 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("SQ8-lifecycle ingest on an arrival STREAM equals the batch " +
+    "lifecycle's final store state bit-for-bit (q225 online)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val rootB = Files.createTempDirectory("graft-sq8lcb").toString
+    val rootS = Files.createTempDirectory("graft-sq8lcs").toString
+    val dir = Files.createTempDirectory("graft-sq8arr").toString + "/arr"
+    try {
+      // batch reference: the full q225 chain
+      graft.llm.Similarity.sq8LifecycleTo(emb, rootB)
+      // streamed: same seed, then the three arrival bands as ORDERED
+      // micro-batches through the foreachBatch ingest
+      graft.llm.Similarity.sq8SeedTo(emb, rootS)
+      val band = emb.select(
+        org.apache.spark.sql.functions.floor(col("vec_id") / 4)
+          .cast("long").as("ent"),
+        col("vec_id"), (col("vec_id") % 4).as("b"),
+        col("embedding"), (col("vec_id") % 7 === 0).as("del"))
+      band.filter(col("b") === 1)
+        .select("ent", "vec_id", "embedding", "del").write.parquet(dir)
+      val schema = StructType(Seq(
+        StructField("ent", LongType), StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("del", BooleanType)))
+      val q = spark.readStream.schema(schema).parquet(dir)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.llm.Similarity.sq8IngestStreamBatch(rootS)(b, id))
+        .start()
+      try {
+        q.processAllAvailable()
+        for (g <- 2 to 3) {
+          band.filter(col("b") === g)
+            .select("ent", "vec_id", "embedding", "del")
+            .write.mode("append").parquet(dir)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val fin = spark.read.parquet(s"$rootB/gen3")
+      val finS = spark.read.parquet(s"$rootS/gen3")
+      assert(finS.count() === fin.count())
+      assert(finS.except(fin).isEmpty && fin.except(finS).isEmpty)
+    } finally {
+      graft.FsUtil.deleteRecursively(new java.io.File(rootB))
+      graft.FsUtil.deleteRecursively(new java.io.File(rootS))
+    }
+  }
+
   test("graph-LIFECYCLE serve on a probe STREAM equals the batch serve " +
     "(q211 online; union of foreachBatch micro-batches == one batch)") {
     import org.apache.spark.sql.functions.col
