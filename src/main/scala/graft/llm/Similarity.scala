@@ -4537,8 +4537,7 @@ object Similarity {
       onState(s"g$g")
       if (deltaRows * 100L > baseRows * LsmDeltaPct) {
         val np = s"$root/base_c$g"
-        view().repartition(32, col("cluster"))
-          .write.mode("overwrite").partitionBy("cluster").parquet(np)
+        lsmWriteBase(view(), root, np)
         deltaPaths.foreach(d =>
           graft.FsUtil.deleteRecursively(new java.io.File(d)))
         deltaPaths = Vector.empty
@@ -4570,13 +4569,13 @@ object Similarity {
     }
     val cents = spark.read.parquet(s"$root/centroids")
     val q0 = quantized(embeddings.select(col("vec_id"), col("embedding")), 1000)
-    frozenAssignQ(
-        q0.select(col("vec_id").as("ent"), col("vec_id"), col("qe")), cents)
-      .join(q0, "vec_id")
-      .select(col("ent"), col("vec_id"), col("cluster"), col("dist"),
-        col("qe"))
-      .repartition(32, col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$root/base")
+    lsmWriteBase(
+      frozenAssignQ(
+          q0.select(col("vec_id").as("ent"), col("vec_id"), col("qe")), cents)
+        .join(q0, "vec_id")
+        .select(col("ent"), col("vec_id"), col("cluster"), col("dist"),
+          col("qe")),
+      root, s"$root/base")
     (q0, cents)
   }
 
@@ -4610,6 +4609,60 @@ object Similarity {
     * the within-generation tie falls back deterministically to the
     * highest vec_id rather than task-retry roulette (review r11).
     * Shared by the batch lifecycle and the streaming ingest leg. */
+  /** Writes an LSM base segment in the bucketed block-file layout
+    * ([[CellStore]], r16 — the r15 layout was `repartition(32,
+    * cluster)` + `partitionBy(cluster)`: up to 32 files per cell dir,
+    * dir count linear in N). B derives from the root's stored centroid
+    * table, the same rule the pruned readers apply. */
+  private def lsmWriteBase(df: DataFrame, root: String,
+                           path: String): Unit =
+    CellStore.write(df,
+      CellStore.bucketCount(df.sparkSession.read
+        .parquet(s"$root/centroids").count()),
+      path)
+
+  /** The latest-wins view RESTRICTED to a probed-cell frame — the
+    * serve-path resolution (r16): the base scan prunes via
+    * [[CellStore.prunedToF]]'s bucket-keyed DPP semi-join (the r15
+    * serve resolved the WHOLE view and pruned only at the probe join —
+    * through the anti-join + union no partition filter ever reached
+    * the base scan, an O(N)-per-batch resolution), and the delta view
+    * prunes by the same census AFTER its latest-wins window. The
+    * liveness invariant is the graph lifecycle's: the anti-join uses
+    * the UNFILTERED delta entity set — cell predicates are not
+    * entity-stable, an entity can change cells on re-write. */
+  private def lsmResolvedViewPruned(spark: org.apache.spark.sql.SparkSession,
+                                    root: String, basePath: String,
+                                    deltaPaths: Seq[String],
+                                    cellsF: DataFrame,
+                                    payload: Seq[String] = Seq("qe"))
+      : DataFrame = {
+    val cols = Seq(col("ent"), col("vec_id"),
+      col("cluster").cast("long").as("cluster"), col("dist")) ++
+      payload.map(col)
+    val nb = CellStore.bucketCount(
+      spark.read.parquet(s"$root/centroids").count())
+    val b = CellStore.prunedToF(spark.read.parquet(basePath), nb, cellsF)
+      .select(cols: _*)
+    if (deltaPaths.isEmpty) b
+    else {
+      val ds = deltaPaths.zipWithIndex.map { case (p, i) =>
+          spark.read.parquet(p).withColumn("gen", lit(i.toLong))
+        }.reduce(_ unionByName _)
+      val latest = ds
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("ent"))
+            .orderBy(col("gen").desc, col("vec_id").desc)))
+        .filter(col("rn") === 1 && !col("del"))
+        .select(cols: _*)
+      val latestPruned = latest.join(broadcast(cellsF),
+        latest("cluster") === cellsF("cell"), "left_semi")
+      b.join(broadcast(ds.select(col("ent")).distinct()),
+          Seq("ent"), "left_anti")
+        .unionByName(latestPruned)
+    }
+  }
+
   private def lsmResolvedView(spark: org.apache.spark.sql.SparkSession,
                               basePath: String,
                               deltaPaths: Seq[String],
@@ -4732,10 +4785,8 @@ object Similarity {
     val deltaRows = deltaPaths.map(p => segCount(spark, p)).sum
     val baseRows = segCount(spark, basePath)
     if (deltaRows * 100L > baseRows * LsmDeltaPct) {
-      lsmResolvedView(spark, basePath, deltaPaths)
-        .repartition(32, col("cluster"))
-        .write.mode("overwrite").partitionBy("cluster")
-        .parquet(s"$root/base_c$next")
+      lsmWriteBase(lsmResolvedView(spark, basePath, deltaPaths),
+        root, s"$root/base_c$next")
       deltaPaths.foreach { p =>
         graft.FsUtil.deleteRecursively(new java.io.File(p))
         dropSegCount(p)
@@ -4847,14 +4898,19 @@ object Similarity {
     val spark = embeddings.sparkSession
     val cents = spark.read.parquet(s"$root/centroids")
     val (basePath, deltas) = lsmStorePaths(root)
-    val view = lsmResolvedView(spark, basePath,
-        deltas.map(i => s"$root/delta$i"))
+    val pcells = broadcast(probeCellsFor(probes, embeddings, cents,
+      nProbe = 0, frac = IvfProbeFrac))
+    // resolve ONLY the probed cells' view rows (r16): the census rides
+    // the bucket-pruned base read instead of resolving the whole
+    // corpus and discarding unprobed cells at this join
+    val view = lsmResolvedViewPruned(spark, root, basePath,
+        deltas.map(i => s"$root/delta$i"),
+        pcells.select(col("cell")).distinct())
       .withColumn("qvec", transform(col("qe"), x => x.cast("double")))
       .withColumn("qn", l2norm(col("qvec")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    broadcast(probeCellsFor(probes, embeddings, cents, nProbe = 0,
-        frac = IvfProbeFrac))
+    pcells
       .join(view,
         col("cell") === col("cluster") && col("vec_id") =!= col("probe_id"))
       .withColumn("cos", round(dot(col("pe"), col("qvec")) /
@@ -5025,11 +5081,11 @@ object Similarity {
     val cents = spark.read.parquet(s"$root/centroids")
     val cb = spark.read.parquet(s"$root/codebook")
     val q0 = quantized(embeddings.select(col("vec_id"), col("embedding")), 1000)
-    composedRowsQ(
+    lsmWriteBase(
+      composedRowsQ(
         q0.select(col("vec_id").as("ent"), col("vec_id"), col("qe")),
-        cents, cb)
-      .repartition(32, col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$root/base")
+        cents, cb),
+      root, s"$root/base")
     (q0, cents, cb)
   }
 
@@ -5110,8 +5166,7 @@ object Similarity {
       onState(s"g$g")
       if (deltaRows * 100L > baseRows * LsmDeltaPct) {
         val np = s"$root/base_c$g"
-        view().repartition(32, col("cluster"))
-          .write.mode("overwrite").partitionBy("cluster").parquet(np)
+        lsmWriteBase(view(), root, np)
         deltaPaths.foreach(d =>
           graft.FsUtil.deleteRecursively(new java.io.File(d)))
         deltaPaths = Vector.empty
@@ -5144,11 +5199,10 @@ object Similarity {
     val deltaRows = deltaPaths.map(p => segCount(spark, p)).sum
     val baseRows = segCount(spark, basePath)
     if (deltaRows * 100L > baseRows * LsmDeltaPct) {
-      lsmResolvedView(spark, basePath, deltaPaths,
-          payload = Seq("qe", "cws"))
-        .repartition(32, col("cluster"))
-        .write.mode("overwrite").partitionBy("cluster")
-        .parquet(s"$root/base_c$next")
+      lsmWriteBase(
+        lsmResolvedView(spark, basePath, deltaPaths,
+          payload = Seq("qe", "cws")),
+        root, s"$root/base_c$next")
       deltaPaths.foreach { p =>
         graft.FsUtil.deleteRecursively(new java.io.File(p))
         dropSegCount(p)
@@ -5202,15 +5256,15 @@ object Similarity {
     val cents = spark.read.parquet(s"$root/centroids")
     val cb = spark.read.parquet(s"$root/codebook")
     val (basePath, deltas) = lsmStorePaths(root)
-    val view = lsmResolvedView(spark, basePath,
-      deltas.map(i => s"$root/delta$i"), payload = Seq("qe", "cws"))
     val pcells = broadcast(probeCellsFor(probes, embeddings, cents,
       nProbe = 0, frac = IvfPqProbeFrac))
-    // prune FIRST, decode after (the q187 discipline): only probed
-    // cells' rows are exploded or decoded
-    val pruned = view
-      .join(broadcast(pcells.select(col("cell")).distinct()),
-        col("cluster") === col("cell")).drop("cell")
+    // prune FIRST, decode after (the q187 discipline): the probed-cell
+    // census rides the bucket-pruned base read inside the resolution
+    // (r16), so only probed cells' rows are resolved, exploded or
+    // decoded
+    val pruned = lsmResolvedViewPruned(spark, root, basePath,
+      deltas.map(i => s"$root/delta$i"),
+      pcells.select(col("cell")).distinct(), payload = Seq("qe", "cws"))
     val labeled = pqDecodeLabeled(
       pruned.select(col("vec_id"), col("cluster"),
         posexplode(col("cws")).as(Seq("m", "cw"))), cb)

@@ -635,10 +635,11 @@ class SimilaritySpec extends SparkSpec {
       assert(g3c._4 === 0L && g3c._5 === 1L)
       assert(g3._4 > 0L && g3._5 === 0L)
       assert(!new java.io.File(s"$scratch/delta1").exists())
-      // the compacted base carries the full composed row shape
+      // the compacted base carries the full composed row shape (plus
+      // the r16 bucketed layout's partition column)
       val comp = spark.read.parquet(s"$scratch/base_c3")
       assert(comp.columns.toSet ===
-        Set("ent", "vec_id", "cluster", "dist", "qe", "cws"))
+        Set("ent", "vec_id", "cluster", "dist", "qe", "cws", "bucket"))
       assert(comp.count() === g3._1)
     } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
   }

@@ -83,6 +83,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in serve plan:\n$p")
   }
 
+  test("LSM serve (q195) bucket-prunes the base-segment scan (r16: " +
+    "the pruned resolution reaches the scan, not just the probe join)") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = plan(graft.llm.Similarity.lsmServed(emb, s"planshape-$sf"))
+    assert(p.contains("dynamicpruning"),
+      s"LSM base scan lost dynamic partition pruning on bucket:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in LSM serve:\n$p")
+  }
+
   test("range join with equi key never plans a cartesian/nested loop over both sides") {
     val p = plan(Relational.rangeJoin(Tables.events(spark, sf)))
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
