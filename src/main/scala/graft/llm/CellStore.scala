@@ -78,7 +78,11 @@ object CellStore {
   def write(rows: DataFrame, nBuckets: Long, path: String): Unit =
     rows.withColumn("bucket", bucketOf(col("cluster"), nBuckets))
       .repartition(col("bucket"))
-      .sortWithinPartitions(col("cluster"))
+      // sort by (bucket, cluster): the dynamic-partition writer demands
+      // task rows ordered by the partition column and would otherwise
+      // insert its OWN non-stable sort on bucket alone, destroying the
+      // cluster order the row-group/page skipping depends on
+      .sortWithinPartitions(col("bucket"), col("cluster"))
       .write.partitionBy("bucket").mode("overwrite")
       .option("maxRecordsPerFile", RowsPerFile)
       .parquet(path)
