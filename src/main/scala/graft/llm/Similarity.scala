@@ -2114,7 +2114,15 @@ object Similarity {
     *
     * 100 TB shape: per batch the work is batch-sized kernels (pack +
     * broadcast argmin) plus one map-side survivor pass; nothing
-    * re-trains, nothing shuffles the corpus. */
+    * re-trains, nothing shuffles the corpus. Honest caveat: like q184,
+    * each generation REWRITES the surviving index rows (O(N) bytes per
+    * batch, map-side) — right for daily-batch cadences; at high batch
+    * rates the q193 delta-segment pattern (append-only deltas +
+    * latest-wins reads + triggered compaction) is the drop-in
+    * alternative, already built for the flat and composed vector
+    * tiers. A drift-triggered re-pack would compose exactly like
+    * q188's retrain (the pack is deterministic given vectors:
+    * re-run [[sq8SeedTo]] over the live set). */
   def sq8IndexLifecycle(embeddings: DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
     val scratch =
