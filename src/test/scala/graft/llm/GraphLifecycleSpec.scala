@@ -139,6 +139,17 @@ class GraphLifecycleSpec extends SparkSpec {
       // (c) the pruned base scan must NOT read every cluster partition
       assert(cells.size < all.size,
         "fixture degenerate: pruning set covers every cell")
+      // (d) layout pin (VERDICT r15 #1, the GraphAnnSpec pin's
+      // lifecycle twin): base data files bounded by the bucket count
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      val base = GraphLifecycle.currentBaseOf(root)
+      val nFiles = walk(new java.io.File(s"$base/nodes0"))
+        .count(_.getName.endsWith(".parquet"))
+      val nb = CellStore.bucketCount(
+        spark.read.parquet(s"$base/centroids").count())
+      assert(nFiles <= nb, s"$nFiles nodes0 files > $nb buckets")
     } finally graft.FsUtil.deleteRecursively(new java.io.File(root))
   }
 

@@ -92,6 +92,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in LSM serve:\n$p")
   }
 
+  test("LSM composed serve (q198) bucket-prunes the base-segment scan") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = plan(graft.llm.Similarity.lsmComposedServeSplit(emb,
+      s"planshape-$sf"))
+    assert(p.contains("dynamicpruning"),
+      s"composed LSM base scan lost DPP on bucket:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in composed LSM serve:\n$p")
+  }
+
   test("range join with equi key never plans a cartesian/nested loop over both sides") {
     val p = plan(Relational.rangeJoin(Tables.events(spark, sf)))
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
