@@ -216,8 +216,9 @@ object GraphSweep {
       yield (beam, hops)
     for ((beam, hops) <- grid) {
       val t0 = System.nanoTime()
-      val got = GraphAnn.beamFrom(probes, baseFor, edges, medoids, cents,
-          coarse, 5, beam, hops)
+      val got = GraphAnn.beamFrom(probes, baseFor,
+          GraphAnn.expandWith(edges),
+          medoids, cents, coarse, 5, beam, hops)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (truth intersect got).size.toDouble / truth.size
       println(f"beam=$beam%4d hops=$hops  recall=${recall * 10000}%5.0f bp" +
@@ -323,15 +324,23 @@ object GraphScanFrac {
     println(f"   [build took ${(System.nanoTime() - t0) / 1e9}%.1f s]")
     val nodes = spark.read.parquet(s"$root/nodes")
     val totalCells = nodes.select(col("cluster")).distinct().count()
-    // the bounded-layout receipts: data files + dirs under nodes/
+    // the bounded-layout receipts: data files + dirs under nodes/ and
+    // edges/ (null-guarded listFiles — ADVICE r16 #3)
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
     val files = walk(new java.io.File(s"$root/nodes"))
       .filter(_.getName.endsWith(".parquet"))
     val storeBytes = files.map(_.length()).sum
     println(s"== node store layout: ${files.size} data files " +
       f"(${storeBytes / 1e6}%.1f MB) for $totalCells cells " +
       s"(r15 layout: $totalCells files)")
+    val edgeFiles = walk(new java.io.File(s"$root/edges"))
+      .filter(_.getName.endsWith(".parquet"))
+    val edgeRows = spark.read.parquet(s"$root/edges").count()
+    println(s"== edge store layout: ${edgeFiles.size} data files " +
+      f"(${edgeFiles.map(_.length()).sum / 1e6}%.1f MB, $edgeRows rows) " +
+      s"bucketed on the source cell (r16 layout: 1 flat table)")
     // --- pruning micro-check (the r16 acceptance assert): a census
     // SMALLER than the bucket count must skip files AND rows on the
     // DPP-pruned read. AQE off so the executed plan is concrete and the
@@ -339,30 +348,51 @@ object GraphScanFrac {
     // fixture N saturates the cells — see the per-pass report below —
     // so the skipping property is asserted where the layout can
     // express it: census < buckets, the production regime.)
+    // save/restore the prior AQE value instead of hard-coding "true"
+    // on the way out (ADVICE r16 #3)
+    val aqePrior = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val smallCells = nodes.select(col("cluster")).distinct()
       .orderBy(col("cluster")).limit(5)
       .select(col("cluster").as("cell"))
-    val prunedRead = GraphAnn.servedBaseRead(spark, root)(
-      smallCells.localCheckpoint())
+      .localCheckpoint()
+    def scanOf(df: org.apache.spark.sql.DataFrame, loc: String) =
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains(loc)) => f
+      }.getOrElse(sys.error(s"$loc scan not found in executed plan"))
+    val prunedRead = GraphAnn.servedBaseRead(spark, root)(smallCells)
     // collect() executes THIS dataset's QueryExecution — a write would
     // plan a fresh one and leave these metrics at zero
     prunedRead.collect()
-    def scanOf(df: org.apache.spark.sql.DataFrame) =
-      df.queryExecution.executedPlan.collectLeaves().collectFirst {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec
-          if f.metadata.get("Location").exists(_.contains("/nodes")) => f
-      }.getOrElse(sys.error("node scan not found in executed plan"))
-    val sc = scanOf(prunedRead)
+    val sc = scanOf(prunedRead, "/nodes")
     val scannedFiles = sc.metrics("numFiles").value
     val scannedRows = sc.metrics("numOutputRows").value
-    println(s"== 5-cell census pruned read: $scannedFiles of " +
+    println(s"== 5-cell census pruned NODE read: $scannedFiles of " +
       s"${files.size} files, $scannedRows of $n rows scanned")
     assert(scannedFiles < files.size,
       s"DPP read $scannedFiles of ${files.size} files — not skipping")
     assert(scannedRows < n,
       s"DPP read $scannedRows of $n rows — not skipping")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the r17 edge twin: a frontier confined to the same 5 cells must
+    // skip edge files AND rows on its expansion's DPP-pruned base scan
+    val smallFrontier = nodes.join(smallCells,
+        nodes("cluster") === smallCells("cell"), "left_semi")
+      .select(col("vec_id").as("probe_id"), col("vec_id").as("node"),
+        col("cluster").as("cell"))
+    val prunedEdges = GraphAnn.servedExpand(spark, root)(smallFrontier)
+    prunedEdges.collect()
+    val se = scanOf(prunedEdges, "/edges")
+    val eScannedFiles = se.metrics("numFiles").value
+    val eScannedRows = se.metrics("numOutputRows").value
+    println(s"== 5-cell census pruned EDGE read: $eScannedFiles of " +
+      s"${edgeFiles.size} files, $eScannedRows of $edgeRows rows scanned")
+    assert(eScannedFiles < edgeFiles.size,
+      s"edge DPP read $eScannedFiles of ${edgeFiles.size} files — " +
+        "not skipping")
+    assert(eScannedRows < edgeRows,
+      s"edge DPP read $eScannedRows of $edgeRows rows — not skipping")
+    spark.conf.set("spark.sql.adaptive.enabled", aqePrior)
     val rowsPerCell = n.toDouble / totalCells
     for (nProbes <- Seq(10, 1)) {
       val passes = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -375,7 +405,7 @@ object GraphScanFrac {
       }
       val t1 = System.nanoTime()
       GraphAnn.beamFrom(Similarity.probesFrame(emb, nProbes), baseFor,
-          spark.read.parquet(s"$root/edges"),
+          GraphAnn.servedExpand(spark, root),
           spark.read.parquet(s"$root/medoids")
             .withColumn("cell", col("cluster")),
           spark.read.parquet(s"$root/centroids"),
@@ -456,7 +486,7 @@ object FilteredGraphScale {
           cellsF => baseRead(cellsF).filter(col("label") % 2 === 0)
             .select(col("vec_id"), col("embedding"), col("nrm"),
               col("cluster")),
-          spark.read.parquet(s"$root/edges"),
+          GraphAnn.servedExpand(spark, root),
           spark.read.parquet(s"$root/medoids")
             .withColumn("cell", col("cluster")),
           spark.read.parquet(s"$root/centroids"),

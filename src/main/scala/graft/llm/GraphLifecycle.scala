@@ -155,23 +155,33 @@ object GraphLifecycle {
   }
 
   /** Both directions of the insert edges — the stored segment rows,
-    * each carrying its DESTINATION's cell, deduplicated AT WRITE
-    * (VERDICT r14 #2: symmetrization dedup deferred to read time was a
-    * full-edge-set shuffle per serve call; a live duplicate can only be
-    * within-segment — a cross-segment duplicate's later copy implies an
-    * endpoint re-arrival that kills the earlier copy — so write-time
-    * distinct ≡ the old read-time distinct on the live view). */
+    * each carrying its DESTINATION's cell (the node-read census) AND
+    * its SOURCE's cell (`scell` — the r17 edge-pruning key: within a
+    * segment the source's cell is fixed by that segment's live view,
+    * so for any edge that stays LIVE the stored scell equals the
+    * endpoint's current cell and a frontier-census prune on it is
+    * exact), deduplicated AT WRITE (VERDICT r14 #2: symmetrization
+    * dedup deferred to read time was a full-edge-set shuffle per serve
+    * call; a live duplicate can only be within-segment — a
+    * cross-segment duplicate's later copy implies an endpoint
+    * re-arrival that kills the earlier copy — so write-time distinct ≡
+    * the old read-time distinct on the live view; scell/dcell are
+    * endpoint-determined within the segment, so carrying them leaves
+    * the distinct set unchanged). */
   private def symmetrized(dir: DataFrame): DataFrame =
-    dir.select(col("src"), col("dst"), col("cos"), col("dcell"))
+    dir.select(col("src"), col("dst"), col("cos"),
+        col("scell"), col("dcell"))
       .unionAll(dir.select(col("dst").as("src"), col("src").as("dst"),
-        col("cos"), col("scell").as("dcell")))
+        col("cos"), col("dcell").as("scell"), col("scell").as("dcell")))
       .distinct()
 
   /** One node segment read back with a stable schema: the base is
-    * written partitionBy(cluster), so its `cluster` comes back as an
-    * inferred partition column (IntegerType) in trailing position —
-    * normalize to the delta segments' (vec_id, qe, cluster: long, gen,
-    * del) so unionByName and the join keys agree across segments. */
+    * written in the bucketed [[CellStore]] layout (r16), so `bucket` is
+    * the inferred partition column and `cluster` comes back as a long
+    * DATA column — the cast is a no-op kept for schema uniformity with
+    * the delta segments' (vec_id, qe, cluster: long, gen, del), and the
+    * explicit select drops the bucket column so unionByName and the
+    * join keys agree across segments. */
   private def readNodeSeg(spark: SparkSession, p: String): DataFrame =
     spark.read.parquet(p).select(col("vec_id"), col("qe"),
       col("cluster").cast("long").as("cluster"), col("gen"), col("del"))
@@ -338,10 +348,28 @@ object GraphLifecycle {
   private def liveEdges(spark: SparkSession, nodes: DataFrame,
                         edgeSegs: Seq[(String, Long)]): DataFrame = {
     val es = edgeSegs.map { case (p, g) =>
-        spark.read.parquet(p).withColumn("seg", lit(g))
+        // explicit select: the base segment's read-back carries the
+        // bucketed layout's cluster/bucket columns, the delta segments
+        // carry scell — normalize to the liveness schema
+        spark.read.parquet(p)
+          .select(col("src"), col("dst"), col("cos"), col("dcell"))
+          .withColumn("seg", lit(g))
       }.reduce(_ unionByName _)
     val touched = nodes.filter(col("gen") > 0 || col("del"))
       .select(col("vec_id"), col("gen"), col("del"))
+    livenessFiltered(es, touched)
+  }
+
+  /** The liveness rule over a segment union carrying (src, dst, seg)
+    * plus any passenger columns: an edge from segment s survives iff
+    * neither endpoint was re-written after s and neither is
+    * tombstoned. `touched` must be the UNFILTERED touched-entity set —
+    * never cell-pruned (liveness is keyed on endpoints, which are
+    * entity-stable only per segment). Passenger columns (cos, dcell,
+    * the serve path's probe_id) ride through; the join temporaries and
+    * seg are dropped. */
+  private def livenessFiltered(es: DataFrame,
+                               touched: DataFrame): DataFrame =
     es.join(broadcast(touched.select(col("vec_id").as("src"),
         col("gen").as("sg"), col("del").as("sd"))), Seq("src"), "left")
       .join(broadcast(touched.select(col("vec_id").as("dst"),
@@ -352,7 +380,48 @@ object GraphLifecycle {
       // no distinct: segments are deduplicated at write ([[symmetrized]])
       // and cross-segment duplicates cannot both be live, so the filter
       // alone IS the live view — the read path pays no O(E) shuffle
-      .select(col("src"), col("dst"), col("cos"), col("dcell"))
+      .drop("sg", "sd", "dg", "dd", "seg")
+
+  /** The serve path's PER-HOP expansion over the live edge view (r17,
+    * VERDICT r16 #1 — the adjacency twin of [[liveMembersFromF]]):
+    * the frontier `bm(probe_id, node, cell)` broadcast-joins each
+    * segment on src = node, with the bucketed edge BASE additionally
+    * keyed on the frontier cell's bucket — dynamic partition pruning
+    * plants off that key, so the hop's base scan IO is the frontier's
+    * buckets, not all E rows — and the (batch-bounded) delta segments
+    * keyed on their stored scell. The liveness joins then run on the
+    * already-frontier-bounded rows against the UNFILTERED touched set
+    * (the entity-stability invariant — liveness commutes with the
+    * frontier join because they key on disjoint columns). Exact,
+    * because a LIVE edge's stored scell equals its source's current
+    * cell (no re-write after the segment, by the liveness rule
+    * itself), which is the cell the frontier row carries; a STALE
+    * edge the cell keys drop early would have been dropped by
+    * liveness anyway. The segment reads happen once per serve call
+    * (one file-index listing); each hop only adds its joins. */
+  private def liveExpandFor(spark: SparkSession, base: String, nb: Long,
+                            touched: DataFrame): DataFrame => DataFrame = {
+    val e0 = spark.read.parquet(s"$base/edges0")
+    val deltas = deltaGens(base).map(g =>
+      spark.read.parquet(s"$base/edges$g") -> g.toLong)
+    bm => {
+      val b = broadcast(bm.select(col("probe_id"), col("node"),
+          col("cell").cast("long").as("cell"),
+          CellStore.bucketOf(col("cell").cast("long"), nb).as("bkt"))
+        .filter(col("bkt") >= 0))
+      val b0 = e0.join(b,
+          e0("bucket") === b("bkt") && e0("src") === b("node"))
+        .select(b("probe_id"), e0("src"), e0("dst"), e0("cos"),
+          e0("dcell"), lit(0L).as("seg"))
+      val ds = deltas.map { case (d, g) =>
+        d.join(b, d("scell") === b("cell") && d("src") === b("node"))
+          .select(b("probe_id"), d("src"), d("dst"), d("cos"),
+            d("dcell"), lit(g).as("seg"))
+      }
+      livenessFiltered((b0 +: ds).reduce(_ unionByName _), touched)
+        .select(col("probe_id"), col("dst").as("node"),
+          col("dcell").as("cell"))
+    }
   }
 
   /** Writes the gen-0 graph store under `root` from a quantized corpus
@@ -387,18 +456,22 @@ object GraphLifecycle {
         .filter(col("rn") === 1)
         .select(col("cluster"), col("vec_id").as("node"))
         .write.mode("overwrite").parquet(s"$root/medoids")
-      // bucketed base (VERDICT r15 #1 — see [[CellStore]]): the ingest
-      // path's live-member read prunes to the batch's candidate cells
-      // via bucket partition pruning + the pushed cluster IN-filter,
-      // and the file count stays bounded instead of one file per cell
-      CellStore.write(nodes,
-        CellStore.bucketCount(
-          spark.read.parquet(s"$root/centroids").count()),
-        s"$root/nodes0")
+      // bucketed base segments (VERDICT r15 #1 / r16 #1 — see
+      // [[CellStore]]): the ingest path's live-member read prunes to
+      // the batch's candidate cells via bucket partition pruning + the
+      // pushed cluster IN-filter, the serve's per-hop ADJACENCY read
+      // prunes to the frontier's cell census on the edge base's
+      // source-cell bucketing, and both file counts stay bounded
+      // instead of one file per cell
+      val nb = CellStore.bucketCount(
+        spark.read.parquet(s"$root/centroids").count())
+      CellStore.write(nodes, nb, s"$root/nodes0")
       val full = nodes.withColumn("nq", qNorm(col("qe")))
         .select(col("vec_id"), col("qe"), col("nq"), col("cluster"))
-      symmetrized(insertEdges(full, cand, full))
-        .write.mode("overwrite").parquet(s"$root/edges0")
+      CellStore.write(
+        symmetrized(insertEdges(full, cand, full))
+          .withColumnRenamed("scell", "cluster"),
+        nb, s"$root/edges0")
     }
   }
 
@@ -635,6 +708,26 @@ object GraphLifecycle {
                                  cells: Seq[Long]): DataFrame =
     liveMembersIn(spark, currentBase(root), cells)
 
+  /** Test hook for the serve path's pruned per-hop EXPANSION (r17) —
+    * the spec pins (a) liveExpandFor ≡ the full live edge view joined
+    * against the same frontier, and (b) that the bucketed edge base
+    * scan under it carries the DPP subquery. */
+  private[llm] def liveExpandAt(spark: SparkSession, root: String,
+                                frontier: DataFrame): DataFrame = {
+    val base = currentBase(root)
+    val (b0, ds) = nodeSegs(base)
+    val dl =
+      if (ds.isEmpty) None
+      else Some(deltaLatest(spark, ds).localCheckpoint())
+    val touched = dl match {
+      case Some(d) => d.select(col("vec_id"), col("gen"), col("del"))
+      case None => readNodeSeg(spark, b0).filter(lit(false))
+        .select(col("vec_id"), col("gen"), col("del"))
+    }
+    liveExpandFor(spark, base, nodeBucketsOf(spark, base),
+      touched)(frontier)
+  }
+
   /** Beam search over ONE store state's LIVE view — the READ path of
     * the incremental graph index (q211). Base vectors = the live node
     * view read PER PASS through [[liveMembers]] pruned to the hop's
@@ -665,8 +758,6 @@ object GraphLifecycle {
       case None => readNodeSeg(spark, b0).filter(lit(false))
         .select(col("vec_id"), col("gen"), col("del"))
     }
-    val edges = liveEdges(spark, touched, edgeSegPaths(base))
-      .localCheckpoint()
     val m0 = spark.read.parquet(s"$base/medoids")
     val medoids = (dl match {
       case None => m0.select(col("cluster"), col("node"),
@@ -685,7 +776,10 @@ object GraphLifecycle {
       liveMembersFromF(baseRaw, nb, dl, cellsF)
         .select(col("vec_id"), col("qe").as("embedding"),
           col("nq").as("nrm"), col("cluster"))
-    GraphAnn.beamFrom(probes, baseFor, edges, medoids,
+    // the adjacency reads prune per hop (r17) — the serve no longer
+    // materializes the whole O(E) live edge view per call
+    GraphAnn.beamFrom(probes, baseFor,
+        liveExpandFor(spark, base, nb, touched), medoids,
         spark.read.parquet(s"$base/centroids"),
         spark.read.parquet(s"$base/coarse"), k)
       .select(lit(state).as("state"), col("probe_id"), col("neighbor_id"),

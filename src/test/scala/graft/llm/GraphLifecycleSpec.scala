@@ -49,6 +49,20 @@ class GraphLifecycleSpec extends SparkSpec {
       assert(byState("g3c").getLong(1) === byState("g3").getLong(1))
       // every state serves a non-empty graph
       assert(out.forall(_.getLong(2) > 0L))
+      // r17 compaction parity (VERDICT r16 next #7): the compaction
+      // rebuild writes the EDGE base in the bounded bucketed layout
+      // too — file count ≤ the bucket count, like the node base's pin
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      val b1 = GraphLifecycle.currentBaseOf(root)
+      assert(b1.endsWith("b1"), s"expected compacted base, got $b1")
+      val nb = CellStore.bucketCount(
+        spark.read.parquet(s"$b1/centroids").count())
+      val nEdgeFiles = walk(new java.io.File(s"$b1/edges0"))
+        .count(_.getName.endsWith(".parquet"))
+      assert(nEdgeFiles <= nb,
+        s"$nEdgeFiles compacted edges0 files > $nb buckets")
     } finally graft.FsUtil.deleteRecursively(new java.io.File(root))
   }
 
@@ -150,6 +164,34 @@ class GraphLifecycleSpec extends SparkSpec {
       val nb = CellStore.bucketCount(
         spark.read.parquet(s"$base/centroids").count())
       assert(nFiles <= nb, s"$nFiles nodes0 files > $nb buckets")
+      // (e) r17 edge twins: the serve's pruned per-hop EXPANSION equals
+      // the full live edge view joined against the same frontier, the
+      // bucketed edge base scan rides DPP, and its file count is
+      // bounded like the node base's
+      val (nodesAll, edgesAll) = GraphLifecycle.liveViewAt(spark, root)
+      // plan-backed frontier over the live nodes of `cells` (a local
+      // relation would constant-fold instead of planting DPP); a
+      // serve's real frontier is exactly this shape — (probe_id, node,
+      // current cell)
+      val frontier = nodesAll.filter(!col("del"))
+        .filter(col("cluster").isin(cells: _*))
+        .select(col("vec_id").as("probe_id"), col("vec_id").as("node"),
+          col("cluster").as("cell"))
+      val gotE = GraphLifecycle.liveExpandAt(spark, root, frontier)
+      val expectE = edgesAll
+        .join(frontier.select(col("probe_id"), col("node")),
+          col("src") === col("node"))
+        .select(col("probe_id"), col("dst").as("node"))
+      assert(gotE.select(col("probe_id"), col("node"))
+          .except(expectE).isEmpty &&
+        expectE.except(gotE.select(col("probe_id"), col("node"))).isEmpty,
+        "pruned expansion != full live view joined to the frontier")
+      val pe = gotE.queryExecution.executedPlan.toString
+      assert(pe.contains("dynamicpruning"),
+        s"edges0 scan lost dynamic partition pruning on bucket:\n$pe")
+      val nEFiles = walk(new java.io.File(s"$base/edges0"))
+        .count(_.getName.endsWith(".parquet"))
+      assert(nEFiles <= nb, s"$nEFiles edges0 files > $nb buckets")
     } finally graft.FsUtil.deleteRecursively(new java.io.File(root))
   }
 
