@@ -352,7 +352,13 @@ object SparkEntry {
     "q226_sq8_lifecycle_served" -> ((s, d) =>
       Similarity.sq8LifecycleServed(embeddings(s, d), d)),
     "q227_maxsim_graph_rerank" -> ((s, d) =>
-      GraphAnn.maxSimGraphRerank(embeddings(s, d), d))
+      GraphAnn.maxSimGraphRerank(embeddings(s, d), d)),
+    "q228_filtered_lsm_served" -> ((s, d) =>
+      Similarity.lsmFilteredServed(embeddings(s, d), d)),
+    "q229_filtered_lsm_composed" -> ((s, d) =>
+      Similarity.lsmComposedFilteredServed(embeddings(s, d), d)),
+    "q230_filtered_lsm_recall" -> ((s, d) =>
+      Similarity.lsmFilteredRecall(embeddings(s, d), d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -608,6 +614,9 @@ object SparkEntry {
     "q224_filtered_ivf_sq8_recall" -> Similarity.ivfSq8FilteredRecallSql,
     "q225_sq8_lifecycle" -> Similarity.sq8IndexLifecycleSql,
     "q226_sq8_lifecycle_served" -> Similarity.sq8LifecycleServedSql,
-    "q227_maxsim_graph_rerank" -> GraphAnn.maxSimGraphRerankSql
+    "q227_maxsim_graph_rerank" -> GraphAnn.maxSimGraphRerankSql,
+    "q228_filtered_lsm_served" -> Similarity.lsmFilteredServedSql,
+    "q229_filtered_lsm_composed" -> Similarity.lsmComposedFilteredServedSql,
+    "q230_filtered_lsm_recall" -> Similarity.lsmFilteredRecallSql
   )
 }

@@ -4565,8 +4565,11 @@ object Similarity {
   /** Trains the frozen centroids on the whole corpus and writes the
     * seed tables (`centroids`, the cell-partitioned gen-0 `base` — an
     * IVF-Flat layout: the quantized vector rides with its assignment,
-    * so the store SERVES without a side lookup). Returns the quantized
-    * corpus frame and the stored centroids. */
+    * so the store SERVES without a side lookup, and the filterable
+    * `label` attribute is CO-STORED on every row the way a production
+    * filtered-ANN store keeps its metadata, r17). Returns the quantized
+    * corpus frame (label riding along — the arrival fixtures carry it
+    * into the delta segments) and the stored centroids. */
   private def lsmSeedTo(embeddings: DataFrame,
                         root: String): (DataFrame, DataFrame) = {
     val spark = embeddings.sparkSession
@@ -4577,36 +4580,39 @@ object Similarity {
     }
     val cents = spark.read.parquet(s"$root/centroids")
     val q0 = quantized(embeddings.select(col("vec_id"), col("embedding")), 1000)
+      .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
     lsmWriteBase(
       frozenAssignQ(
           q0.select(col("vec_id").as("ent"), col("vec_id"), col("qe")), cents)
         .join(q0, "vec_id")
         .select(col("ent"), col("vec_id"), col("cluster"), col("dist"),
-          col("qe")),
+          col("qe"), col("label")),
       root, s"$root/base")
     (q0, cents)
   }
 
   /** The q193 fixture's generation-g arrival band: absolute entities
     * `vec_id % 100 ∈ {g, 4}`, embedding drifted +500·g milli-units in
-    * the integer domain, `vec_id % 3 = 0` tombstoned. */
+    * the integer domain, `vec_id % 3 = 0` tombstoned. The label rides
+    * along (entity-stable in the fixture — a re-arrival keeps its
+    * vec_id-keyed label). */
   private def lsmArrivals(q0: DataFrame, g: Int): DataFrame = q0
     .filter(col("vec_id") % 100 === g || col("vec_id") % 100 === 4)
     .select(col("vec_id").as("ent"), col("vec_id"),
       transform(col("qe"), x => x + lit(500L * g)).as("qe"),
-      (col("vec_id") % 3 === 0).as("del"))
+      col("label"), (col("vec_id") % 3 === 0).as("del"))
 
-  /** One delta segment from an arrival frame (ent, vec_id, qe, del):
-    * frozen-centroid assignments of the live arrivals (vector
-    * co-stored) plus explicit tombstone rows. */
+  /** One delta segment from an arrival frame (ent, vec_id, qe, label,
+    * del): frozen-centroid assignments of the live arrivals (vector and
+    * label co-stored) plus explicit tombstone rows. */
   private def lsmDeltaOf(arr: DataFrame, cents: DataFrame): DataFrame =
     frozenAssignQ(arr.filter(!col("del")), cents)
-      .join(arr.select(col("vec_id"), col("qe")), "vec_id")
+      .join(arr.select(col("vec_id"), col("qe"), col("label")), "vec_id")
       .select(col("ent"), col("vec_id"), col("cluster"), col("dist"),
-        col("qe"), lit(false).as("del"))
+        col("qe"), col("label"), lit(false).as("del"))
       .unionByName(arr.filter(col("del"))
         .select(col("ent"), col("vec_id"), lit(-1L).as("cluster"),
-          lit(0L).as("dist"), col("qe"), lit(true).as("del")))
+          lit(0L).as("dist"), col("qe"), col("label"), lit(true).as("del")))
 
   /** The LSM served view — latest-wins resolution at read time: base
     * anti-join the delta entity set (broadcast: deltas are
@@ -4643,7 +4649,7 @@ object Similarity {
                                     root: String, basePath: String,
                                     deltaPaths: Seq[String],
                                     cellsF: DataFrame,
-                                    payload: Seq[String] = Seq("qe"))
+                                    payload: Seq[String] = Seq("qe", "label"))
       : DataFrame = {
     val cols = Seq(col("ent"), col("vec_id"),
       col("cluster").cast("long").as("cluster"), col("dist")) ++
@@ -4674,7 +4680,8 @@ object Similarity {
   private def lsmResolvedView(spark: org.apache.spark.sql.SparkSession,
                               basePath: String,
                               deltaPaths: Seq[String],
-                              payload: Seq[String] = Seq("qe")): DataFrame = {
+                              payload: Seq[String] = Seq("qe", "label"))
+      : DataFrame = {
     val cols = Seq(col("ent"), col("vec_id"),
       col("cluster").cast("long").as("cluster"), col("dist")) ++
       payload.map(col)
@@ -4704,7 +4711,9 @@ object Similarity {
     * on fire, compacts the resolved view into a fresh cell-partitioned
     * base and clears the deltas — the same control flow as the batch
     * lifecycle, driven by micro-batches. Batch schema: (ent, vec_id,
-    * qe, del) with qe PRE-QUANTIZED (array<bigint>, the [[quantized]]
+    * qe, label, del) — the filterable label rides every arrival into
+    * the store (r17, the co-stored-metadata contract) — with qe
+    * PRE-QUANTIZED (array<bigint>, the [[quantized]]
     * ×1000 domain) — the stream's upstream owns the float→int
     * quantization, which keeps drifted-arrival fixtures bit-exact
     * across the stream/batch boundary (float addition does not commute
@@ -4900,20 +4909,30 @@ object Similarity {
     * live deltas), latest-wins view resolution, then the q37-shaped
     * probed-cell top-k over the view's co-stored quantized vectors.
     * Shared by q194 (self-contained scratch store), q195 (ServedRoots
-    * cached store), and the probe-stream leg. */
+    * cached store), the probe-stream legs, and the FILTERED leg (r17,
+    * VERDICT r16 missing #2): `pred` applies to the RESOLVED view —
+    * candidates only, never below the entity anti-join (the
+    * entity-stability invariant; Catalyst pushes the label predicate
+    * through the anti-join to the base scan on its own, where it rides
+    * as a pushed parquet filter on the co-stored column) — and `widen`
+    * scales the probe budget by the measured 1/selectivity, the q204
+    * discipline. */
   private def lsmServeRoot(root: String, probes: DataFrame,
-                           embeddings: DataFrame, k: Int): DataFrame = {
+                           embeddings: DataFrame, k: Int,
+                           pred: Option[Column] = None,
+                           widen: Column = lit(1.0)): DataFrame = {
     val spark = embeddings.sparkSession
     val cents = spark.read.parquet(s"$root/centroids")
     val (basePath, deltas) = lsmStorePaths(root)
     val pcells = broadcast(probeCellsFor(probes, embeddings, cents,
-      nProbe = 0, frac = IvfProbeFrac))
+      nProbe = 0, frac = IvfProbeFrac, widen = widen))
     // resolve ONLY the probed cells' view rows (r16): the census rides
     // the bucket-pruned base read instead of resolving the whole
     // corpus and discarding unprobed cells at this join
-    val view = lsmResolvedViewPruned(spark, root, basePath,
-        deltas.map(i => s"$root/delta$i"),
-        pcells.select(col("cell")).distinct())
+    val resolved = lsmResolvedViewPruned(spark, root, basePath,
+      deltas.map(i => s"$root/delta$i"),
+      pcells.select(col("cell")).distinct())
+    val view = pred.map(resolved.filter).getOrElse(resolved)
       .withColumn("qvec", transform(col("qe"), x => x.cast("double")))
       .withColumn("qn", l2norm(col("qvec")))
     val w = Window.partitionBy(col("probe_id"))
@@ -4982,6 +5001,99 @@ object Similarity {
     ()
   }
 
+  /** q228: FILTERED LSM search — the q204 metadata-predicate discipline
+    * on the segment store (r17, VERDICT r16 missing #2: the predicate +
+    * widening machinery covered IVF, the graph and the composed-SQ8
+    * tier, but the LSM stores carried no label). The label is CO-STORED
+    * on every base and delta row (the q222 filtered-index discipline:
+    * a production store keeps its filterable attributes with the
+    * vectors), the predicate applies to the RESOLVED view's candidates
+    * — never post-filtering the top-k, never below the entity
+    * anti-join — and the probed-cell budget self-widens by the measured
+    * 1/selectivity ([[evenLabelWiden]]). Same ServedRoots store as
+    * q195: ONE physical segment store serves the plain and filtered
+    * legs mid-lifecycle. */
+  def lsmFilteredServed(embeddings: DataFrame, corpusTag: String,
+                        nProbes: Int = 10, k: Int = 5): DataFrame = {
+    // the oracle's probe CTE and final rank are unrolled at the
+    // registered constants
+    require(nProbes == 10 && k == 5,
+      "lsmFilteredServed is oracle-gated at nProbes=10, k=5")
+    lsmFilteredServeFor(probesFrame(embeddings, nProbes), embeddings,
+      corpusTag, k)
+  }
+
+  private def lsmFilteredServeFor(probes: DataFrame, embeddings: DataFrame,
+                                  corpusTag: String, k: Int): DataFrame =
+    lsmServeRoot(
+      graft.FsUtil.ServedRoots.getOrBuild(
+        corpusKey(embeddings, "vec_id", s"lsm:$corpusTag", embSig),
+        "graft_lsm_served_")(lsmMidStoreTo(embeddings, _)),
+      probes, embeddings, k,
+      pred = Some(col("label") % 2 === 0), widen = evenLabelWiden)
+
+  /** The q228 serve leg under Structured Streaming (foreachBatch) —
+    * stream ≡ batch proved in StreamingSpec against
+    * [[lsmFilteredServed]]'s rows. */
+  def lsmFilteredServeStreamBatch(embeddings: DataFrame, corpusTag: String,
+                                  outDir: String, k: Int = 5)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val probes = batch.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pe"), l2norm(col("embedding")).as("pn"))
+    val root = streamRootFor(s"lsm:$corpusTag") {
+      graft.FsUtil.ServedRoots.getOrBuild(
+        corpusKey(embeddings, "vec_id", s"lsm:$corpusTag", embSig),
+        "graft_lsm_served_")(lsmMidStoreTo(embeddings, _))
+    }
+    lsmServeRoot(root, probes, embeddings, k,
+        pred = Some(col("label") % 2 === 0), widen = evenLabelWiden)
+      .write.mode("append").parquet(outDir)
+    ()
+  }
+
+  /** q230: the filtered LSM tier's acceptance gate — recall@k of the
+    * SERVED filtered LSM search (q228's store) against the FILTERED
+    * brute truth over the store's CURRENT live view (the mid-lifecycle
+    * g2 state: revisions visible at their new vectors, tombstones
+    * gone), the q221/q224 precedent on the segment store. The truth
+    * must scan the VIEW, not the gen-0 corpus — a filtered search over
+    * an LSM store is only correct if it ranks against the state the
+    * store actually holds. */
+  def lsmFilteredRecall(embeddings: DataFrame, corpusTag: String,
+                        nProbes: Int = 10, k: Int = 5): DataFrame = {
+    require(nProbes == 10 && k == 5,
+      "lsmFilteredRecall is oracle-gated at nProbes=10, k=5")
+    val spark = embeddings.sparkSession
+    val root = graft.FsUtil.ServedRoots.getOrBuild(
+      corpusKey(embeddings, "vec_id", s"lsm:$corpusTag", embSig),
+      "graft_lsm_served_")(lsmMidStoreTo(embeddings, _))
+    val (basePath, deltas) = lsmStorePaths(root)
+    val view = lsmResolvedView(spark, basePath,
+        deltas.map(i => s"$root/delta$i"))
+      .withColumn("qvec", transform(col("qe"), x => x.cast("double")))
+      .withColumn("qn", l2norm(col("qvec")))
+    val probes = probesFrame(embeddings, nProbes)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val truth = view.filter(col("label") % 2 === 0)
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(dot(col("pe"), col("qvec")) /
+        (col("pn") * col("qn")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+    val got = lsmFilteredServed(embeddings, corpusTag, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    truth.join(got, Seq("probe_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(lit("lsm_filtered").as("method"), col("n_truth"),
+        col("n_hits"),
+        floor(lit(10000.0) * col("n_hits") / col("n_truth")).cast("long")
+          .as("recall_bp"))
+  }
+
   /** Oracle: the frozen trained-Lloyd CTE, the g2 LSM view from scratch
     * (latest-wins over base ∪ two drifted arrival bands, tombstones
     * drop, per-vector frozen argmin), then q37's probe/cell-selection
@@ -5030,6 +5142,104 @@ object Similarity {
       |SELECT probe_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
       |ORDER BY probe_id, rnk""".stripMargin
 
+  /** Oracle for [[lsmFilteredServed]] (q228): the q195 oracle with (a)
+    * the probed-cell budget widened by the measured 1/selectivity
+    * (`wz`, the q204 count-pair) and (b) the eligible view rows as the
+    * scan side — candidates drop at the score join exactly like the
+    * Spark side's label-filtered resolved view (the label is
+    * vec_id-stable in the fixture, so the embeddings join ≡ the
+    * co-stored column). The view CTEs are the VERBATIM unfiltered
+    * prefix — the store never sees the filter. */
+  val lsmFilteredServedSql: String =
+    s"""$trainedLloydCteSql,
+      |arr AS (SELECT g.range AS b, q.vec_id AS ent, q.vec_id,
+      |    list_transform(q.qe, x -> x + 500 * g.range) AS qe,
+      |    (q.vec_id % 3 = 0) AS del
+      |  FROM q CROSS JOIN range(1, 3) g
+      |  WHERE q.vec_id % 100 = g.range OR q.vec_id % 100 = 4),
+      |bs0 AS (SELECT 0 AS b, vec_id AS ent, vec_id, qe, FALSE AS del FROM q),
+      |al AS (SELECT * FROM bs0 UNION ALL SELECT * FROM arr),
+      |stt AS (SELECT ent, vec_id, qe, del,
+      |    row_number() OVER (PARTITION BY ent ORDER BY b DESC) AS rn
+      |  FROM al),
+      |lvv AS (SELECT ent, vec_id, qe FROM stt WHERE rn = 1 AND NOT del),
+      |paa AS (SELECT lvv.ent, lvv.vec_id, lvv.qe, c.cluster,
+      |    CAST(list_sum(list_transform(range(64), i ->
+      |      (lvv.qe[i + 1] - c.ce[i + 1]) * (lvv.qe[i + 1] - c.ce[i + 1])))
+      |      AS BIGINT) AS dist
+      |  FROM lvv CROSS JOIN c4 c),
+      |vw AS (SELECT ent, vec_id, qe, cluster FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |       ORDER BY dist, cluster) rn FROM paa) WHERE rn = 1),
+      |cells AS (SELECT cluster AS cell,
+      |            list_transform(ce, x -> x::DOUBLE) AS centroid
+      |          FROM c4),
+      |probes AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pn
+      |           FROM v WHERE vec_id < 10),
+      |selz AS (SELECT count(*) AS cnt,
+      |           count(*) FILTER (WHERE label % 2 = 0) AS fcnt
+      |         FROM embeddings),
+      |wz AS (SELECT CASE WHEN fcnt > 0 THEN cnt::DOUBLE / fcnt
+      |              ELSE 1.0 END AS w FROM selz),
+      |pc AS (SELECT p.probe_id, p.pe, p.pn, c.cell,
+      |    list_sum(list_transform(list_zip(p.pe, c.centroid), z -> z[1]::DOUBLE * z[2]))
+      |      / (p.pn * sqrt(list_sum(list_transform(c.centroid, x -> x * x)))) AS ccos
+      |  FROM probes p CROSS JOIN cells c),
+      |pcr AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) crnk FROM pc),
+      |sel AS (SELECT probe_id, pe, pn, cell FROM pcr
+      |        WHERE crnk <= (SELECT CAST(ceil($IvfProbeFrac * k * (SELECT w FROM wz)) AS BIGINT) FROM kk)),
+      |pairs AS (SELECT sel.probe_id, w.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(range(64), dd ->
+      |        sel.pe[dd + 1]::DOUBLE * w.qe[dd + 1]::DOUBLE))
+      |      / (sel.pn * sqrt(list_sum(list_transform(w.qe,
+      |          x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
+      |  FROM sel JOIN vw w ON w.cluster = sel.cell AND w.vec_id != sel.probe_id
+      |           JOIN embeddings e ON e.vec_id = w.vec_id AND e.label % 2 = 0),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) rnk FROM pairs)
+      |SELECT probe_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+      |ORDER BY probe_id, rnk""".stripMargin
+
+  /** Oracle for [[lsmFilteredRecall]] (q230): the FILTERED brute truth
+    * over the g2 latest-wins view (revisions at their CURRENT vectors,
+    * tombstones gone — no Lloyd needed: the truth scans every eligible
+    * live row) + the q228 chain verbatim, q39's left-join + floor
+    * scoring. */
+  val lsmFilteredRecallSql: String =
+    s"""WITH q AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |arr AS (SELECT g.range AS b, q.vec_id AS ent, q.vec_id,
+      |    list_transform(q.qe, x -> x + 500 * g.range) AS qe,
+      |    (q.vec_id % 3 = 0) AS del
+      |  FROM q CROSS JOIN range(1, 3) g
+      |  WHERE q.vec_id % 100 = g.range OR q.vec_id % 100 = 4),
+      |bs0 AS (SELECT 0 AS b, vec_id AS ent, vec_id, qe, FALSE AS del FROM q),
+      |al AS (SELECT * FROM bs0 UNION ALL SELECT * FROM arr),
+      |stt AS (SELECT ent, vec_id, qe, del,
+      |    row_number() OVER (PARTITION BY ent ORDER BY b DESC) AS rn
+      |  FROM al),
+      |lvv AS (SELECT ent, vec_id, qe FROM stt WHERE rn = 1 AND NOT del),
+      |probes AS (SELECT vec_id AS probe_id, embedding AS pe,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS pn
+      |  FROM embeddings WHERE vec_id < 10),
+      |tp AS (SELECT p.probe_id, w.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(range(64), dd ->
+      |        p.pe[dd + 1]::DOUBLE * w.qe[dd + 1]::DOUBLE))
+      |      / (p.pn * sqrt(list_sum(list_transform(w.qe,
+      |          x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
+      |  FROM probes p JOIN lvv w ON w.vec_id != p.probe_id
+      |  JOIN embeddings e ON e.vec_id = w.vec_id AND e.label % 2 = 0),
+      |truth AS (SELECT probe_id, neighbor_id FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |       ORDER BY cos DESC, neighbor_id) rnk FROM tp) WHERE rnk <= 5),
+      |g AS (SELECT probe_id, neighbor_id FROM ($lsmFilteredServedSql) q2)
+      |SELECT 'lsm_filtered' AS method, count(*) AS n_truth,
+      |  CAST(sum(CASE WHEN g.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |  CAST(floor(10000.0 * sum(CASE WHEN g.probe_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    / count(*)) AS BIGINT) AS recall_bp
+      |FROM truth t LEFT JOIN g
+      |  ON g.probe_id = t.probe_id AND g.neighbor_id = t.neighbor_id""".stripMargin
+
   // -------------------------------------------------------------------
   // q196/q197: the LSM segment store for the COMPOSED (IVF-PQ) index —
   // q193 gave the serving tier's write path for IVF-Flat rows; the
@@ -5056,13 +5266,14 @@ object Similarity {
         .select(col("vec_id"),
           transform(col("l"), x => x.getField("cw")).as("cws")),
         "vec_id")
-      .join(vecs.select(col("vec_id"), col("qe")), "vec_id")
+      .join(vecs.select(col("vec_id"), col("qe"), col("label")), "vec_id")
       .select(col("ent"), col("vec_id"), col("cluster"), col("dist"),
-        col("qe"), col("cws"))
+        col("qe"), col("cws"), col("label"))
 
   /** One composed delta segment from an arrival frame (ent, vec_id, qe,
-    * del): composed rows for the live arrivals plus explicit tombstone
-    * rows — the [[lsmDeltaOf]] shape carrying the codeword array. */
+    * label, del): composed rows for the live arrivals plus explicit
+    * tombstone rows — the [[lsmDeltaOf]] shape carrying the codeword
+    * array and the co-stored label. */
   private def lsmComposedDeltaOf(arr: DataFrame, cents: DataFrame,
                                  cb: DataFrame): DataFrame =
     composedRowsQ(arr.filter(!col("del")), cents, cb)
@@ -5070,7 +5281,8 @@ object Similarity {
       .unionByName(arr.filter(col("del"))
         .select(col("ent"), col("vec_id"), lit(-1L).as("cluster"),
           lit(0L).as("dist"), col("qe"),
-          lit(null).cast("array<bigint>").as("cws"), lit(true).as("del")))
+          lit(null).cast("array<bigint>").as("cws"), col("label"),
+          lit(true).as("del")))
 
   /** Trains BOTH quantizers on the gen-0 corpus, freezes them as stored
     * tables, and writes the cell-partitioned gen-0 base of composed
@@ -5089,9 +5301,11 @@ object Similarity {
     val cents = spark.read.parquet(s"$root/centroids")
     val cb = spark.read.parquet(s"$root/codebook")
     val q0 = quantized(embeddings.select(col("vec_id"), col("embedding")), 1000)
+      .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
     lsmWriteBase(
       composedRowsQ(
-        q0.select(col("vec_id").as("ent"), col("vec_id"), col("qe")),
+        q0.select(col("vec_id").as("ent"), col("vec_id"), col("qe"),
+          col("label")),
         cents, cb),
       root, s"$root/base")
     (q0, cents, cb)
@@ -5137,7 +5351,7 @@ object Similarity {
     var basePath = s"$root/base"
     var deltaPaths = Vector.empty[String]
     def view(): DataFrame = lsmResolvedView(spark, basePath, deltaPaths,
-      payload = Seq("qe", "cws"))
+      payload = Seq("qe", "cws", "label"))
     def audit(state: String, nDelta: Long, compacted: Long): DataFrame = {
       val v = view()
       val enc = v.select(col("vec_id"), col("cluster"),
@@ -5191,7 +5405,7 @@ object Similarity {
 
   /** q196 under STRUCTURED STREAMING — [[lsmIngestStreamBatch]] for the
     * composed store: each arrival micro-batch (ent, vec_id, qe
-    * PRE-QUANTIZED, del) appends one composed delta segment through the
+    * PRE-QUANTIZED, label, del) appends one composed delta segment through the
     * frozen stored quantizers, then compacts behind the same trigger.
     * StreamingSpec proves the streamed chain ≡ the batch lifecycle's. */
   def lsmComposedIngestStreamBatch(root: String)(batch: DataFrame,
@@ -5209,7 +5423,7 @@ object Similarity {
     if (deltaRows * 100L > baseRows * LsmDeltaPct) {
       lsmWriteBase(
         lsmResolvedView(spark, basePath, deltaPaths,
-          payload = Seq("qe", "cws")),
+          payload = Seq("qe", "cws", "label")),
         root, s"$root/base_c$next")
       deltaPaths.foreach { p =>
         graft.FsUtil.deleteRecursively(new java.io.File(p))
@@ -5256,23 +5470,30 @@ object Similarity {
 
   /** The composed-view serve plan over a STORED root and an arbitrary
     * probe frame — [[lsmServeRoot]]'s discovery + resolution with the
-    * hybrid's three-stage tail. */
+    * hybrid's three-stage tail. `pred`/`widen` are the filtered leg's
+    * (r17): the predicate applies to the RESOLVED view before decode —
+    * candidates at the packed rows, never below the entity anti-join —
+    * so ineligible rows never reach the ADC kernel, and every shortlist
+    * member (hence the refine) is eligible by construction. */
   private def lsmComposedServeRoot(root: String, probes: DataFrame,
                                    embeddings: DataFrame,
-                                   k: Int): DataFrame = {
+                                   k: Int,
+                                   pred: Option[Column] = None,
+                                   widen: Column = lit(1.0)): DataFrame = {
     val spark = embeddings.sparkSession
     val cents = spark.read.parquet(s"$root/centroids")
     val cb = spark.read.parquet(s"$root/codebook")
     val (basePath, deltas) = lsmStorePaths(root)
     val pcells = broadcast(probeCellsFor(probes, embeddings, cents,
-      nProbe = 0, frac = IvfPqProbeFrac))
+      nProbe = 0, frac = IvfPqProbeFrac, widen = widen))
     // prune FIRST, decode after (the q187 discipline): the probed-cell
     // census rides the bucket-pruned base read inside the resolution
     // (r16), so only probed cells' rows are resolved, exploded or
     // decoded
-    val pruned = lsmResolvedViewPruned(spark, root, basePath,
+    val resolved = lsmResolvedViewPruned(spark, root, basePath,
       deltas.map(i => s"$root/delta$i"),
-      pcells.select(col("cell")).distinct(), payload = Seq("qe", "cws"))
+      pcells.select(col("cell")).distinct(), payload = Seq("qe", "cws", "label"))
+    val pruned = pred.map(resolved.filter).getOrElse(resolved)
     val labeled = pqDecodeLabeled(
       pruned.select(col("vec_id"), col("cluster"),
         posexplode(col("cws")).as(Seq("m", "cw"))), cb)
@@ -5338,6 +5559,30 @@ object Similarity {
     lsmComposedServeRoot(root, probes, embeddings, k)
       .write.mode("append").parquet(outDir)
     ()
+  }
+
+  /** q229: FILTERED composed-LSM search — the q228 predicate + widening
+    * discipline on the composed segment store (the last serving tier
+    * without a filtered leg). The label is co-stored on every composed
+    * base/delta row; the predicate applies to the resolved view BEFORE
+    * decode (candidates at the packed rows — ineligible rows never
+    * reach the ADC kernel, and the fixed-R shortlist is eligible by
+    * construction, so the refine can never resurrect a filtered row),
+    * and the probed-cell budget widens by the measured 1/selectivity.
+    * Same ServedRoots store as q198 — ONE physical composed segment
+    * store serves the plain and filtered legs mid-lifecycle. */
+  def lsmComposedFilteredServed(embeddings: DataFrame, corpusTag: String,
+                                nProbes: Int = 10, k: Int = 5): DataFrame = {
+    // the oracle's probe CTE and final rank are unrolled at the
+    // registered constants
+    require(nProbes == 10 && k == 5,
+      "lsmComposedFilteredServed is oracle-gated at nProbes=10, k=5")
+    lsmComposedServeRoot(
+      graft.FsUtil.ServedRoots.getOrBuild(
+        corpusKey(embeddings, "vec_id", s"lsmc:$corpusTag", embSig),
+        "graft_lsmc_served_")(lsmComposedMidStoreTo(embeddings, _)),
+      probesFrame(embeddings, nProbes), embeddings, k,
+      pred = Some(col("label") % 2 === 0), widen = evenLabelWiden)
   }
 
   /** Shared oracle midsection for the composed-LSM fixtures: arrival
@@ -5451,6 +5696,60 @@ object Similarity {
       |      / (sel.pn * sqrt(list_sum(list_transform(r.qvec,
       |          x -> x::DOUBLE * x::DOUBLE)))), 4) AS qcos
       |  FROM sel JOIN vw w ON w.cluster = sel.cell AND w.vec_id != sel.probe_id
+      |           JOIN wqv r ON r.vec_id = w.vec_id),
+      |ar AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |         ORDER BY qcos DESC, neighbor_id) qrnk FROM adc),
+      |short AS (SELECT probe_id, neighbor_id FROM ar WHERE qrnk <= $RegisteredFixedR),
+      |ex AS (SELECT sh.probe_id, sh.neighbor_id,
+      |    round(list_sum(list_transform(range(64), dd ->
+      |        p.pe[dd + 1]::DOUBLE * w.qe[dd + 1]::DOUBLE))
+      |      / (p.pn * sqrt(list_sum(list_transform(w.qe,
+      |          x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
+      |  FROM short sh JOIN probes p ON p.probe_id = sh.probe_id
+      |                JOIN vw w ON w.vec_id = sh.neighbor_id),
+      |rr AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |         ORDER BY cos DESC, neighbor_id) rnk FROM ex)
+      |SELECT probe_id, neighbor_id, cos, rnk FROM rr WHERE rnk <= 5
+      |ORDER BY probe_id, rnk""".stripMargin
+
+  /** Oracle for [[lsmComposedFilteredServed]] (q229): the q198 oracle
+    * with the probed-cell budget widened by the measured 1/selectivity
+    * and the eligible view rows as the ADC scan side — candidates drop
+    * before ranking, so the fixed-R shortlist (and the refine behind
+    * it) is eligible by construction, exactly like the Spark side's
+    * pre-decode filter. The view + encode CTEs are the VERBATIM
+    * unfiltered prefix. */
+  val lsmComposedFilteredServedSql: String =
+    s"""$trainedLloydCteSql,
+      |${pqCbTrainCte("pq", "q")},
+      |${lsmComposedViewCte(3, perState = false)},
+      |wqv AS (SELECT a.vec_id, flatten(list(c.cv ORDER BY a.m)) AS qvec
+      |  FROM ae a JOIN pqc2 c ON c.m = a.m AND c.cw = a.cw
+      |  GROUP BY a.vec_id),
+      |cells AS (SELECT cluster AS cell,
+      |            list_transform(ce, x -> x::DOUBLE) AS centroid
+      |          FROM c4),
+      |probes AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pn
+      |           FROM v WHERE vec_id < 10),
+      |selz AS (SELECT count(*) AS cnt,
+      |           count(*) FILTER (WHERE label % 2 = 0) AS fcnt
+      |         FROM embeddings),
+      |wz AS (SELECT CASE WHEN fcnt > 0 THEN cnt::DOUBLE / fcnt
+      |              ELSE 1.0 END AS w FROM selz),
+      |pc AS (SELECT p.probe_id, p.pe, p.pn, c.cell,
+      |    list_sum(list_transform(list_zip(p.pe, c.centroid), z -> z[1]::DOUBLE * z[2]))
+      |      / (p.pn * sqrt(list_sum(list_transform(c.centroid, x -> x * x)))) AS ccos
+      |  FROM probes p CROSS JOIN cells c),
+      |pcr AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) crnk FROM pc),
+      |sel AS (SELECT probe_id, pe, pn, cell FROM pcr
+      |        WHERE crnk <= (SELECT CAST(ceil($IvfPqProbeFrac::DOUBLE * k * (SELECT w FROM wz)) AS BIGINT) FROM kk)),
+      |adc AS (SELECT sel.probe_id, w.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(range(64), dd ->
+      |        sel.pe[dd + 1]::DOUBLE * r.qvec[dd + 1]::DOUBLE))
+      |      / (sel.pn * sqrt(list_sum(list_transform(r.qvec,
+      |          x -> x::DOUBLE * x::DOUBLE)))), 4) AS qcos
+      |  FROM sel JOIN vw w ON w.cluster = sel.cell AND w.vec_id != sel.probe_id
+      |           JOIN embeddings e ON e.vec_id = w.vec_id AND e.label % 2 = 0
       |           JOIN wqv r ON r.vec_id = w.vec_id),
       |ar AS (SELECT *, row_number() OVER (PARTITION BY probe_id
       |         ORDER BY qcos DESC, neighbor_id) qrnk FROM adc),

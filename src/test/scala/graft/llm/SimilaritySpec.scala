@@ -572,7 +572,7 @@ class SimilaritySpec extends SparkSpec {
           transform(col("embedding"),
             x => round(x.cast("double") * 1000).cast("long") +
               lit(500L * (g + 3))).as("qe"),
-          (col("vec_id") % 3 === 0).as("del"))
+          col("label"), (col("vec_id") % 3 === 0).as("del"))
       for (g <- 1 to 3)
         Similarity.lsmIngestStreamBatch(root)(arrivals(g), g.toLong)
       // deltas numbered ABOVE the base index (4, 5, 6); the second

@@ -467,11 +467,12 @@ class StreamingSpec extends SparkSpec {
           transform(col("embedding"),
             x => round(x.cast("double") * 1000).cast("long") +
               lit(500L * g)).as("qe"),
-          (col("vec_id") % 3 === 0).as("del"))
+          col("label"), (col("vec_id") % 3 === 0).as("del"))
       arrivals(1).write.parquet(dir)
       val schema = StructType(Seq(
         StructField("ent", LongType), StructField("vec_id", LongType),
         StructField("qe", ArrayType(LongType)),
+        StructField("label", IntegerType),
         StructField("del", BooleanType)))
       val q = spark.readStream.schema(schema).parquet(dir)
         .writeStream
@@ -628,7 +629,7 @@ class StreamingSpec extends SparkSpec {
           transform(col("embedding"),
             x => round(x.cast("double") * 1000).cast("long") +
               lit(500L * g)).as("qe"),
-          (col("vec_id") % 3 === 0).as("del"))
+          col("label"), (col("vec_id") % 3 === 0).as("del"))
       def baseFiles(): Set[String] =
         Option(new java.io.File(s"$rootS/base").listFiles()).toSeq.flatten
           .map(f => s"${f.getName}:${f.lastModified}").toSet
@@ -637,6 +638,7 @@ class StreamingSpec extends SparkSpec {
       val schema = StructType(Seq(
         StructField("ent", LongType), StructField("vec_id", LongType),
         StructField("qe", ArrayType(LongType)),
+        StructField("label", IntegerType),
         StructField("del", BooleanType)))
       val q = spark.readStream.schema(schema).parquet(dir)
         .writeStream
@@ -820,6 +822,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     val streamed = spark.read.parquet(out)
     val batch = graft.llm.Similarity.ivfSq8FilteredServed(emb, tag)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("FILTERED LSM serve on a probe STREAM equals the batch serve " +
+    "(q228 online; union of foreachBatch micro-batches == one batch)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dir = Files.createTempDirectory("graft-flsmsrc").toString + "/probes"
+    val out = Files.createTempDirectory("graft-flsmout").toString + "/res"
+    emb.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding").write.parquet(dir)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val tag = s"flsm-stream-$sf" // the q195 store serves the filtered leg
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.llm.Similarity.lsmFilteredServeStreamBatch(emb, tag, out)(b, id))
+      .start()
+    try {
+      q.processAllAvailable()
+      emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select("vec_id", "embedding").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+    val batch = graft.llm.Similarity.lsmFilteredServed(emb, tag)
     assert(streamed.count() === batch.count())
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
