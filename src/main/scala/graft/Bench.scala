@@ -161,7 +161,7 @@ object Bench {
       "q206_graph_lifecycle", "q208_maxsim_rerank", "q210_graph_recall",
       "q211_graph_lifecycle_served", "q212_lifecycle_recall",
       "q216_ivf_sq8", "q219_filtered_graph", "q222_filtered_ivf_sq8",
-      "q225_sq8_lifecycle")
+      "q225_sq8_lifecycle", "q231_sq8_retrain")
     val sfValue = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).toDouble).getOrElse(0.0)
     // Optional regex restriction for targeted perf work (not set by the

@@ -358,7 +358,9 @@ object SparkEntry {
     "q229_filtered_lsm_composed" -> ((s, d) =>
       Similarity.lsmComposedFilteredServed(embeddings(s, d), d)),
     "q230_filtered_lsm_recall" -> ((s, d) =>
-      Similarity.lsmFilteredRecall(embeddings(s, d), d))
+      Similarity.lsmFilteredRecall(embeddings(s, d), d)),
+    "q231_sq8_retrain" -> ((s, d) =>
+      Similarity.sq8IndexRetrain(embeddings(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -617,6 +619,7 @@ object SparkEntry {
     "q227_maxsim_graph_rerank" -> GraphAnn.maxSimGraphRerankSql,
     "q228_filtered_lsm_served" -> Similarity.lsmFilteredServedSql,
     "q229_filtered_lsm_composed" -> Similarity.lsmComposedFilteredServedSql,
-    "q230_filtered_lsm_recall" -> Similarity.lsmFilteredRecallSql
+    "q230_filtered_lsm_recall" -> Similarity.lsmFilteredRecallSql,
+    "q231_sq8_retrain" -> Similarity.sq8IndexRetrainSql
   )
 }

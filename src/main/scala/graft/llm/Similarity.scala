@@ -2279,6 +2279,209 @@ object Similarity {
       |SELECT probe_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk
       |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
 
+  /** The q231 retrain chain's store row: the q225 packed composed row
+    * PLUS the frozen-coarse assignment distance — the drift audit term
+    * the production store drops (q184's `dist` discipline on the packed
+    * shape). Pack and argmin are the identical per-row kernels; only
+    * the projection differs. */
+  private def sq8ComposedRowsD(vecs: DataFrame,
+                               cents: DataFrame): DataFrame =
+    sq8Packed(vecs.select(col("vec_id"), col("embedding")))
+      .join(frozenAssignQ(
+        quantized(vecs.select(col("vec_id"), col("embedding")), 1000)
+          .join(vecs.select(col("ent"), col("vec_id")), "vec_id"),
+        cents), "vec_id")
+      .select(col("ent"), col("vec_id"), col("b8"), col("nsq"),
+        col("cluster"), col("dist"))
+
+  /** q231: the SQ8 lifecycle's DRIFT-TRIGGERED RETRAIN, exercised
+    * (VERDICT r16 missing #3 — q225 carries the frozen-coarse machinery
+    * a drift trigger would read, but until the firing branch runs once,
+    * "retrain" is a scaladoc, not a capability; q188 is the precedent).
+    * Same entity stream as q225, except the generation-3 arrivals
+    * DRIFT: +2.0 on every float coordinate, applied in the FLOAT domain
+    * (binary32 add — which is EXACTLY the oracle's double-add rounded
+    * to float: double carries ≥ 2·24+2 significand bits, so the double
+    * rounding is innocuous and both engines produce bit-identical
+    * drifted vectors; the quantize and pack chains then read the same
+    * floats). The frozen gen-0 coarse codebook misfits the drifted g3
+    * live set, the mean assignment distance blows past the 120%
+    * [[retrainTrigger]] threshold, and the operator RETRAINS: a fresh
+    * dynamic-⌈√N⌉ 4-round Lloyd codebook over the CURRENT (drifted)
+    * live set, then a full RE-PACK + reassignment stored as `g3r` —
+    * "a re-pack IS [[sq8SeedTo]] over the live set" (the q225 scaladoc's
+    * promise, now an exercised branch): the pack is per-row
+    * deterministic given vectors, so g3r's packed bytes equal g3's
+    * (the nsq_sum audit column pins exactly that) while every cluster
+    * re-assigns and mean_dist collapses back to baseline scale.
+    *
+    * Output: q225's audit schema over g0..g3 plus the post-retrain g3r
+    * row, extended with the per-generation mean assignment distance
+    * (co-stored on the retrain chain's rows — [[sq8ComposedRowsD]])
+    * and the fired-trigger flag. The oracle recomputes every
+    * generation's live set, assignment, pack AND the retrain training
+    * rounds from scratch — a green hash proves the stored retrained
+    * packed index ≡ a from-scratch rebuild through the retrain
+    * boundary: the q188 contract extended to the SQ8 family, closing
+    * the last index family without an exercised retrain.
+    *
+    * 100 TB shape: everything q225 does, plus one Lloyd training over
+    * the live corpus at retrain time — the amortized cost the trigger
+    * exists to schedule. The re-pack is one map-side pass over the live
+    * rows (64 B/vector out), the trigger read is a 1-row aggregate per
+    * generation over the stored audit term, and nothing else touches
+    * the corpus. */
+  def sq8IndexRetrain(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_sq8rt_").toString
+    try {
+      // drifted fixture: q225's arrival band, +2.0f per coordinate on
+      // the b=3 arrivals (float-exact on both engines — see scaladoc)
+      val band = sq8ArrivalBand(embeddings)
+        .withColumn("embedding", when(col("b") === 3,
+          transform(col("embedding"), x => x + lit(2.0f)))
+          .otherwise(col("embedding")))
+      val live0 = band.filter(col("b") === 0 && !col("del"))
+      sweepAfter(spark) {
+        val (_, cents) =
+          trainLloyd(live0.select(col("vec_id"), col("embedding")))
+        cents.write.mode("overwrite").parquet(s"$scratch/centroids")
+      }
+      val frozen = spark.read.parquet(s"$scratch/centroids")
+      sq8ComposedRowsD(live0, frozen)
+        .write.mode("overwrite").parquet(s"$scratch/gen0")
+      for (g <- 1 to 3) {
+        val prev = spark.read.parquet(s"$scratch/gen${g - 1}")
+        val batch = band.filter(col("b") === g)
+        prev.join(broadcast(batch.select(col("ent")).distinct()),
+            Seq("ent"), "left_anti")
+          .unionByName(sq8ComposedRowsD(batch.filter(!col("del")), frozen))
+          .write.mode("overwrite").parquet(s"$scratch/gen$g")
+      }
+      def meanOf(gen: String): Long =
+        spark.read.parquet(s"$scratch/$gen")
+          .agg(floor(sum(col("dist")) / count(lit(1))).cast("long")).head()
+          .getLong(0)
+      val baseMean = meanOf("gen0")
+      require(retrainTrigger(meanOf("gen3"), baseMean),
+        "q231's drifted fixture must fire the retrain trigger — the " +
+          "undrifted path is q225's")
+      // THE RETRAIN LEG: fresh dynamic-⌈√N⌉ 4-round Lloyd over the
+      // drifted live set (the q188 trainer, mirrored by
+      // lloydRoundsCte("rt") in the oracle), then full re-pack +
+      // reassignment against the new centroids
+      val live3 = band
+        .join(spark.read.parquet(s"$scratch/gen3").select(col("vec_id")),
+          "vec_id")
+        .select(col("ent"), col("vec_id"), col("embedding"))
+      sweepAfter(spark) {
+        // checkpointed: the unrolled 4-round DAG re-reads it ~10 times
+        val lq = quantized(live3.select(col("vec_id"), col("embedding")),
+          1000).localCheckpoint()
+        lloydTrainCentsQ(lq, 0, 4, 64)
+          .write.mode("overwrite").parquet(s"$scratch/centroids_rt")
+      }
+      sq8ComposedRowsD(live3,
+          spark.read.parquet(s"$scratch/centroids_rt"))
+        .write.mode("overwrite").parquet(s"$scratch/gen3r")
+      def auditOf(tbl: DataFrame, state: String): DataFrame =
+        tbl.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("ent")).as("n_ents"),
+          countDistinct(col("cluster")).as("n_cells"),
+          sum(col("ent") * 100000L + col("vec_id") * 10L + col("cluster"))
+            .as("checksum"),
+          sum(col("nsq")).as("nsq_sum"),
+          floor(sum(col("dist")) / count(lit(1))).cast("long")
+            .as("mean_dist"))
+          .select(lit(state).as("state"), col("n_rows"), col("n_ents"),
+            col("n_cells"), col("checksum"), col("nsq_sum"),
+            col("mean_dist"))
+      val audits = ((0 to 3).map(g =>
+        auditOf(spark.read.parquet(s"$scratch/gen$g"), s"g$g")) :+
+        auditOf(spark.read.parquet(s"$scratch/gen3r"), "g3r"))
+        .reduce(_ unionAll _)
+      audits
+        .withColumn("retrain",
+          when(col("mean_dist") * lit(100L) > lit(baseMean) * lit(120L),
+            1L).otherwise(0L))
+        .orderBy(col("state"))
+        .localCheckpoint()
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
+  }
+
+  /** Oracle for [[sq8IndexRetrain]]: q225's from-scratch recompute over
+    * the DRIFTED embedding view (float-exact drift on the b=3 rows),
+    * keeping the per-assignment distance, plus the retrain chain re-run
+    * from scratch over the g3 live set (the unrolled Lloyd rounds
+    * prefixed `rt` — q188's) and the post-retrain audit row. */
+  lazy val sq8IndexRetrainSql: String =
+    s"""${trainedLloydCteSqlWhere("vec_id % 4 = 0 AND vec_id % 7 != 0")},
+      |emb2 AS (SELECT vec_id, CASE WHEN vec_id % 4 = 3
+      |    THEN list_transform(embedding, x -> CAST(x + 2.0 AS FLOAT))
+      |    ELSE embedding END AS embedding
+      |  FROM embeddings),
+      |allv AS (SELECT vec_id // 4 AS ent, vec_id, vec_id % 4 AS b,
+      |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qe,
+      |    (vec_id % 7 = 0) AS del
+      |  FROM emb2),
+      |st AS (SELECT i.range AS g, ent, vec_id, qe, del,
+      |    row_number() OVER (PARTITION BY i.range, ent ORDER BY b DESC) AS rn
+      |  FROM allv CROSS JOIN range(4) i WHERE b <= i.range),
+      |lv AS (SELECT g, ent, vec_id, qe FROM st WHERE rn = 1 AND NOT del),
+      |pa AS (SELECT lv.g, lv.ent, lv.vec_id, c.cluster,
+      |    CAST(list_sum(list_transform(range(64), i ->
+      |      (lv.qe[i + 1] - c.ce[i + 1]) * (lv.qe[i + 1] - c.ce[i + 1])))
+      |      AS BIGINT) AS dist
+      |  FROM lv CROSS JOIN c4 c),
+      |asgg AS (SELECT g, ent, vec_id, cluster, dist FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY g, vec_id
+      |       ORDER BY dist, cluster) rn FROM pa) WHERE rn = 1),
+      |sc8 AS (SELECT vec_id,
+      |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale,
+      |    embedding
+      |  FROM emb2),
+      |n8 AS (SELECT vec_id, CAST(list_sum(list_transform(
+      |    CASE WHEN scale = 0
+      |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |      ELSE list_transform(embedding,
+      |        x -> CAST(round(x::DOUBLE / scale, 0) AS BIGINT)) END,
+      |    x -> x * x)) AS BIGINT) AS nsq
+      |  FROM sc8),
+      |rtq AS (SELECT vec_id, qe FROM lv WHERE g = 3),
+      |${lloydRoundsCte("rt")},
+      |rtpa AS (SELECT l.ent, l.vec_id, c.cluster,
+      |    CAST(list_sum(list_transform(range(64), i ->
+      |      (l.qe[i + 1] - c.ce[i + 1]) * (l.qe[i + 1] - c.ce[i + 1])))
+      |      AS BIGINT) AS dist
+      |  FROM (SELECT * FROM lv WHERE g = 3) l CROSS JOIN rtc4 c),
+      |rtasg AS (SELECT ent, vec_id, cluster, dist FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |       ORDER BY dist, cluster) rn FROM rtpa) WHERE rn = 1),
+      |ag AS (SELECT 'g' || a.g::VARCHAR AS state, count(*) AS n_rows,
+      |    count(DISTINCT a.ent) AS n_ents,
+      |    count(DISTINCT a.cluster) AS n_cells,
+      |    CAST(sum(a.ent * 100000 + a.vec_id * 10 + a.cluster) AS BIGINT)
+      |      AS checksum,
+      |    CAST(sum(n8.nsq) AS BIGINT) AS nsq_sum,
+      |    CAST(floor(sum(a.dist)::DOUBLE / count(*)) AS BIGINT) AS mean_dist
+      |  FROM asgg a JOIN n8 ON n8.vec_id = a.vec_id
+      |  GROUP BY a.g
+      |  UNION ALL
+      |  SELECT 'g3r' AS state, count(*) AS n_rows,
+      |    count(DISTINCT a.ent) AS n_ents,
+      |    count(DISTINCT a.cluster) AS n_cells,
+      |    CAST(sum(a.ent * 100000 + a.vec_id * 10 + a.cluster) AS BIGINT)
+      |      AS checksum,
+      |    CAST(sum(n8.nsq) AS BIGINT) AS nsq_sum,
+      |    CAST(floor(sum(a.dist)::DOUBLE / count(*)) AS BIGINT) AS mean_dist
+      |  FROM rtasg a JOIN n8 ON n8.vec_id = a.vec_id)
+      |SELECT state, n_rows, n_ents, n_cells, checksum, nsq_sum, mean_dist,
+      |  CAST(CASE WHEN mean_dist * 100 >
+      |         (SELECT mean_dist FROM ag WHERE state = 'g0') * 120
+      |       THEN 1 ELSE 0 END AS BIGINT) AS retrain
+      |FROM ag ORDER BY state""".stripMargin
+
   /** Product quantization with asymmetric-distance scoring (the back
     * half of the PQ family; q74's int8 scalar quantization is the front
     * half): split the 64-dim space into `m` contiguous subspaces, give

@@ -304,6 +304,36 @@ class SimilaritySpec extends SparkSpec {
     assert(byState("g3r").getLong(2) === byState("g3").getLong(2))
   }
 
+  test("SQ8 retrain (q231): the drifted generation fires, the re-pack " +
+    "leaves the packed bytes invariant, and the retrained store " +
+    "recovers baseline-scale assignment error") {
+    val emb = Tables.embeddings(spark, sf)
+    // columns: state, n_rows, n_ents, n_cells, checksum, nsq_sum,
+    // mean_dist, retrain
+    val out = Similarity.sq8IndexRetrain(emb).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("g0", "g1", "g2", "g3", "g3r"))
+    val byState = out.map(r => r.getString(0) -> r).toMap
+    assert(byState("g3").getLong(7) === 1L, "drifted g3 must fire")
+    Seq("g0", "g1", "g2", "g3r").foreach(s =>
+      assert(byState(s).getLong(7) === 0L, s"spurious trigger at $s"))
+    // the stored audit term is consistent with the fired trigger
+    assert(byState("g3").getLong(6) * 100L >
+      byState("g0").getLong(6) * 120L, "g3 mean_dist under threshold")
+    // post-retrain error back under the 120% threshold vs the pre-drift
+    // baseline (the retrained cells separate the drifted population)
+    assert(byState("g3r").getLong(6) * 100L <=
+      byState("g0").getLong(6) * 120L, "retrain did not recover")
+    // the re-pack is BYTE-INVARIANT: pack is per-row deterministic
+    // given vectors, so the summed int64 self-dots — the pack-sensitive
+    // term — must carry through the retrain unchanged, while the
+    // assignment side (clusters) re-derives against the new codebook
+    assert(byState("g3r").getLong(5) === byState("g3").getLong(5),
+      "retrain must not change packed bytes")
+    // retrain re-indexes the live set, it does not re-ingest
+    assert(byState("g3r").getLong(1) === byState("g3").getLong(1))
+    assert(byState("g3r").getLong(2) === byState("g3").getLong(2))
+  }
+
   test("PQ-index lifecycle (q189): four generations audited; entities " +
     "unique; the isotropic fixture never fires the PQ drift signal") {
     val emb = Tables.embeddings(spark, sf)
