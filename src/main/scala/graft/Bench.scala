@@ -115,7 +115,8 @@ object Bench {
       else Seq("q179_ivf_served", "q183_pq_refine_served",
         "q187_ivfpq_served", "q195_lsm_serve_split", "q198_lsm_composed_split",
         "q200_fuzzy_served", "q203_graph_beam_served", "q206_graph_lifecycle",
-        "q215_sq8_served", "q217_ivf_sq8_served", "q226_sq8_lifecycle_served")
+        "q215_sq8_served", "q217_ivf_sq8_served", "q226_sq8_lifecycle_served",
+        "q233_sq8_lsm_served")
         .filter(SparkEntry.queries.contains)
     // a prewarm Left is NOT dropped (ADVICE r15 #2): a failed store
     // build would otherwise surface nowhere — not in `failures` (the
@@ -161,7 +162,7 @@ object Bench {
       "q206_graph_lifecycle", "q208_maxsim_rerank", "q210_graph_recall",
       "q211_graph_lifecycle_served", "q212_lifecycle_recall",
       "q216_ivf_sq8", "q219_filtered_graph", "q222_filtered_ivf_sq8",
-      "q225_sq8_lifecycle", "q231_sq8_retrain")
+      "q225_sq8_lifecycle", "q231_sq8_retrain", "q232_sq8_lsm")
     val sfValue = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).toDouble).getOrElse(0.0)
     // Optional regex restriction for targeted perf work (not set by the

@@ -360,7 +360,11 @@ object SparkEntry {
     "q230_filtered_lsm_recall" -> ((s, d) =>
       Similarity.lsmFilteredRecall(embeddings(s, d), d)),
     "q231_sq8_retrain" -> ((s, d) =>
-      Similarity.sq8IndexRetrain(embeddings(s, d)))
+      Similarity.sq8IndexRetrain(embeddings(s, d))),
+    "q232_sq8_lsm" -> ((s, d) =>
+      Similarity.sq8LsmIndex(embeddings(s, d))),
+    "q233_sq8_lsm_served" -> ((s, d) =>
+      Similarity.sq8LsmServed(embeddings(s, d), d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -620,6 +624,8 @@ object SparkEntry {
     "q228_filtered_lsm_served" -> Similarity.lsmFilteredServedSql,
     "q229_filtered_lsm_composed" -> Similarity.lsmComposedFilteredServedSql,
     "q230_filtered_lsm_recall" -> Similarity.lsmFilteredRecallSql,
-    "q231_sq8_retrain" -> Similarity.sq8IndexRetrainSql
+    "q231_sq8_retrain" -> Similarity.sq8IndexRetrainSql,
+    "q232_sq8_lsm" -> Similarity.sq8LsmIndexSql,
+    "q233_sq8_lsm_served" -> Similarity.sq8LsmServedSql
   )
 }

@@ -5444,6 +5444,376 @@ object Similarity {
       |  ON g.probe_id = t.probe_id AND g.neighbor_id = t.neighbor_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q232/q233: the SQ8 LSM store — the q193 segment pattern on the
+  // PACKED row shape (VERDICT r16 builder deferral #3: q225's
+  // rewrite-survivors generations are O(N) bytes per batch — right at
+  // daily cadence, wrong at high batch rates; the packed tier now has
+  // the same append-only delta + latest-wins + triggered-compaction
+  // discipline the flat and composed vector tiers already carry, so
+  // the O(N)/batch pattern is a cadence choice, not the only option).
+  // -------------------------------------------------------------------
+
+  /** The q232 fixture's generation-g arrival band over the FLOAT
+    * corpus: entities `vec_id % 100 ∈ {g, 4}` (the q193 bands —
+    * cumulative 2/4/6% of the base, so the [[LsmDeltaPct]] trigger
+    * first fires at g3 at every corpus size), embedding drifted +0.5·g
+    * per coordinate in the FLOAT domain (the q231
+    * innocuous-double-rounding argument: binary32 add ≡ the oracle's
+    * double-add-then-cast-to-float, and the byte PACK reads floats, so
+    * the drift must live there — q193's qe-domain drift cannot feed a
+    * pack), `vec_id % 3 = 0` tombstoned. */
+  private def sq8LsmArrivals(embeddings: DataFrame, g: Int): DataFrame =
+    embeddings
+      .filter(col("vec_id") % 100 === g || col("vec_id") % 100 === 4)
+      .select(col("vec_id").as("ent"), col("vec_id"),
+        transform(col("embedding"), x => x + lit(0.5f * g)).as("embedding"),
+        (col("vec_id") % 3 === 0).as("del"))
+
+  /** One SQ8 delta segment from an arrival frame (ent, vec_id,
+    * embedding, del): packed + frozen-assigned live arrivals (the
+    * per-row [[sq8ComposedRowsD]] kernels — batch-sized, zero base IO)
+    * plus explicit tombstone rows (packed bytes ride along for schema
+    * uniformity; cluster −1, dist 0 — the q193 tombstone shape). */
+  private def sq8LsmDeltaOf(arr: DataFrame, cents: DataFrame): DataFrame =
+    sq8ComposedRowsD(arr.filter(!col("del")), cents)
+      .withColumn("del", lit(false))
+      .unionByName(
+        sq8Packed(arr.filter(col("del"))
+            .select(col("vec_id"), col("embedding")))
+          .join(arr.select(col("ent"), col("vec_id")), "vec_id")
+          .select(col("ent"), col("vec_id"), col("b8"), col("nsq"),
+            lit(-1L).as("cluster"), lit(0L).as("dist"),
+            lit(true).as("del")))
+
+  /** Seeds the SQ8 LSM store under `root`: frozen coarse centroids
+    * trained on the whole corpus, base = every vector's packed
+    * composed row plus the frozen-assignment dist (the q231 drift-audit
+    * term, co-stored so a production trigger reads the store, not the
+    * corpus) in the bucketed [[CellStore]] layout. Returns the stored
+    * centroids. */
+  private def sq8LsmSeedTo(embeddings: DataFrame,
+                           root: String): DataFrame = {
+    val spark = embeddings.sparkSession
+    sweepAfter(spark) {
+      val (_, cents0) =
+        trainLloyd(embeddings.select(col("vec_id"), col("embedding")))
+      cents0.write.mode("overwrite").parquet(s"$root/centroids")
+    }
+    val cents = spark.read.parquet(s"$root/centroids")
+    lsmWriteBase(
+      sq8ComposedRowsD(embeddings.select(col("vec_id").as("ent"),
+        col("vec_id"), col("embedding")), cents),
+      root, s"$root/base")
+    cents
+  }
+
+  /** q232: the SQ8 LSM INGEST LIFECYCLE — append-only packed delta
+    * segments + latest-wins reads + the [[LsmDeltaPct]] compaction
+    * trigger, on the 64 B/vector packed row shape. Ingest cost is
+    * O(batch): one segment write of (ent, vec_id, b8, nsq, cluster,
+    * dist, del) rows, the base untouched (vs q225, whose every
+    * generation rewrites the surviving index — O(N) bytes per batch).
+    * Output: one audit row per state g0..g3 + post-compaction g3c over
+    * the SERVED VIEW (rows/entities/cells, delta-row count, compacted
+    * flag, the cluster-sensitive checksum, and the summed int64
+    * self-dots — the pack-sensitive term: a mis-packed byte anywhere
+    * in the resolved view moves it). The oracle recomputes every
+    * state's view from scratch — frozen trained-Lloyd CTE, FLOAT-domain
+    * drifted latest-wins, per-vector argmin, per-row re-pack — and
+    * emits g3c behind the same integer trigger predicate: a green hash
+    * proves packed-view-over-deltas ≡ from-scratch rebuild at every
+    * generation AND across the compaction boundary.
+    *
+    * 100 TB shape: q193's — the base is bucketed and never touched by
+    * ingest, the anti-join side is batch-bounded, compaction is the one
+    * amortized full pass behind the trigger, and the within-cell bytes
+    * stream through the same byte kernel the q216/q217 tier serves. */
+  def sq8LsmIndex(embeddings: DataFrame): DataFrame = {
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_sq8lsm_").toString
+    try sq8LsmIndexTo(embeddings, scratch)
+    finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
+  }
+
+  /** [[sq8LsmIndex]]'s working body over an EXPLICIT root, split out so
+    * SimilaritySpec can pin the base untouched across delta generations
+    * and StreamingSpec can compare the streamed store byte-for-byte. */
+  private[graft] def sq8LsmIndexTo(embeddings: DataFrame, root: String,
+                                   onState: String => Unit = _ => ())
+      : DataFrame = {
+    val spark = embeddings.sparkSession
+    val cents = sq8LsmSeedTo(embeddings, root)
+    var basePath = s"$root/base"
+    var deltaPaths = Vector.empty[String]
+    def view(): DataFrame = lsmResolvedView(spark, basePath, deltaPaths,
+      payload = Seq("b8", "nsq"))
+    def audit(state: String, nDelta: Long, compacted: Long): DataFrame =
+      view()
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("ent")).as("n_ents"),
+          countDistinct(col("cluster")).as("n_cells"),
+          sum(col("ent") * 100000L + col("vec_id") * 10L + col("cluster"))
+            .as("checksum"),
+          sum(col("nsq")).as("nsq_sum"))
+        .select(lit(state).as("state"), col("n_rows"), col("n_ents"),
+          col("n_cells"), lit(nDelta).as("n_delta"),
+          lit(compacted).as("compacted"), col("checksum"),
+          col("nsq_sum"))
+        .localCheckpoint()
+    var baseRows = spark.read.parquet(basePath).count()
+    // the fires-first-at-g3 contract needs the integer bands to round
+    // cleanly — same floor as q193 (review r11)
+    require(baseRows >= 100,
+      s"sq8LsmIndex: fixture needs >= 100 vectors (got $baseRows) " +
+        "for the oracle's fires-first-at-g3 trigger contract to hold")
+    var deltaRows = 0L
+    val audits = scala.collection.mutable.ArrayBuffer(audit("g0", 0L, 0L))
+    onState("g0")
+    for (g <- 1 to 3) {
+      val p = s"$root/delta$g"
+      sq8LsmDeltaOf(sq8LsmArrivals(embeddings, g), cents)
+        .write.mode("overwrite").parquet(p)
+      deltaPaths :+= p
+      deltaRows += spark.read.parquet(p).count()
+      audits += audit(s"g$g", deltaRows, 0L)
+      onState(s"g$g")
+      if (deltaRows * 100L > baseRows * LsmDeltaPct) {
+        val np = s"$root/base_c$g"
+        lsmWriteBase(view(), root, np)
+        deltaPaths.foreach(d =>
+          graft.FsUtil.deleteRecursively(new java.io.File(d)))
+        deltaPaths = Vector.empty
+        basePath = np
+        baseRows = spark.read.parquet(np).count()
+        deltaRows = 0L
+        audits += audit(s"g${g}c", 0L, 1L)
+        onState(s"g${g}c")
+      }
+    }
+    audits.reduce(_ unionAll _).orderBy(col("state")).localCheckpoint()
+  }
+
+  /** The q232 ingest leg under Structured Streaming (foreachBatch):
+    * arrival micro-batches (ent, vec_id, embedding, del) with FLOAT
+    * embeddings — the pack IS the quantization here and runs per-row
+    * deterministically at build and ingest alike, so no upstream
+    * quantization seam exists (the generic tier's qe-domain contract
+    * guards a seam the packed tier doesn't have). Each batch appends
+    * ONE delta segment, checks the [[LsmDeltaPct]] trigger against the
+    * CURRENT base and, on fire, compacts — the batch lifecycle's
+    * control flow driven by micro-batches; stream ≡ batch proved in
+    * StreamingSpec. */
+  def sq8LsmIngestStreamBatch(root: String)(batch: DataFrame,
+                                            batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val (basePath, prior) = lsmStorePaths(root)
+    val next = lsmNextSeg(basePath, prior)
+    val cents = spark.read.parquet(s"$root/centroids")
+    sq8LsmDeltaOf(batch, cents)
+      .write.mode("overwrite").parquet(s"$root/delta$next")
+    val deltaPaths = (prior :+ next).map(i => s"$root/delta$i")
+    val deltaRows = deltaPaths.map(p => segCount(spark, p)).sum
+    val baseRows = segCount(spark, basePath)
+    if (deltaRows * 100L > baseRows * LsmDeltaPct) {
+      lsmWriteBase(lsmResolvedView(spark, basePath, deltaPaths,
+        payload = Seq("b8", "nsq")), root, s"$root/base_c$next")
+      for (p <- deltaPaths) {
+        graft.FsUtil.deleteRecursively(new java.io.File(p))
+        dropSegCount(p)
+      }
+    }
+    ()
+  }
+
+  /** Writes the q233 MID-LIFECYCLE SQ8 LSM store under `root`: the
+    * seed (centroids + bucketed packed base) plus TWO arrival
+    * generations (cumulative 4% — below the trigger, so the store
+    * holds one live base and two live delta segments). */
+  private[llm] def sq8LsmMidStoreTo(embeddings: DataFrame,
+                                    root: String): Unit = {
+    val cents = sq8LsmSeedTo(embeddings, root)
+    for (g <- 1 to 2)
+      sq8LsmDeltaOf(sq8LsmArrivals(embeddings, g), cents)
+        .write.mode("overwrite").parquet(s"$root/delta$g")
+  }
+
+  /** q233: byte-kernel top-k SERVED through the SQ8 LSM view — the
+    * point of the packed segment store: queries answer against base +
+    * live deltas without waiting for compaction, at the composed tier's
+    * scan cost. Probes rank the frozen centroids at the
+    * [[IvfPqProbeFrac]]·⌈√N⌉ packed-tier budget, the view resolves
+    * ONLY the probed cells' rows ([[lsmResolvedViewPruned]] — the base
+    * read prunes via the bucket-keyed DPP semi-join, the delta leg by
+    * the same census after its latest-wins window, the anti-join on
+    * the UNFILTERED delta entity set), and the probed rows stream
+    * through the q213 byte kernel. The oracle recomputes the g2 view
+    * from scratch and unrolls the identical scan — deletes invisible,
+    * revisions scored at their CURRENT packed bytes in their NEW
+    * cells. */
+  def sq8LsmServed(embeddings: DataFrame, corpusTag: String,
+                   nProbes: Int = 10, k: Int = 5): DataFrame = {
+    require(nProbes == 10 && k == 5,
+      "sq8LsmServed is oracle-gated at nProbes=10, k=5")
+    val root = graft.FsUtil.ServedRoots.getOrBuild(
+      corpusKey(embeddings, "vec_id", s"sq8lsm:$corpusTag", embSig),
+      "graft_sq8lsm_served_")(sq8LsmMidStoreTo(embeddings, _))
+    sq8LsmServeRoot(root, probesFrame(embeddings, nProbes), embeddings, k)
+  }
+
+  private def sq8LsmServeRoot(root: String, probes: DataFrame,
+                              embeddings: DataFrame, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cents = spark.read.parquet(s"$root/centroids")
+    val (basePath, deltas) = lsmStorePaths(root)
+    val pcells = broadcast(probeCellsFor(probes, embeddings, cents,
+      nProbe = 0, frac = IvfPqProbeFrac))
+    val resolved = lsmResolvedViewPruned(spark, root, basePath,
+      deltas.map(i => s"$root/delta$i"),
+      pcells.select(col("cell")).distinct(),
+      payload = Seq("b8", "nsq"))
+    ivfSq8Rank(pcells,
+      resolved.select(col("vec_id"), col("b8"), col("nsq"),
+        col("cluster")), k)
+  }
+
+  /** Oracle for [[sq8LsmIndex]]: the frozen trained-Lloyd CTE over the
+    * whole corpus, every state's served view from one latest-wins
+    * window over the FLOAT-domain drifted bands (tombstones drop,
+    * per-vector argmin over the re-quantized drifted floats, per-row
+    * re-pack for the nsq term), delta-row counts from the same band
+    * arithmetic, and the post-compaction row behind the same integer
+    * trigger predicate. */
+  lazy val sq8LsmIndexSql: String =
+    s"""$trainedLloydCteSql,
+      |arr AS (SELECT g.range AS b, e.vec_id AS ent, e.vec_id,
+      |    list_transform(e.embedding, x -> CAST(x + 0.5 * g.range AS FLOAT)) AS emb,
+      |    (e.vec_id % 3 = 0) AS del
+      |  FROM embeddings e CROSS JOIN range(1, 4) g
+      |  WHERE e.vec_id % 100 = g.range OR e.vec_id % 100 = 4),
+      |bs0 AS (SELECT 0 AS b, vec_id AS ent, vec_id, embedding AS emb,
+      |    FALSE AS del FROM embeddings),
+      |al AS (SELECT * FROM bs0 UNION ALL SELECT * FROM arr),
+      |stt AS (SELECT i.range AS g, ent, vec_id, emb, del,
+      |    row_number() OVER (PARTITION BY i.range, ent ORDER BY b DESC) AS rn
+      |  FROM al CROSS JOIN range(4) i WHERE b <= i.range),
+      |lvv AS (SELECT g, ent, vec_id, emb FROM stt WHERE rn = 1 AND NOT del),
+      |qv AS (SELECT g, ent, vec_id, emb,
+      |    list_transform(emb, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qe
+      |  FROM lvv),
+      |paa AS (SELECT qv.g, qv.ent, qv.vec_id, c.cluster,
+      |    CAST(list_sum(list_transform(range(64), i ->
+      |      (qv.qe[i + 1] - c.ce[i + 1]) * (qv.qe[i + 1] - c.ce[i + 1])))
+      |      AS BIGINT) AS dist
+      |  FROM qv CROSS JOIN c4 c),
+      |asgn AS (SELECT g, ent, vec_id, cluster FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY g, vec_id
+      |       ORDER BY dist, cluster) rn FROM paa) WHERE rn = 1),
+      |p8 AS (SELECT g, vec_id, CAST(list_sum(list_transform(
+      |    CASE WHEN scale = 0
+      |      THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+      |      ELSE list_transform(emb,
+      |        x -> CAST(round(x::DOUBLE / scale, 0) AS BIGINT)) END,
+      |    x -> x * x)) AS BIGINT) AS nsq
+      |  FROM (SELECT g, vec_id, emb,
+      |      list_max(list_transform(emb, x -> abs(x::DOUBLE))) / 127.0 AS scale
+      |    FROM qv)),
+      |dr AS (SELECT i.range AS g, count(*) AS n_delta FROM arr
+      |  CROSS JOIN range(4) i WHERE arr.b <= i.range GROUP BY i.range),
+      |nb AS (SELECT count(*) AS n FROM embeddings),
+      |ag AS (SELECT a.g, count(*) AS n_rows, count(DISTINCT a.ent) AS n_ents,
+      |    count(DISTINCT a.cluster) AS n_cells,
+      |    CAST(sum(a.ent * 100000 + a.vec_id * 10 + a.cluster) AS BIGINT)
+      |      AS checksum,
+      |    CAST(sum(p8.nsq) AS BIGINT) AS nsq_sum
+      |  FROM asgn a JOIN p8 ON p8.g = a.g AND p8.vec_id = a.vec_id
+      |  GROUP BY a.g)
+      |SELECT 'g' || a.g::VARCHAR AS state, a.n_rows, a.n_ents, a.n_cells,
+      |  CAST(coalesce(d.n_delta, 0) AS BIGINT) AS n_delta,
+      |  CAST(0 AS BIGINT) AS compacted, a.checksum, a.nsq_sum
+      |FROM ag a LEFT JOIN dr d ON a.g = d.g
+      |UNION ALL
+      |SELECT 'g3c', n_rows, n_ents, n_cells, CAST(0 AS BIGINT),
+      |  CAST(1 AS BIGINT), checksum, nsq_sum
+      |FROM ag WHERE g = 3 AND (SELECT n_delta FROM dr WHERE g = 3) * 100 >
+      |  (SELECT n FROM nb) * $LsmDeltaPct
+      |ORDER BY state""".stripMargin
+
+  /** Oracle for [[sq8LsmServed]]: the frozen trained-Lloyd CTE, the g2
+    * view from scratch (FLOAT-domain drifted latest-wins, per-vector
+    * argmin), the q216 probe/cell-selection CTEs at the
+    * [[IvfPqProbeFrac]] budget, probes packed from the ORIGINAL
+    * corpus, view rows re-packed from their CURRENT (drifted) floats,
+    * and the q213 byte-kernel top-k over the probed cells. */
+  lazy val sq8LsmServedSql: String =
+    s"""$trainedLloydCteSql,
+      |arr AS (SELECT g.range AS b, e.vec_id AS ent, e.vec_id,
+      |    list_transform(e.embedding, x -> CAST(x + 0.5 * g.range AS FLOAT)) AS emb,
+      |    (e.vec_id % 3 = 0) AS del
+      |  FROM embeddings e CROSS JOIN range(1, 3) g
+      |  WHERE e.vec_id % 100 = g.range OR e.vec_id % 100 = 4),
+      |bs0 AS (SELECT 0 AS b, vec_id AS ent, vec_id, embedding AS emb,
+      |    FALSE AS del FROM embeddings),
+      |al AS (SELECT * FROM bs0 UNION ALL SELECT * FROM arr),
+      |stt AS (SELECT ent, vec_id, emb, del,
+      |    row_number() OVER (PARTITION BY ent ORDER BY b DESC) AS rn
+      |  FROM al),
+      |lvv AS (SELECT ent, vec_id, emb FROM stt WHERE rn = 1 AND NOT del),
+      |qv AS (SELECT ent, vec_id, emb,
+      |    list_transform(emb, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qe
+      |  FROM lvv),
+      |paa AS (SELECT qv.ent, qv.vec_id, qv.emb, c.cluster,
+      |    CAST(list_sum(list_transform(range(64), i ->
+      |      (qv.qe[i + 1] - c.ce[i + 1]) * (qv.qe[i + 1] - c.ce[i + 1])))
+      |      AS BIGINT) AS dist
+      |  FROM qv CROSS JOIN c4 c),
+      |vw AS (SELECT ent, vec_id, emb, cluster FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |       ORDER BY dist, cluster) rn FROM paa) WHERE rn = 1),
+      |n8v AS (SELECT vec_id, q,
+      |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq
+      |  FROM (SELECT vec_id, CASE WHEN scale = 0
+      |      THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+      |      ELSE list_transform(emb,
+      |        x -> CAST(round(x::DOUBLE / scale, 0) AS BIGINT)) END AS q
+      |    FROM (SELECT vec_id, emb,
+      |        list_max(list_transform(emb, x -> abs(x::DOUBLE))) / 127.0 AS scale
+      |      FROM vw))),
+      |p8 AS (SELECT vec_id AS probe_id, q AS pq,
+      |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS pn8
+      |  FROM (SELECT vec_id, CASE WHEN scale = 0
+      |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |      ELSE list_transform(embedding,
+      |        x -> CAST(round(x::DOUBLE / scale, 0) AS BIGINT)) END AS q
+      |    FROM (SELECT vec_id, embedding,
+      |        list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+      |      FROM embeddings WHERE vec_id < 10))),
+      |cells AS (SELECT cluster AS cell,
+      |            list_transform(ce, x -> x::DOUBLE) AS centroid
+      |          FROM c4),
+      |probes AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pn
+      |           FROM v WHERE vec_id < 10),
+      |pc AS (SELECT p.probe_id, c.cell,
+      |    list_sum(list_transform(list_zip(p.pe, c.centroid), z -> z[1]::DOUBLE * z[2]))
+      |      / (p.pn * sqrt(list_sum(list_transform(c.centroid, x -> x * x)))) AS ccos
+      |  FROM probes p CROSS JOIN cells c),
+      |pcr AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |          ORDER BY ccos DESC, cell) crnk FROM pc),
+      |sel AS (SELECT probe_id, cell FROM pcr
+      |        WHERE crnk <= (SELECT CAST(ceil($IvfPqProbeFrac * k) AS BIGINT) FROM kk)),
+      |pairs AS (SELECT sel.probe_id, w.vec_id AS neighbor_id,
+      |    round(CAST(list_sum(list_transform(list_zip(p8.pq, n8v.q),
+      |        z -> z[1] * z[2])) AS BIGINT)::DOUBLE
+      |      / sqrt((p8.pn8 * n8v.nsq)::DOUBLE), 4) AS cos
+      |  FROM sel
+      |  JOIN p8 ON p8.probe_id = sel.probe_id
+      |  JOIN vw w ON w.cluster = sel.cell AND w.vec_id != sel.probe_id
+      |  JOIN n8v ON n8v.vec_id = w.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |        ORDER BY cos DESC, neighbor_id) rnk FROM pairs)
+      |SELECT probe_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+
+  // -------------------------------------------------------------------
   // q196/q197: the LSM segment store for the COMPOSED (IVF-PQ) index —
   // q193 gave the serving tier's write path for IVF-Flat rows; the
   // production serving tier (q187) stores PQ encodings in cell-

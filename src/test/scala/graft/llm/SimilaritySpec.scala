@@ -334,6 +334,53 @@ class SimilaritySpec extends SparkSpec {
     assert(byState("g3r").getLong(2) === byState("g3").getLong(2))
   }
 
+  test("SQ8 LSM store (q232): ingest never touches the packed base; " +
+    "compaction preserves the served view including the packed bytes") {
+    val emb = Tables.embeddings(spark, sf)
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_sq8lsmspec_").toString
+    try {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      def baseFiles(): Map[String, (Long, Long)] =
+        walk(new java.io.File(s"$scratch/base"))
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+      var atG0: Map[String, (Long, Long)] = Map.empty
+      var atG3: Map[String, (Long, Long)] = Map.empty
+      // columns: state, n_rows, n_ents, n_cells, n_delta, compacted,
+      // checksum, nsq_sum
+      val out = Similarity.sq8LsmIndexTo(emb, scratch, {
+        case "g0" => atG0 = baseFiles()
+        case "g3" => atG3 = baseFiles()
+        case _    => ()
+      }).collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+      // three generations of ingest wrote ONLY delta segments
+      assert(atG0.nonEmpty && atG3 === atG0,
+        "a delta generation rewrote the packed base segment")
+      // compaction fired at g3 (6% > 5%) and preserved the view exactly
+      // — including the pack-sensitive nsq sum: compaction moves rows,
+      // never re-packs bytes
+      assert(out.keySet === Set("g0", "g1", "g2", "g3", "g3c"))
+      val (g3, g3c) = (out("g3"), out("g3c"))
+      assert(g3c._1 === g3._1 && g3c._2 === g3._2 && g3c._3 === g3._3 &&
+        g3c._6 === g3._6 && g3c._7 === g3._7,
+        "compaction changed the served view")
+      assert(g3c._4 === 0L && g3c._5 === 1L)
+      assert(g3._4 > 0L && g3._5 === 0L)
+      assert(!new java.io.File(s"$scratch/delta1").exists())
+      val compacted = spark.read.parquet(s"$scratch/base_c3")
+      assert(compacted.count() === g3._1)
+      val tombstoned = compacted.collect().map(_.getAs[Long]("ent"))
+        .filter(e => e % 3 == 0 && Set(1L, 2L, 3L, 4L)(e % 100))
+      assert(tombstoned.isEmpty,
+        s"tombstoned entities survived compaction: ${tombstoned.take(5).toSeq}")
+    } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
+  }
+
   test("PQ-index lifecycle (q189): four generations audited; entities " +
     "unique; the isotropic fixture never fires the PQ drift signal") {
     val emb = Tables.embeddings(spark, sf)

@@ -905,6 +905,72 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 LSM ingest on an arrival STREAM equals the batch " +
+    "lifecycle's compacted store bit-for-bit (q232 online)") {
+    import org.apache.spark.sql.functions.{col, lit, transform}
+    import org.apache.spark.sql.types._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val rootB = Files.createTempDirectory("graft-sq8lsmb").toString
+    val rootS = Files.createTempDirectory("graft-sq8lsms").toString
+    val dir = Files.createTempDirectory("graft-sq8lsmarr").toString + "/arr"
+    try {
+      // batch reference: full lifecycle (ends compacted into base_c3)
+      graft.llm.Similarity.sq8LsmIndexTo(emb, rootB)
+      // streamed side: deterministic rebuild, then strip everything but
+      // the seed (centroids + the gen-0 packed base; the lifecycle
+      // already cleared its deltas at compaction)
+      graft.llm.Similarity.sq8LsmIndexTo(emb, rootS)
+      graft.FsUtil.deleteRecursively(new java.io.File(s"$rootS/base_c3"))
+      // the q232 fixture's arrival bands — FLOAT embeddings drifted
+      // +0.5·g per coordinate (the stream leg's contract: the pack owns
+      // float→byte and is per-row deterministic)
+      def arrivals(g: Int) = emb
+        .filter(col("vec_id") % 100 === g || col("vec_id") % 100 === 4)
+        .select(col("vec_id").as("ent"), col("vec_id"),
+          transform(col("embedding"), x => x + lit(0.5f * g))
+            .as("embedding"),
+          (col("vec_id") % 3 === 0).as("del"))
+      def baseFiles(): Set[String] =
+        Option(new java.io.File(s"$rootS/base").listFiles()).toSeq.flatten
+          .map(f => s"${f.getName}:${f.lastModified}").toSet
+      val seedFiles = baseFiles()
+      arrivals(1).write.parquet(dir)
+      val schema = StructType(Seq(
+        StructField("ent", LongType), StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("del", BooleanType)))
+      val q = spark.readStream.schema(schema).parquet(dir)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.llm.Similarity.sq8LsmIngestStreamBatch(rootS)(b, id))
+        .start()
+      try {
+        q.processAllAvailable()
+        arrivals(2).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+        // two non-compacting micro-batches: deltas exist, base untouched
+        assert(new java.io.File(s"$rootS/delta1").exists())
+        assert(new java.io.File(s"$rootS/delta2").exists())
+        assert(baseFiles() === seedFiles,
+          "a streamed delta batch rewrote the packed base segment")
+        arrivals(3).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      } finally q.stop()
+      // third batch crossed 5%: compacted, deltas cleared
+      assert(!new java.io.File(s"$rootS/delta1").exists() &&
+        !new java.io.File(s"$rootS/delta3").exists(),
+        "compaction did not clear the delta segments")
+      def comp(root: String) = spark.read.parquet(s"$root/base_c3")
+        .select(col("ent"), col("vec_id"), col("b8"), col("nsq"),
+          col("cluster").cast("long").as("cluster"), col("dist"))
+      val (compS, compB) = (comp(rootS), comp(rootB))
+      assert(compS.count() === compB.count())
+      assert(compS.except(compB).isEmpty && compB.except(compS).isEmpty,
+        "streamed compacted packed store != batch lifecycle's")
+    } finally Seq(rootB, rootS).foreach(r =>
+      graft.FsUtil.deleteRecursively(new java.io.File(r)))
+  }
+
   test("graph-LIFECYCLE serve on a probe STREAM equals the batch serve " +
     "(q211 online; union of foreachBatch micro-batches == one batch)") {
     import org.apache.spark.sql.functions.col
