@@ -128,8 +128,10 @@ object Bench {
       prewarmNames.map(n => n -> once(n))
     val prewarm: Seq[(String, Double)] =
       prewarmRuns.collect { case (n, Right(t)) => n -> t }
-    val prewarmFailures: Seq[String] =
-      prewarmRuns.collect { case (n, Left(_)) => n }
+    // name → error message (ADVICE r16 #4: a bare name list forced a
+    // re-run just to see WHY a store build failed)
+    val prewarmFailures: Seq[(String, String)] =
+      prewarmRuns.collect { case (n, Left(e)) => n -> e }
 
     // Exact all-pairs VALIDATION harnesses (q33 AllPairs/PPJoin Jaccard,
     // q36 label-blocked all-pairs cosine): deliberately quadratic truth
@@ -349,7 +351,8 @@ object Bench {
     val pw = prewarm.map { case (k, v) =>
       "\"" + k + "\":" + math.round(v * 100.0) / 100.0 }
       .mkString("{", ",", "}")
-    val pwf = prewarmFailures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val pwf = prewarmFailures.map { case (n, e) =>
+      "\"" + n + "\":" + jstr(e.take(300)) }.mkString("{", ",", "}")
     // cross-round totals stay comparable BY CONSTRUCTION (VERDICT r15
     // #4): the headline `value` holds medians only (prewarm moved the
     // one-time builds out of them in r15), so the build-inclusive

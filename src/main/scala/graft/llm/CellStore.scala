@@ -103,7 +103,10 @@ object CellStore {
     * column, so the optimizer inserts a dynamic-partition-pruning
     * subquery on the scan (the `>= 0` build-side predicate is always
     * true but REQUIRED — Spark only plants the DPP subquery when the
-    * build side carries a selective predicate; the q192 lesson). The
+    * build side carries a selective predicate; the q192 lesson). That
+    * coaxing is optimizer-version-sensitive: the plan pins in
+    * PlanShapeSpec (q195/q198/q217) and GraphAnnSpec ("dynamicpruning")
+    * are the regression guard — re-run them on any Spark bump. The
     * cluster key completes exactness: rows of co-bucketed unprobed
     * cells drop at the join. No driver collect anywhere. */
   def prunedToF(store: DataFrame, nBuckets: Long,
