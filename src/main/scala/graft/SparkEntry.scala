@@ -364,7 +364,11 @@ object SparkEntry {
     "q232_sq8_lsm" -> ((s, d) =>
       Similarity.sq8LsmIndex(embeddings(s, d))),
     "q233_sq8_lsm_served" -> ((s, d) =>
-      Similarity.sq8LsmServed(embeddings(s, d), d))
+      Similarity.sq8LsmServed(embeddings(s, d), d)),
+    "q234_filtered_sq8_lsm" -> ((s, d) =>
+      Similarity.sq8LsmFilteredServed(embeddings(s, d), d)),
+    "q235_filtered_sq8_lsm_recall" -> ((s, d) =>
+      Similarity.sq8LsmFilteredRecall(embeddings(s, d), d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -626,6 +630,8 @@ object SparkEntry {
     "q230_filtered_lsm_recall" -> Similarity.lsmFilteredRecallSql,
     "q231_sq8_retrain" -> Similarity.sq8IndexRetrainSql,
     "q232_sq8_lsm" -> Similarity.sq8LsmIndexSql,
-    "q233_sq8_lsm_served" -> Similarity.sq8LsmServedSql
+    "q233_sq8_lsm_served" -> Similarity.sq8LsmServedSql,
+    "q234_filtered_sq8_lsm" -> Similarity.sq8LsmFilteredServedSql,
+    "q235_filtered_sq8_lsm_recall" -> Similarity.sq8LsmFilteredRecallSql
   )
 }

@@ -5467,7 +5467,7 @@ object Similarity {
       .filter(col("vec_id") % 100 === g || col("vec_id") % 100 === 4)
       .select(col("vec_id").as("ent"), col("vec_id"),
         transform(col("embedding"), x => x + lit(0.5f * g)).as("embedding"),
-        (col("vec_id") % 3 === 0).as("del"))
+        col("label"), (col("vec_id") % 3 === 0).as("del"))
 
   /** One SQ8 delta segment from an arrival frame (ent, vec_id,
     * embedding, del): packed + frozen-assigned live arrivals (the
@@ -5476,13 +5476,15 @@ object Similarity {
     * uniformity; cluster −1, dist 0 — the q193 tombstone shape). */
   private def sq8LsmDeltaOf(arr: DataFrame, cents: DataFrame): DataFrame =
     sq8ComposedRowsD(arr.filter(!col("del")), cents)
+      .join(arr.select(col("vec_id"), col("label")), "vec_id")
       .withColumn("del", lit(false))
       .unionByName(
         sq8Packed(arr.filter(col("del"))
             .select(col("vec_id"), col("embedding")))
-          .join(arr.select(col("ent"), col("vec_id")), "vec_id")
+          .join(arr.select(col("ent"), col("vec_id"), col("label")),
+            "vec_id")
           .select(col("ent"), col("vec_id"), col("b8"), col("nsq"),
-            lit(-1L).as("cluster"), lit(0L).as("dist"),
+            lit(-1L).as("cluster"), lit(0L).as("dist"), col("label"),
             lit(true).as("del")))
 
   /** Seeds the SQ8 LSM store under `root`: frozen coarse centroids
@@ -5502,7 +5504,8 @@ object Similarity {
     val cents = spark.read.parquet(s"$root/centroids")
     lsmWriteBase(
       sq8ComposedRowsD(embeddings.select(col("vec_id").as("ent"),
-        col("vec_id"), col("embedding")), cents),
+          col("vec_id"), col("embedding")), cents)
+        .join(embeddings.select(col("vec_id"), col("label")), "vec_id"),
       root, s"$root/base")
     cents
   }
@@ -5545,8 +5548,10 @@ object Similarity {
     val cents = sq8LsmSeedTo(embeddings, root)
     var basePath = s"$root/base"
     var deltaPaths = Vector.empty[String]
+    // label rides the payload so compaction carries the filterable
+    // attribute through (the q228 co-stored-metadata contract)
     def view(): DataFrame = lsmResolvedView(spark, basePath, deltaPaths,
-      payload = Seq("b8", "nsq"))
+      payload = Seq("b8", "nsq", "label"))
     def audit(state: String, nDelta: Long, compacted: Long): DataFrame =
       view()
         .agg(count(lit(1)).as("n_rows"),
@@ -5594,8 +5599,8 @@ object Similarity {
   }
 
   /** The q232 ingest leg under Structured Streaming (foreachBatch):
-    * arrival micro-batches (ent, vec_id, embedding, del) with FLOAT
-    * embeddings — the pack IS the quantization here and runs per-row
+    * arrival micro-batches (ent, vec_id, embedding, label, del) with
+    * FLOAT embeddings — the pack IS the quantization here and runs per-row
     * deterministically at build and ingest alike, so no upstream
     * quantization seam exists (the generic tier's qe-domain contract
     * guards a seam the packed tier doesn't have). Each batch appends
@@ -5616,7 +5621,7 @@ object Similarity {
     val baseRows = segCount(spark, basePath)
     if (deltaRows * 100L > baseRows * LsmDeltaPct) {
       lsmWriteBase(lsmResolvedView(spark, basePath, deltaPaths,
-        payload = Seq("b8", "nsq")), root, s"$root/base_c$next")
+        payload = Seq("b8", "nsq", "label")), root, s"$root/base_c$next")
       for (p <- deltaPaths) {
         graft.FsUtil.deleteRecursively(new java.io.File(p))
         dropSegCount(p)
@@ -5660,21 +5665,242 @@ object Similarity {
     sq8LsmServeRoot(root, probesFrame(embeddings, nProbes), embeddings, k)
   }
 
+  /** The SQ8 LSM serve plan over a stored root and an arbitrary probe
+    * frame. `pred` applies to the RESOLVED view's candidates only —
+    * never below the entity anti-join (the entity-stability
+    * invariant), and BEFORE the byte-kernel rank join, so ineligible
+    * packed rows never reach the kernel; `widen` scales the probed-cell
+    * budget by the measured 1/selectivity (the q204/q228 discipline). */
   private def sq8LsmServeRoot(root: String, probes: DataFrame,
-                              embeddings: DataFrame, k: Int): DataFrame = {
+                              embeddings: DataFrame, k: Int,
+                              pred: Option[Column] = None,
+                              widen: Column = lit(1.0)): DataFrame = {
     val spark = embeddings.sparkSession
     val cents = spark.read.parquet(s"$root/centroids")
     val (basePath, deltas) = lsmStorePaths(root)
     val pcells = broadcast(probeCellsFor(probes, embeddings, cents,
-      nProbe = 0, frac = IvfPqProbeFrac))
+      nProbe = 0, frac = IvfPqProbeFrac, widen = widen))
     val resolved = lsmResolvedViewPruned(spark, root, basePath,
       deltas.map(i => s"$root/delta$i"),
       pcells.select(col("cell")).distinct(),
-      payload = Seq("b8", "nsq"))
+      payload = Seq("b8", "nsq", "label"))
+    val view = pred.map(resolved.filter).getOrElse(resolved)
     ivfSq8Rank(pcells,
-      resolved.select(col("vec_id"), col("b8"), col("nsq"),
+      view.select(col("vec_id"), col("b8"), col("nsq"),
         col("cluster")), k)
   }
+
+  /** The q233 serve leg under Structured Streaming (foreachBatch):
+    * probe vectors arrive as micro-batches and each runs the identical
+    * pruned-view byte-kernel scan against the SAME stored root as the
+    * batch leg. Per-probe results depend only on the probe row + the
+    * stored segments, so union-of-micro-batches ≡ one batch —
+    * StreamingSpec proves it against [[sq8LsmServed]]'s rows. */
+  def sq8LsmServeStreamBatch(embeddings: DataFrame, corpusTag: String,
+                             outDir: String, k: Int = 5)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val probes = batch.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pe"), l2norm(col("embedding")).as("pn"))
+    val root = streamRootFor(s"sq8lsm:$corpusTag") {
+      graft.FsUtil.ServedRoots.getOrBuild(
+        corpusKey(embeddings, "vec_id", s"sq8lsm:$corpusTag", embSig),
+        "graft_sq8lsm_served_")(sq8LsmMidStoreTo(embeddings, _))
+    }
+    sq8LsmServeRoot(root, probes, embeddings, k)
+      .write.mode("append").parquet(outDir)
+    ()
+  }
+
+  /** q234: FILTERED search on the SQ8 LSM tier — the q204/q228
+    * metadata-predicate discipline on the packed segment store,
+    * completing the filtered coverage of every index tier (IVF, graph,
+    * composed SQ8, both generic LSM tiers, and now the packed LSM).
+    * The label is co-stored on every base and delta row (and carried
+    * through compaction — the resolved-view payload), the predicate
+    * applies to the RESOLVED view's candidates before the byte-kernel
+    * rank join — ineligible packed rows never reach the kernel, and
+    * never below the entity anti-join — and the probed-cell budget
+    * self-widens by the measured 1/selectivity. Same ServedRoots store
+    * as q233: ONE physical packed segment store serves the plain and
+    * filtered legs mid-lifecycle. */
+  def sq8LsmFilteredServed(embeddings: DataFrame, corpusTag: String,
+                           nProbes: Int = 10, k: Int = 5): DataFrame = {
+    require(nProbes == 10 && k == 5,
+      "sq8LsmFilteredServed is oracle-gated at nProbes=10, k=5")
+    val root = graft.FsUtil.ServedRoots.getOrBuild(
+      corpusKey(embeddings, "vec_id", s"sq8lsm:$corpusTag", embSig),
+      "graft_sq8lsm_served_")(sq8LsmMidStoreTo(embeddings, _))
+    sq8LsmServeRoot(root, probesFrame(embeddings, nProbes), embeddings, k,
+      pred = Some(col("label") % 2 === 0), widen = evenLabelWiden)
+  }
+
+  /** q235: the filtered packed-LSM tier's acceptance gate — recall@k
+    * of [[sq8LsmFilteredServed]] against the FILTERED float brute
+    * truth over the store's CURRENT live view (the mid-lifecycle g2
+    * state — revisions ranked at their drifted vectors, tombstones
+    * gone; the q230 discipline on the packed store). The measured
+    * answer to what coarse pruning + 8-bit truncation cost TOGETHER
+    * under a selective predicate on this tier. */
+  def sq8LsmFilteredRecall(embeddings: DataFrame, corpusTag: String,
+                           nProbes: Int = 10, k: Int = 5): DataFrame = {
+    require(nProbes == 10 && k == 5,
+      "sq8LsmFilteredRecall is oracle-gated at nProbes=10, k=5")
+    // the g2 live view in the FLOAT domain, rebuilt from the
+    // deterministic fixture (the store holds only packed bytes — the
+    // truth must rank exact floats)
+    val bs0 = embeddings.select(lit(0).as("b"), col("vec_id").as("ent"),
+      col("vec_id"), col("embedding"), col("label"),
+      lit(false).as("del"))
+    val al = (1 to 2).map(g => sq8LsmArrivals(embeddings, g)
+        .withColumn("b", lit(g))
+        .select(col("b"), col("ent"), col("vec_id"), col("embedding"),
+          col("label"), col("del")))
+      .foldLeft(bs0)(_ unionByName _)
+    val wl = Window.partitionBy(col("ent")).orderBy(col("b").desc)
+    val live = al.withColumn("rn", row_number().over(wl))
+      .filter(col("rn") === 1 && !col("del"))
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val probes = probesFrame(embeddings, nProbes)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val truth = live.filter(col("label") % 2 === 0)
+      .withColumn("nrm", l2norm(col("embedding")))
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(dot(col("pe"), col("embedding")) /
+        (col("pn") * col("nrm")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+    val got = sq8LsmFilteredServed(embeddings, corpusTag, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    truth.join(got, Seq("probe_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(lit("sq8_lsm_filtered").as("method"), col("n_truth"),
+        col("n_hits"),
+        floor(lit(10000.0) * col("n_hits") / col("n_truth")).cast("long")
+          .as("recall_bp"))
+  }
+
+  /** Oracle for [[sq8IndexLifecycle]]'s packed-LSM filtered serve
+    * ([[sq8LsmFilteredServed]], q234): q233's chain with (a) the
+    * probed-cell budget widened by the measured 1/selectivity and (b)
+    * the eligible view rows as the scan side — candidates drop before
+    * the byte-kernel join, exactly like the Spark side's filtered
+    * resolved view (the label is vec_id-stable in the fixture, so the
+    * embeddings join ≡ the co-stored column). */
+  lazy val sq8LsmFilteredServedSql: String =
+    s"""$trainedLloydCteSql,
+      |arr AS (SELECT g.range AS b, e.vec_id AS ent, e.vec_id,
+      |    list_transform(e.embedding, x -> CAST(x + 0.5 * g.range AS FLOAT)) AS emb,
+      |    (e.vec_id % 3 = 0) AS del
+      |  FROM embeddings e CROSS JOIN range(1, 3) g
+      |  WHERE e.vec_id % 100 = g.range OR e.vec_id % 100 = 4),
+      |bs0 AS (SELECT 0 AS b, vec_id AS ent, vec_id, embedding AS emb,
+      |    FALSE AS del FROM embeddings),
+      |al AS (SELECT * FROM bs0 UNION ALL SELECT * FROM arr),
+      |stt AS (SELECT ent, vec_id, emb, del,
+      |    row_number() OVER (PARTITION BY ent ORDER BY b DESC) AS rn
+      |  FROM al),
+      |lvv AS (SELECT ent, vec_id, emb FROM stt WHERE rn = 1 AND NOT del),
+      |qv AS (SELECT ent, vec_id, emb,
+      |    list_transform(emb, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qe
+      |  FROM lvv),
+      |paa AS (SELECT qv.ent, qv.vec_id, qv.emb, c.cluster,
+      |    CAST(list_sum(list_transform(range(64), i ->
+      |      (qv.qe[i + 1] - c.ce[i + 1]) * (qv.qe[i + 1] - c.ce[i + 1])))
+      |      AS BIGINT) AS dist
+      |  FROM qv CROSS JOIN c4 c),
+      |vw AS (SELECT ent, vec_id, emb, cluster FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |       ORDER BY dist, cluster) rn FROM paa) WHERE rn = 1),
+      |n8v AS (SELECT vec_id, q,
+      |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq
+      |  FROM (SELECT vec_id, CASE WHEN scale = 0
+      |      THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+      |      ELSE list_transform(emb,
+      |        x -> CAST(round(x::DOUBLE / scale, 0) AS BIGINT)) END AS q
+      |    FROM (SELECT vec_id, emb,
+      |        list_max(list_transform(emb, x -> abs(x::DOUBLE))) / 127.0 AS scale
+      |      FROM vw))),
+      |p8 AS (SELECT vec_id AS probe_id, q AS pq,
+      |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS pn8
+      |  FROM (SELECT vec_id, CASE WHEN scale = 0
+      |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |      ELSE list_transform(embedding,
+      |        x -> CAST(round(x::DOUBLE / scale, 0) AS BIGINT)) END AS q
+      |    FROM (SELECT vec_id, embedding,
+      |        list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+      |      FROM embeddings WHERE vec_id < 10))),
+      |selz AS (SELECT count(*) AS cnt,
+      |           count(*) FILTER (WHERE label % 2 = 0) AS fcnt
+      |         FROM embeddings),
+      |wz AS (SELECT CASE WHEN fcnt > 0 THEN cnt::DOUBLE / fcnt
+      |              ELSE 1.0 END AS w FROM selz),
+      |cells AS (SELECT cluster AS cell,
+      |            list_transform(ce, x -> x::DOUBLE) AS centroid
+      |          FROM c4),
+      |probes AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pn
+      |           FROM v WHERE vec_id < 10),
+      |pc AS (SELECT p.probe_id, c.cell,
+      |    list_sum(list_transform(list_zip(p.pe, c.centroid), z -> z[1]::DOUBLE * z[2]))
+      |      / (p.pn * sqrt(list_sum(list_transform(c.centroid, x -> x * x)))) AS ccos
+      |  FROM probes p CROSS JOIN cells c),
+      |pcr AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |          ORDER BY ccos DESC, cell) crnk FROM pc),
+      |sel AS (SELECT probe_id, cell FROM pcr
+      |        WHERE crnk <= (SELECT CAST(ceil($IvfPqProbeFrac * k * (SELECT w FROM wz)) AS BIGINT) FROM kk)),
+      |pairs AS (SELECT sel.probe_id, w.vec_id AS neighbor_id,
+      |    round(CAST(list_sum(list_transform(list_zip(p8.pq, n8v.q),
+      |        z -> z[1] * z[2])) AS BIGINT)::DOUBLE
+      |      / sqrt((p8.pn8 * n8v.nsq)::DOUBLE), 4) AS cos
+      |  FROM sel
+      |  JOIN p8 ON p8.probe_id = sel.probe_id
+      |  JOIN vw w ON w.cluster = sel.cell AND w.vec_id != sel.probe_id
+      |  JOIN n8v ON n8v.vec_id = w.vec_id
+      |  JOIN embeddings e ON e.vec_id = w.vec_id AND e.label % 2 = 0),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |        ORDER BY cos DESC, neighbor_id) rnk FROM pairs)
+      |SELECT probe_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+
+  /** Oracle for [[sq8LsmFilteredRecall]] (q235): the FILTERED float
+    * brute truth over the g2 latest-wins view (drifted floats cast to
+    * double, round 4) + the q234 chain verbatim, q39's left-join +
+    * floor scoring. */
+  lazy val sq8LsmFilteredRecallSql: String =
+    s"""WITH arr0 AS (SELECT g.range AS b, e.vec_id AS ent, e.vec_id,
+      |    list_transform(e.embedding, x -> CAST(x + 0.5 * g.range AS FLOAT)) AS emb,
+      |    e.label, (e.vec_id % 3 = 0) AS del
+      |  FROM embeddings e CROSS JOIN range(1, 3) g
+      |  WHERE e.vec_id % 100 = g.range OR e.vec_id % 100 = 4),
+      |al0 AS (SELECT 0 AS b, vec_id AS ent, vec_id, embedding AS emb,
+      |    label, FALSE AS del FROM embeddings
+      |  UNION ALL SELECT * FROM arr0),
+      |lv0 AS (SELECT ent, vec_id, emb, label FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY ent ORDER BY b DESC) AS rn
+      |     FROM al0) WHERE rn = 1 AND NOT del),
+      |probes0 AS (SELECT vec_id AS probe_id, embedding AS pe,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS pn
+      |  FROM embeddings WHERE vec_id < 10),
+      |tp AS (SELECT p.probe_id, w.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(range(64), dd ->
+      |        p.pe[dd + 1]::DOUBLE * w.emb[dd + 1]::DOUBLE))
+      |      / (p.pn * sqrt(list_sum(list_transform(w.emb,
+      |          x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
+      |  FROM probes0 p JOIN lv0 w
+      |    ON w.vec_id != p.probe_id AND w.label % 2 = 0),
+      |truth AS (SELECT probe_id, neighbor_id FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |       ORDER BY cos DESC, neighbor_id) rnk FROM tp) WHERE rnk <= 5),
+      |g AS (SELECT probe_id, neighbor_id FROM ($sq8LsmFilteredServedSql) q2)
+      |SELECT 'sq8_lsm_filtered' AS method, count(*) AS n_truth,
+      |  CAST(sum(CASE WHEN g.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |  CAST(floor(10000.0 * sum(CASE WHEN g.probe_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    / count(*)) AS BIGINT) AS recall_bp
+      |FROM truth t LEFT JOIN g
+      |  ON g.probe_id = t.probe_id AND g.neighbor_id = t.neighbor_id""".stripMargin
 
   /** Oracle for [[sq8LsmIndex]]: the frozen trained-Lloyd CTE over the
     * whole corpus, every state's served view from one latest-wins

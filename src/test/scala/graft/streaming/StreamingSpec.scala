@@ -905,6 +905,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 LSM serve on a probe STREAM equals the batch serve " +
+    "(q233 online; union of foreachBatch micro-batches == one batch)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dir = Files.createTempDirectory("graft-sq8lsmsrc").toString + "/probes"
+    val out = Files.createTempDirectory("graft-sq8lsmout").toString + "/res"
+    emb.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding").write.parquet(dir)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val tag = s"sq8lsm-stream-$sf"
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.llm.Similarity.sq8LsmServeStreamBatch(emb, tag, out)(b, id))
+      .start()
+    try {
+      q.processAllAvailable()
+      emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select("vec_id", "embedding").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+    val batch = graft.llm.Similarity.sq8LsmServed(emb, tag)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("SQ8 LSM ingest on an arrival STREAM equals the batch " +
     "lifecycle's compacted store bit-for-bit (q232 online)") {
     import org.apache.spark.sql.functions.{col, lit, transform}
@@ -929,7 +959,7 @@ class StreamingSpec extends SparkSpec {
         .select(col("vec_id").as("ent"), col("vec_id"),
           transform(col("embedding"), x => x + lit(0.5f * g))
             .as("embedding"),
-          (col("vec_id") % 3 === 0).as("del"))
+          col("label"), (col("vec_id") % 3 === 0).as("del"))
       def baseFiles(): Set[String] =
         Option(new java.io.File(s"$rootS/base").listFiles()).toSeq.flatten
           .map(f => s"${f.getName}:${f.lastModified}").toSet
@@ -938,6 +968,7 @@ class StreamingSpec extends SparkSpec {
       val schema = StructType(Seq(
         StructField("ent", LongType), StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType),
         StructField("del", BooleanType)))
       val q = spark.readStream.schema(schema).parquet(dir)
         .writeStream
