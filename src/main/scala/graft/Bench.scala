@@ -116,7 +116,7 @@ object Bench {
         "q187_ivfpq_served", "q195_lsm_serve_split", "q198_lsm_composed_split",
         "q200_fuzzy_served", "q203_graph_beam_served", "q206_graph_lifecycle",
         "q215_sq8_served", "q217_ivf_sq8_served", "q226_sq8_lifecycle_served",
-        "q233_sq8_lsm_served")
+        "q233_sq8_lsm_served", "q238_bq_served")
         .filter(SparkEntry.queries.contains)
     // a prewarm Left is NOT dropped (ADVICE r15 #2): a failed store
     // build would otherwise surface nowhere — not in `failures` (the

@@ -368,7 +368,13 @@ object SparkEntry {
     "q234_filtered_sq8_lsm" -> ((s, d) =>
       Similarity.sq8LsmFilteredServed(embeddings(s, d), d)),
     "q235_filtered_sq8_lsm_recall" -> ((s, d) =>
-      Similarity.sq8LsmFilteredRecall(embeddings(s, d), d))
+      Similarity.sq8LsmFilteredRecall(embeddings(s, d), d)),
+    "q236_bq_refine" -> ((s, d) =>
+      Similarity.bqRefineTopK(embeddings(s, d))),
+    "q237_bq_recall" -> ((s, d) =>
+      Similarity.bqRecall(embeddings(s, d))),
+    "q238_bq_served" -> ((s, d) =>
+      Similarity.bqServed(embeddings(s, d), d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -632,6 +638,9 @@ object SparkEntry {
     "q232_sq8_lsm" -> Similarity.sq8LsmIndexSql,
     "q233_sq8_lsm_served" -> Similarity.sq8LsmServedSql,
     "q234_filtered_sq8_lsm" -> Similarity.sq8LsmFilteredServedSql,
-    "q235_filtered_sq8_lsm_recall" -> Similarity.sq8LsmFilteredRecallSql
+    "q235_filtered_sq8_lsm_recall" -> Similarity.sq8LsmFilteredRecallSql,
+    "q236_bq_refine" -> Similarity.bqRefineTopKSql,
+    "q237_bq_recall" -> Similarity.bqRecallSql,
+    "q238_bq_served" -> Similarity.bqRefineTopKSql
   )
 }

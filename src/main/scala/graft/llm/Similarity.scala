@@ -1581,6 +1581,190 @@ object Similarity {
       |FROM truth t LEFT JOIN g
       |  ON g.probe_id = t.probe_id AND g.neighbor_id = t.neighbor_id""".stripMargin
 
+  // -----------------------------------------------------------------
+  // q236–q238: the BINARY (1-bit) quantization tier — the extreme
+  // memory point under SQ8 (FAISS's IndexBinaryFlat + exact refine,
+  // the binary-quantization-then-rescore recipe production vector
+  // stores ship): 16 B/vector signatures, Hamming shortlist, exact
+  // float rerank at a fixed R.
+  // -----------------------------------------------------------------
+
+  /** The (vec_id, lo, hi) sign-bit signature frame: bit d of `lo` is
+    * [embedding[d] > 0] for dims 0–31, `hi` covers dims 32–63 — two
+    * int64s per vector, so the Hamming kernel is two XORs + two
+    * POPCNTs of machine words (codegen'd integer ops, no binary-type
+    * loop). Positional 2^d weights keep the pack fold overflow-free on
+    * both engines: a single 64-bit fold would WRAP in Java and THROW
+    * in the oracle's BIGINT arithmetic — the two-word split stays
+    * below 2^32 per word. */
+  private[llm] def bqSigned(embeddings: DataFrame): DataFrame = {
+    def sig(from: Int): Column =
+      aggregate(
+        transform(slice(col("embedding"), from, 32), (x, i) =>
+          when(x > lit(0.0f), pow(lit(2.0), i).cast("long"))
+            .otherwise(lit(0L))),
+        lit(0L), (acc, v) => acc + v)
+    embeddings.select(col("vec_id"), sig(1).as("lo"), sig(33).as("hi"))
+  }
+
+  /** The shared q236 chain over an explicit signature frame: Hamming
+    * shortlist (top `fixedR` per probe, ties on vec_id) from the two
+    * packed words, then EXACT float rerank of the shortlist alone —
+    * the q178 refine discipline at the 1-bit tier. The shortlist
+    * broadcasts into the float read, so the full-precision corpus is
+    * touched only through one semi-join-shaped pass. */
+  private[llm] def bqRefineFrom(sigs: DataFrame, embeddings: DataFrame,
+                                nProbes: Int, k: Int,
+                                fixedR: Int): DataFrame = {
+    val probes = sigs.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("lo").as("plo"),
+        col("hi").as("phi"))
+    val wh = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ham"), col("vec_id"))
+    val short = sigs
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("ham",
+        (bit_count(col("plo").bitwiseXOR(col("lo"))) +
+          bit_count(col("phi").bitwiseXOR(col("hi")))).cast("long"))
+      .withColumn("rn", row_number().over(wh))
+      .filter(col("rn") <= fixedR)
+      .select(col("probe_id"), col("vec_id"))
+    val base = embeddings.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    base.join(broadcast(short), "vec_id")
+      .join(broadcast(probesFrame(embeddings, nProbes)), "probe_id")
+      .withColumn("cos", round(dot(col("pe"), col("embedding")) /
+        (col("pn") * col("nrm")), 4))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** q236: binary-quantized top-k — Hamming shortlist over the 1-bit
+    * sign signatures, exact float rerank of the top R=60. The extreme
+    * bytes-per-recall point: 16 B/vector (4× under SQ8's 64 B, 16×
+    * under float32), scanned with two-word XOR+POPCNT, and the
+    * expensive full-precision reads capped at R rows per probe (the
+    * q178/q185 fixed-R budget). q237 measures what the 1-bit
+    * truncation costs in recall against the float truth.
+    *
+    * 100 TB shape: the signature table is 16 B/vector — at a corpus
+    * size where even the SQ8 pack spills, the binary tier stays
+    * memory-resident; the Hamming scan is one whole-stage-codegen'd
+    * integer loop, and the refine touches R·nProbes float rows
+    * through a broadcast shortlist join. */
+  def bqRefineTopK(embeddings: DataFrame, nProbes: Int = 10,
+                   k: Int = 5, fixedR: Int = 60): DataFrame = {
+    // the oracle unrolls the probe CTE, R and the final rank at the
+    // registered constants (ADVICE r14 #2)
+    require(nProbes == 10 && k == 5 && fixedR == 60,
+      "bqRefineTopK is oracle-gated at nProbes=10, k=5, R=60")
+    bqRefineFrom(bqSigned(embeddings), embeddings, nProbes, k, fixedR)
+  }
+
+  /** q237: the binary tier's acceptance gate — recall@5 of [[bqRefineTopK]]
+    * against the float brute-force truth (q35), the q39/q214 pattern:
+    * the measured answer to "what does 1-bit truncation plus a fixed-R
+    * rescore budget cost", the number that places this tier on the
+    * bytes-per-recall ladder. */
+  def bqRecall(embeddings: DataFrame, nProbes: Int = 10,
+               k: Int = 5): DataFrame = {
+    val truth = cosineTopK(embeddings, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val a = bqRefineTopK(embeddings, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    truth.join(a, Seq("probe_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(lit("bq_refine").as("method"), col("n_truth"),
+        col("n_hits"),
+        floor(lit(10000.0) * col("n_hits") / col("n_truth")).cast("long")
+          .as("recall_bp"))
+  }
+
+  /** Writes the binary signature index under `root`: `sigs(vec_id, lo,
+    * hi)` — 16 bytes + the id per vector; the pack pass (the one full
+    * float read) runs in the build job, never at query time (the q215
+    * discipline at the 1-bit tier). */
+  private[llm] def writeBqIndex(embeddings: DataFrame,
+                                root: String): Unit =
+    sweepAfter(embeddings.sparkSession) {
+      bqSigned(embeddings).write.mode("overwrite")
+        .parquet(s"$root/sigs")
+    }
+
+  /** q238: the q236 search SERVED from the STORED signature index
+    * (oracle: q236's VERBATIM — store ≡ recompute). First call per
+    * corpus packs once under [[graft.FsUtil.ServedRoots]]; afterwards
+    * the query-time work is the production shape of the binary tier:
+    * stream the 16 B/vector signature table through the XOR+POPCNT
+    * kernel, then read floats for the R-shortlist alone. */
+  def bqServed(embeddings: DataFrame, corpusTag: String,
+               nProbes: Int = 10, k: Int = 5): DataFrame = {
+    require(nProbes == 10 && k == 5,
+      "bqServed is oracle-gated at nProbes=10, k=5")
+    val root = graft.FsUtil.ServedRoots.getOrBuild(
+      corpusKey(embeddings, "vec_id", s"bq:$corpusTag", embSig),
+      "graft_bq_served_")(writeBqIndex(embeddings, _))
+    bqRefineFrom(embeddings.sparkSession.read.parquet(s"$root/sigs"),
+      embeddings, nProbes, k, 60)
+  }
+
+  /** Oracle for [[bqRefineTopK]]: the same two-word sign-bit pack
+    * (positional 2^d weights in BIGINT), XOR+POPCNT Hamming, top-60
+    * shortlist (ties on vec_id), exact float rerank with q35's
+    * scoring. */
+  val bqRefineTopKSql: String =
+    """WITH s AS (SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(range(32), d ->
+      |      CASE WHEN embedding[d + 1] > 0 THEN (1::BIGINT << d)
+      |           ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+      |    CAST(list_sum(list_transform(range(32), d ->
+      |      CASE WHEN embedding[d + 33] > 0 THEN (1::BIGINT << d)
+      |           ELSE 0::BIGINT END)) AS BIGINT) AS hi
+      |  FROM embeddings),
+      |p AS (SELECT vec_id AS probe_id, lo AS plo, hi AS phi, embedding AS pe,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS pn
+      |  FROM s WHERE vec_id < 10),
+      |h AS (SELECT p.probe_id, s.vec_id,
+      |    CAST(bit_count(xor(p.plo, s.lo)) + bit_count(xor(p.phi, s.hi))
+      |      AS BIGINT) AS ham
+      |  FROM p JOIN s ON s.vec_id != p.probe_id),
+      |short AS (SELECT probe_id, vec_id FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |       ORDER BY ham, vec_id) rn FROM h) WHERE rn <= 60),
+      |pr AS (SELECT sh.probe_id, sh.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(list_zip(p.pe, e.embedding),
+      |        z -> z[1]::DOUBLE * z[2]::DOUBLE))
+      |      / (p.pn * sqrt(list_sum(list_transform(e.embedding,
+      |          x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
+      |  FROM short sh
+      |  JOIN p ON p.probe_id = sh.probe_id
+      |  JOIN embeddings e ON e.vec_id = sh.vec_id)
+      |SELECT probe_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |     ORDER BY cos DESC, neighbor_id) rn FROM pr)
+      |WHERE rn <= 5 ORDER BY probe_id, rnk""".stripMargin
+
+  /** Oracle for [[bqRecall]]: q35's truth + the q236 chain, q39's
+    * left-join + floor scoring. */
+  lazy val bqRecallSql: String =
+    s"""WITH truth AS (SELECT probe_id, neighbor_id FROM ($cosineTopKSql) q),
+      |g AS (SELECT probe_id, neighbor_id FROM ($bqRefineTopKSql) q)
+      |SELECT 'bq_refine' AS method, count(*) AS n_truth,
+      |  CAST(sum(CASE WHEN g.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |  CAST(floor(10000.0 * sum(CASE WHEN g.probe_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    / count(*)) AS BIGINT) AS recall_bp
+      |FROM truth t LEFT JOIN g
+      |  ON g.probe_id = t.probe_id AND g.neighbor_id = t.neighbor_id""".stripMargin
+
   /** q216: the IVF×SQ8 COMPOSED index (FAISS's "IVF<k>,SQ8") — the
     * trained coarse quantizer prunes the scan to the probed cells and
     * the within-cell scan runs over PACKED BYTES with the codegen'd

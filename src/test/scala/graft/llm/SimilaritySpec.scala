@@ -334,6 +334,34 @@ class SimilaritySpec extends SparkSpec {
     assert(byState("g3r").getLong(2) === byState("g3").getLong(2))
   }
 
+  test("binary tier (q236/q238): R=corpus degenerates to brute force; " +
+    "signature words stay below 2^32; served store equals recompute; " +
+    "the fixed-R point clears a usable recall floor") {
+    val emb = Tables.embeddings(spark, sf)
+    val sigs = Similarity.bqSigned(emb)
+    // the two-word overflow-free claim: every packed word < 2^32, so
+    // the oracle's BIGINT fold can never throw and Java never wraps
+    val mx = sigs.agg(org.apache.spark.sql.functions.greatest(
+      org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("lo")),
+      org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("hi")))).head().getLong(0)
+    assert(mx >= 0L && mx < (1L << 32), s"signature word out of range: $mx")
+    // correctness anchor: shortlist = whole corpus ==> exact brute force
+    val n = emb.count().toInt
+    val brute = Similarity.cosineTopK(emb).collect().toSeq
+    val all = Similarity.bqRefineFrom(sigs, emb, 10, 5, n).collect().toSeq
+    assert(all === brute, "R=corpus binary refine != brute force")
+    // store ≡ recompute (q238's contract)
+    val served = Similarity.bqServed(emb, s"bqspec-$sf").collect().toSeq
+    val fresh = Similarity.bqRefineTopK(emb).collect().toSeq
+    assert(served === fresh, "served binary index != fresh recompute")
+    // the registered R=60 operating point must stay USABLE — ≥ 5000 bp
+    // at spec SF (measured 8400 bp at sf0.001, 7000 at sf0.01; the
+    // fixed-R fraction shrinks with N, so this is a fixture-scale pin,
+    // not a scale claim — q237 is the measured number)
+    val recall = Similarity.bqRecall(emb).head().getLong(3)
+    assert(recall >= 5000L, s"binary refine recall $recall below 5000bp")
+  }
+
   test("SQ8 LSM store (q232): ingest never touches the packed base; " +
     "compaction preserves the served view including the packed bytes") {
     val emb = Tables.embeddings(spark, sf)

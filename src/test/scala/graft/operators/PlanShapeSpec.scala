@@ -102,6 +102,17 @@ class PlanShapeSpec extends SparkSpec {
       s"cartesian in composed LSM serve:\n$p")
   }
 
+  test("SQ8 LSM serve (q233) bucket-prunes the packed base scan and " +
+    "keeps the byte kernel") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = plan(graft.llm.Similarity.sq8LsmServed(emb, s"planshape-$sf"))
+    assert(p.contains("dynamicpruning"),
+      s"SQ8 LSM base scan lost dynamic partition pruning on bucket:\n$p")
+    assert(p.contains("int8_dot"), s"byte kernel not in plan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in SQ8 LSM serve:\n$p")
+  }
+
   test("range join with equi key never plans a cartesian/nested loop over both sides") {
     val p = plan(Relational.rangeJoin(Tables.events(spark, sf)))
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
