@@ -633,6 +633,14 @@ object AnnScale {
     timed("sq8 serve")(
       println(f"sq8_served: recall=${recallOf(
         Similarity.sq8TopKServed(emb, "annscale")) * 10000}%5.0f bp"))
+    // r17: the binary (1-bit) tier — 16 B/vector, Hamming + fixed-R rescore
+    timed("bq build+serve")(
+      Similarity.bqServed(emb, "annscale").write.format("noop")
+        .mode("overwrite").save())
+    timed("bq serve")(
+      println(f"bq_refine R=60 (${100.0 * 60 / n}%.2f%% rescored): " +
+        f"recall=${recallOf(Similarity.bqServed(emb, "annscale")) * 10000}%5.0f bp " +
+        "(16 B/vec)"))
     timed("ivf-sq8 build+serve")(
       Similarity.ivfSq8Served(emb, "annscale").write.format("noop")
         .mode("overwrite").save())
