@@ -374,7 +374,11 @@ object SparkEntry {
     "q237_bq_recall" -> ((s, d) =>
       Similarity.bqRecall(embeddings(s, d))),
     "q238_bq_served" -> ((s, d) =>
-      Similarity.bqServed(embeddings(s, d), d))
+      Similarity.bqServed(embeddings(s, d), d)),
+    "q239_filtered_bq" -> ((s, d) =>
+      Similarity.bqFilteredServed(embeddings(s, d), d)),
+    "q240_filtered_bq_recall" -> ((s, d) =>
+      Similarity.bqFilteredRecall(embeddings(s, d), d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -641,6 +645,8 @@ object SparkEntry {
     "q235_filtered_sq8_lsm_recall" -> Similarity.sq8LsmFilteredRecallSql,
     "q236_bq_refine" -> Similarity.bqRefineTopKSql,
     "q237_bq_recall" -> Similarity.bqRecallSql,
-    "q238_bq_served" -> Similarity.bqRefineTopKSql
+    "q238_bq_served" -> Similarity.bqRefineTopKSql,
+    "q239_filtered_bq" -> Similarity.bqFilteredServedSql,
+    "q240_filtered_bq_recall" -> Similarity.bqFilteredRecallSql
   )
 }

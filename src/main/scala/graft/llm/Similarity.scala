@@ -1597,44 +1597,58 @@ object Similarity {
     * both engines: a single 64-bit fold would WRAP in Java and THROW
     * in the oracle's BIGINT arithmetic — the two-word split stays
     * below 2^32 per word. */
-  private[llm] def bqSigned(embeddings: DataFrame): DataFrame = {
-    def sig(from: Int): Column =
-      aggregate(
-        transform(slice(col("embedding"), from, 32), (x, i) =>
-          when(x > lit(0.0f), pow(lit(2.0), i).cast("long"))
-            .otherwise(lit(0L))),
-        lit(0L), (acc, v) => acc + v)
-    embeddings.select(col("vec_id"), sig(1).as("lo"), sig(33).as("hi"))
-  }
+  /** One packed 32-dim sign word of an embedding column (dims
+    * `from-1 ..< from+31`, 1-based slice). */
+  private def bqSigCol(e: Column, from: Int): Column =
+    aggregate(
+      transform(slice(e, from, 32), (x, i) =>
+        when(x > lit(0.0f), pow(lit(2.0), i).cast("long"))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
 
-  /** The shared q236 chain over an explicit signature frame: Hamming
-    * shortlist (top `fixedR` per probe, ties on vec_id) from the two
-    * packed words, then EXACT float rerank of the shortlist alone —
-    * the q178 refine discipline at the 1-bit tier. The shortlist
-    * broadcasts into the float read, so the full-precision corpus is
-    * touched only through one semi-join-shaped pass. */
-  private[llm] def bqRefineFrom(sigs: DataFrame, embeddings: DataFrame,
-                                nProbes: Int, k: Int,
-                                fixedR: Int): DataFrame = {
-    val probes = sigs.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("lo").as("plo"),
-        col("hi").as("phi"))
+  private[llm] def bqSigned(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      bqSigCol(col("embedding"), 1).as("lo"),
+      bqSigCol(col("embedding"), 33).as("hi"),
+      // co-stored filterable metadata (the writeGraphIndex discipline)
+      col("label"))
+
+  /** The q236 chain over an explicit signature frame and an explicit
+    * (probe_id, pe, pn) probe frame — probes pack ON THE FLY with the
+    * identical per-row sign rule (bit-identical words), so the stream
+    * leg substitutes a micro-batch for the registered probe set. `pred`
+    * filters the CANDIDATE signatures before the Hamming ranking
+    * (ineligible rows never occupy shortlist slots) and `widen` scales
+    * the shortlist depth R by the measured 1/selectivity in-plan —
+    * the q204 discipline with R as the budget. */
+  private[llm] def bqRefineWith(sigs: DataFrame, probeF: DataFrame,
+                                embeddings: DataFrame, k: Int,
+                                baseR: Int,
+                                pred: Option[Column] = None,
+                                widen: Column = lit(1.0)): DataFrame = {
+    val psig = probeF.select(col("probe_id"),
+      bqSigCol(col("pe"), 1).as("plo"),
+      bqSigCol(col("pe"), 33).as("phi"))
+    val rlim = broadcast(embeddings.agg(
+      ceil(lit(baseR.toDouble) * widen).cast("long").as("rlim")))
     val wh = Window.partitionBy(col("probe_id"))
       .orderBy(col("ham"), col("vec_id"))
-    val short = sigs
-      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+    val short = pred.map(sigs.filter).getOrElse(sigs)
+      .join(broadcast(psig), col("vec_id") =!= col("probe_id"))
       .withColumn("ham",
         (bit_count(col("plo").bitwiseXOR(col("lo"))) +
           bit_count(col("phi").bitwiseXOR(col("hi")))).cast("long"))
       .withColumn("rn", row_number().over(wh))
-      .filter(col("rn") <= fixedR)
+      .crossJoin(rlim)
+      .filter(col("rn") <= col("rlim"))
       .select(col("probe_id"), col("vec_id"))
     val base = embeddings.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("nrm"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     base.join(broadcast(short), "vec_id")
-      .join(broadcast(probesFrame(embeddings, nProbes)), "probe_id")
+      .join(broadcast(probeF.select(col("probe_id"), col("pe"),
+        col("pn"))), "probe_id")
       .withColumn("cos", round(dot(col("pe"), col("embedding")) /
         (col("pn") * col("nrm")), 4))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
@@ -1645,6 +1659,12 @@ object Similarity {
         col("rnk").cast("long").as("rnk"))
       .orderBy(col("probe_id"), col("rnk"))
   }
+
+  private[llm] def bqRefineFrom(sigs: DataFrame, embeddings: DataFrame,
+                                nProbes: Int, k: Int,
+                                fixedR: Int): DataFrame =
+    bqRefineWith(sigs, probesFrame(embeddings, nProbes), embeddings, k,
+      fixedR)
 
   /** q236: binary-quantized top-k — Hamming shortlist over the 1-bit
     * sign signatures, exact float rerank of the top R=60. The extreme
@@ -1716,6 +1736,146 @@ object Similarity {
     bqRefineFrom(embeddings.sparkSession.read.parquet(s"$root/sigs"),
       embeddings, nProbes, k, 60)
   }
+
+  /** The q238 serve leg under Structured Streaming (foreachBatch):
+    * probe vectors arrive as micro-batches, sign-pack on the fly (the
+    * identical per-row rule — bit-identical words) and run the
+    * Hamming + rerank chain against the STORED signature table —
+    * union of micro-batches ≡ one batch, StreamingSpec proves it
+    * against [[bqServed]]'s rows. */
+  def bqSearchStreamBatch(embeddings: DataFrame, corpusTag: String,
+                          outDir: String, k: Int = 5)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val probes = batch.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pe"), l2norm(col("embedding")).as("pn"))
+    val root = streamRootFor(s"bq:$corpusTag") {
+      graft.FsUtil.ServedRoots.getOrBuild(
+        corpusKey(embeddings, "vec_id", s"bq:$corpusTag", embSig),
+        "graft_bq_served_")(writeBqIndex(embeddings, _))
+    }
+    bqRefineWith(batch.sparkSession.read.parquet(s"$root/sigs"),
+      probes, embeddings, k, 60)
+      .write.mode("append").parquet(outDir)
+    ()
+  }
+
+  /** q239: FILTERED binary search — the q204 metadata-predicate
+    * discipline at the 1-bit tier: the predicate filters the CANDIDATE
+    * signatures before the Hamming ranking (ineligible rows never
+    * occupy shortlist slots — a post-filtered shortlist would silently
+    * shrink below R), and the rescore budget R self-widens by the
+    * measured 1/selectivity, so the eligible shortlist depth matches
+    * the unfiltered tier's. Served from q238's store: ONE physical
+    * signature table serves the plain and filtered legs. */
+  def bqFilteredServed(embeddings: DataFrame, corpusTag: String,
+                       nProbes: Int = 10, k: Int = 5): DataFrame = {
+    require(nProbes == 10 && k == 5,
+      "bqFilteredServed is oracle-gated at nProbes=10, k=5")
+    val root = graft.FsUtil.ServedRoots.getOrBuild(
+      corpusKey(embeddings, "vec_id", s"bq:$corpusTag", embSig),
+      "graft_bq_served_")(writeBqIndex(embeddings, _))
+    bqRefineWith(embeddings.sparkSession.read.parquet(s"$root/sigs"),
+      probesFrame(embeddings, nProbes), embeddings, k, 60,
+      pred = Some(col("label") % 2 === 0), widen = evenLabelWiden)
+  }
+
+  /** q240: the filtered binary tier's acceptance gate — recall@5 of
+    * [[bqFilteredServed]] against the FILTERED float brute truth
+    * (q221/q224's discipline): the measured answer to what 1-bit
+    * truncation + the widened fixed-R budget cost under a selective
+    * predicate. */
+  def bqFilteredRecall(embeddings: DataFrame, corpusTag: String,
+                       nProbes: Int = 10, k: Int = 5): DataFrame = {
+    require(nProbes == 10 && k == 5,
+      "bqFilteredRecall is oracle-gated at nProbes=10, k=5")
+    val base = embeddings.select(col("vec_id"), col("embedding"),
+      col("label"), l2norm(col("embedding")).as("nrm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val truth = base.filter(col("label") % 2 === 0)
+      .join(broadcast(probesFrame(embeddings, nProbes)),
+        col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(dot(col("pe"), col("embedding")) /
+        (col("pn") * col("nrm")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+    val got = bqFilteredServed(embeddings, corpusTag, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    truth.join(got, Seq("probe_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(lit("bq_filtered").as("method"), col("n_truth"),
+        col("n_hits"),
+        floor(lit(10000.0) * col("n_hits") / col("n_truth")).cast("long")
+          .as("recall_bp"))
+  }
+
+  /** Oracle for [[bqFilteredServed]] (q239): the q236 chain with (a)
+    * the eligible signatures as the Hamming ranking's candidate side
+    * and (b) the shortlist depth widened by the measured
+    * 1/selectivity (`wz`, the q204 count-pair). */
+  lazy val bqFilteredServedSql: String =
+    """WITH s AS (SELECT vec_id, embedding, label,
+      |    CAST(list_sum(list_transform(range(32), d ->
+      |      CASE WHEN embedding[d + 1] > 0 THEN (1::BIGINT << d)
+      |           ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+      |    CAST(list_sum(list_transform(range(32), d ->
+      |      CASE WHEN embedding[d + 33] > 0 THEN (1::BIGINT << d)
+      |           ELSE 0::BIGINT END)) AS BIGINT) AS hi
+      |  FROM embeddings),
+      |p AS (SELECT vec_id AS probe_id, lo AS plo, hi AS phi, embedding AS pe,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS pn
+      |  FROM s WHERE vec_id < 10),
+      |selz AS (SELECT count(*) AS cnt,
+      |           count(*) FILTER (WHERE label % 2 = 0) AS fcnt
+      |         FROM embeddings),
+      |wz AS (SELECT CASE WHEN fcnt > 0 THEN cnt::DOUBLE / fcnt
+      |              ELSE 1.0 END AS w FROM selz),
+      |h AS (SELECT p.probe_id, s.vec_id,
+      |    CAST(bit_count(xor(p.plo, s.lo)) + bit_count(xor(p.phi, s.hi))
+      |      AS BIGINT) AS ham
+      |  FROM p JOIN s ON s.vec_id != p.probe_id AND s.label % 2 = 0),
+      |short AS (SELECT probe_id, vec_id FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |       ORDER BY ham, vec_id) rn FROM h)
+      |  WHERE rn <= (SELECT CAST(ceil(60 * w) AS BIGINT) FROM wz)),
+      |pr AS (SELECT sh.probe_id, sh.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(list_zip(p.pe, e.embedding),
+      |        z -> z[1]::DOUBLE * z[2]::DOUBLE))
+      |      / (p.pn * sqrt(list_sum(list_transform(e.embedding,
+      |          x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
+      |  FROM short sh
+      |  JOIN p ON p.probe_id = sh.probe_id
+      |  JOIN embeddings e ON e.vec_id = sh.vec_id)
+      |SELECT probe_id, neighbor_id, cos, CAST(rn AS BIGINT) AS rnk FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |     ORDER BY cos DESC, neighbor_id) rn FROM pr)
+      |WHERE rn <= 5 ORDER BY probe_id, rnk""".stripMargin
+
+  /** Oracle for [[bqFilteredRecall]] (q240): the filtered float brute
+    * truth (q224's CTE) + the q239 chain verbatim, q39's left-join +
+    * floor scoring. */
+  lazy val bqFilteredRecallSql: String =
+    s"""WITH ev AS (SELECT vec_id, embedding, label,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
+      |  FROM embeddings),
+      |tp AS (SELECT p.vec_id probe_id, n.vec_id neighbor_id,
+      |    round(list_sum(list_transform(list_zip(p.embedding, n.embedding),
+      |      z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (p.nrm * n.nrm), 4) cos
+      |  FROM ev p JOIN ev n ON p.vec_id < 10 AND n.vec_id != p.vec_id
+      |                     AND n.label % 2 = 0),
+      |truth AS (SELECT probe_id, neighbor_id FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |       ORDER BY cos DESC, neighbor_id) rnk FROM tp) WHERE rnk <= 5),
+      |g AS (SELECT probe_id, neighbor_id FROM ($bqFilteredServedSql) q)
+      |SELECT 'bq_filtered' AS method, count(*) AS n_truth,
+      |  CAST(sum(CASE WHEN g.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |  CAST(floor(10000.0 * sum(CASE WHEN g.probe_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    / count(*)) AS BIGINT) AS recall_bp
+      |FROM truth t LEFT JOIN g
+      |  ON g.probe_id = t.probe_id AND g.neighbor_id = t.neighbor_id""".stripMargin
 
   /** Oracle for [[bqRefineTopK]]: the same two-word sign-bit pack
     * (positional 2^d weights in BIGINT), XOR+POPCNT Hamming, top-60

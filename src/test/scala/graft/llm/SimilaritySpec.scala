@@ -741,10 +741,12 @@ class SimilaritySpec extends SparkSpec {
       assert(g3._4 > 0L && g3._5 === 0L)
       assert(!new java.io.File(s"$scratch/delta1").exists())
       // the compacted base carries the full composed row shape (plus
-      // the r16 bucketed layout's partition column)
+      // the r16 bucketed layout's partition column and the r17
+      // co-stored filterable label — compaction must not drop it)
       val comp = spark.read.parquet(s"$scratch/base_c3")
       assert(comp.columns.toSet ===
-        Set("ent", "vec_id", "cluster", "dist", "qe", "cws", "bucket"))
+        Set("ent", "vec_id", "cluster", "dist", "qe", "cws", "label",
+          "bucket"))
       assert(comp.count() === g3._1)
     } finally graft.FsUtil.deleteRecursively(new java.io.File(scratch))
   }
