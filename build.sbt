@@ -30,4 +30,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // GC selectable for perf experiments (default G1 = the JDK default)
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GC", "G1")}GC",
 )

@@ -31,6 +31,56 @@ private[graft] object FsUtil {
     }
   }
 
+  /** Exact row count of a stored parquet table from its FILE FOOTERS —
+    * the metadata-only equivalent of `spark.read.parquet(path).count()`
+    * (parquet footers record per-row-group row counts; no data pages
+    * are touched, and there are no deletes/filters in any graft store,
+    * so the two numbers are identical by the format's contract).
+    *
+    * Why: the index-lifecycle composites gate their control flow
+    * (compaction triggers, fixture floors, bucket counts) on segment
+    * row counts, and each `count()` is a full Spark JOB — scheduler
+    * round trip, task launch, AQE — serialized into the build's
+    * critical path. At fixture scale those jobs ARE the cost (~0.1–0.3 s
+    * apiece, ~10 per composite); at production scale a driver-side
+    * footer read of a bounded segment (CellStore caps stores at ≤4096
+    * block files; centroid tables are 1–2 files) is likewise cheaper
+    * than a distributed count. Guard: stores larger than
+    * [[FooterCountMaxFiles]] fall back to the distributed count — a
+    * driver-serial footer sweep over an unbounded file set would be the
+    * §5 driver-bottleneck anti-pattern.
+    *
+    * Counts only live data files (part-*), mirroring Spark's own
+    * InMemoryFileIndex filter (no `_SUCCESS`/`_metadata`/hidden files);
+    * recurses through partition dirs (`bucket=N/`). */
+  private val FooterCountMaxFiles = 512
+
+  def parquetRowCount(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val it = fs.listFiles(p, true)
+    val files = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.LocatedFileStatus]
+    var overflow = false
+    while (!overflow && it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+        files += f
+        if (files.size > FooterCountMaxFiles) overflow = true
+      }
+    }
+    if (overflow) spark.read.parquet(path).count()
+    else files.iterator.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Session-scoped stored-index root cache shared by the serve-only
     * registrations (q179/q180/q183 and the streaming ANN path): the
     * index is built ONCE per (JVM, cache key) and later calls read the

@@ -552,8 +552,8 @@ object GraphAnn {
       cents.write.mode("overwrite").parquet(s"$root/centroids")
       // bucket count derives from the STORED centroid table — the same
       // deterministic rule the readers apply, so no meta file
-      val nb = CellStore.bucketCount(
-        v.sparkSession.read.parquet(s"$root/centroids").count())
+      val nb = CellStore.bucketCount(graft.FsUtil.parquetRowCount(
+        v.sparkSession, s"$root/centroids"))
       // label rides along as co-stored metadata — the filtered search
       // (q219/q220) reads it as a pushed parquet filter, the way a
       // production filtered-ANN index stores its filterable attributes
@@ -604,7 +604,7 @@ object GraphAnn {
   private[llm] def servedBaseRead(spark: org.apache.spark.sql.SparkSession,
                                   root: String): DataFrame => DataFrame = {
     val nb = CellStore.bucketCount(
-      spark.read.parquet(s"$root/centroids").count())
+      graft.FsUtil.parquetRowCount(spark, s"$root/centroids"))
     val nodes = spark.read.parquet(s"$root/nodes")
     cellsF =>
       CellStore.prunedToF(nodes, nb, cellsF)
@@ -628,7 +628,7 @@ object GraphAnn {
   private[llm] def servedExpand(spark: org.apache.spark.sql.SparkSession,
                                 root: String): DataFrame => DataFrame = {
     val nb = CellStore.bucketCount(
-      spark.read.parquet(s"$root/centroids").count())
+      graft.FsUtil.parquetRowCount(spark, s"$root/centroids"))
     val edges = spark.read.parquet(s"$root/edges")
     bm => {
       val b = broadcast(bm.select(col("probe_id"), col("node"),

@@ -211,7 +211,7 @@ object GraphLifecycle {
     * write side used ([[CellStore.bucketCount]]); no meta file. */
   private def nodeBucketsOf(spark: SparkSession, base: String): Long =
     CellStore.bucketCount(
-      spark.read.parquet(s"$base/centroids").count())
+      graft.FsUtil.parquetRowCount(spark, s"$base/centroids"))
 
   /** The LIVE members of `cells` alone — the per-batch live-view
     * resolution (the q193/q194 serve discipline applied to ingest,
@@ -464,7 +464,7 @@ object GraphLifecycle {
       // source-cell bucketing, and both file counts stay bounded
       // instead of one file per cell
       val nb = CellStore.bucketCount(
-        spark.read.parquet(s"$root/centroids").count())
+        graft.FsUtil.parquetRowCount(spark, s"$root/centroids"))
       CellStore.write(nodes, nb, s"$root/nodes0")
       val full = nodes.withColumn("nq", qNorm(col("qe")))
         .select(col("vec_id"), col("qe"), col("nq"), col("cluster"))
@@ -546,9 +546,10 @@ object GraphLifecycle {
   private def maybeCompact(spark: SparkSession, root: String): Boolean = {
     val base = currentBase(root)
     val (b0, ds) = nodeSegs(base)
-    val baseRows = spark.read.parquet(b0).count()
+    val baseRows = graft.FsUtil.parquetRowCount(spark, b0)
     val deltaRows =
-      if (ds.isEmpty) 0L else ds.map(spark.read.parquet(_).count()).sum
+      if (ds.isEmpty) 0L
+      else ds.map(graft.FsUtil.parquetRowCount(spark, _)).sum
     // the q193 percent trigger, plus an ABSOLUTE delta-row floor
     // (VERDICT r13 #2): at 1e9 nodes 5% of base is ~5e7 rows — past
     // broadcast comfort for the read-time liveness joins — so the
@@ -621,7 +622,8 @@ object GraphLifecycle {
     val (b0, ds) = nodeSegs(base)
     val nodes = resolvedNodes(spark, b0, ds).localCheckpoint()
     val nDelta =
-      if (ds.isEmpty) 0L else ds.map(spark.read.parquet(_).count()).sum
+      if (ds.isEmpty) 0L
+      else ds.map(graft.FsUtil.parquetRowCount(spark, _)).sum
     liveEdges(spark, nodes, edgeSegPaths(base))
       .agg(count(lit(1)).as("n_edges"),
         sum(col("src") * 100000L + col("dst") +
@@ -642,7 +644,7 @@ object GraphLifecycle {
       embeddings.select(col("vec_id"), col("embedding")), 1000)
       .localCheckpoint()
     seedStore(q0, s"$root/b0", 0L)
-    require(spark.read.parquet(s"$root/b0/nodes0").count() >= 100,
+    require(graft.FsUtil.parquetRowCount(spark, s"$root/b0/nodes0") >= 100,
       "graphLifecycle: fixture needs >= 100 vectors for the oracle's " +
         "fires-first-at-g3 trigger contract to hold (the q193 guard)")
     val audits = scala.collection.mutable.ArrayBuffer(

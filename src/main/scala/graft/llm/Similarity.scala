@@ -2001,8 +2001,8 @@ object Similarity {
       // (q222–q224) reads it as a pushed parquet filter
       CellStore.write(sq8Packed(embeddings).join(asg, "vec_id")
           .join(embeddings.select(col("vec_id"), col("label")), "vec_id"),
-        CellStore.bucketCount(embeddings.sparkSession.read
-          .parquet(s"$root/centroids").count()),
+        CellStore.bucketCount(graft.FsUtil.parquetRowCount(
+          embeddings.sparkSession, s"$root/centroids")),
         s"$root/packed")
     }
 
@@ -3874,8 +3874,8 @@ object Similarity {
       CellStore.write(
         pqAssign(pqSubRows(embeddings, 16, 64, sampled = false), cb)
           .join(asg, "vec_id"),
-        CellStore.bucketCount(embeddings.sparkSession.read
-          .parquet(s"$root/centroids").count()),
+        CellStore.bucketCount(graft.FsUtil.parquetRowCount(
+          embeddings.sparkSession, s"$root/centroids")),
         s"$root/invlists")
     }
   }
@@ -5070,7 +5070,7 @@ object Similarity {
           col("n_cells"), lit(nDelta).as("n_delta"),
           lit(compacted).as("compacted"), col("checksum"))
         .localCheckpoint()
-    var baseRows = spark.read.parquet(basePath).count()
+    var baseRows = graft.FsUtil.parquetRowCount(spark, basePath)
     // the oracle emits the compaction row only at g3 (the registered
     // fixture's cumulative 2/4/6% bands first cross the 5% trigger
     // there); below ~100 rows the integer band sizes round such that
@@ -5087,7 +5087,7 @@ object Similarity {
       lsmDeltaOf(lsmArrivals(q0, g), cents)
         .write.mode("overwrite").parquet(p)
       deltaPaths :+= p
-      deltaRows += spark.read.parquet(p).count()
+      deltaRows += graft.FsUtil.parquetRowCount(spark, p)
       audits += audit(s"g$g", deltaRows, 0L)
       onState(s"g$g")
       if (deltaRows * 100L > baseRows * LsmDeltaPct) {
@@ -5100,7 +5100,7 @@ object Similarity {
         // re-anchor the trigger denominator on the COMPACTED base —
         // the stream leg recounts the current base per batch, and the
         // two legs must implement the same trigger (review r11)
-        baseRows = spark.read.parquet(np).count()
+        baseRows = graft.FsUtil.parquetRowCount(spark, np)
         deltaRows = 0L
         audits += audit(s"g${g}c", 0L, 1L)
         onState(s"g${g}c")
@@ -5178,8 +5178,8 @@ object Similarity {
   private def lsmWriteBase(df: DataFrame, root: String,
                            path: String): Unit =
     CellStore.write(df,
-      CellStore.bucketCount(df.sparkSession.read
-        .parquet(s"$root/centroids").count()),
+      CellStore.bucketCount(graft.FsUtil.parquetRowCount(
+        df.sparkSession, s"$root/centroids")),
       path)
 
   /** The latest-wins view RESTRICTED to a probed-cell frame — the
@@ -5202,7 +5202,7 @@ object Similarity {
       col("cluster").cast("long").as("cluster"), col("dist")) ++
       payload.map(col)
     val nb = CellStore.bucketCount(
-      spark.read.parquet(s"$root/centroids").count())
+      graft.FsUtil.parquetRowCount(spark, s"$root/centroids"))
     val b = CellStore.prunedToF(spark.read.parquet(basePath), nb, cellsF)
       .select(cols: _*)
     if (deltaPaths.isEmpty) b
@@ -5298,7 +5298,7 @@ object Similarity {
   private def segCount(spark: org.apache.spark.sql.SparkSession,
                        path: String): Long =
     segCounts.computeIfAbsent(path,
-      p => spark.read.parquet(p).count()).longValue
+      p => graft.FsUtil.parquetRowCount(spark, p)).longValue
 
   private def dropSegCount(path: String): Unit = {
     segCounts.remove(path); ()
@@ -5909,7 +5909,7 @@ object Similarity {
           lit(compacted).as("compacted"), col("checksum"),
           col("nsq_sum"))
         .localCheckpoint()
-    var baseRows = spark.read.parquet(basePath).count()
+    var baseRows = graft.FsUtil.parquetRowCount(spark, basePath)
     // the fires-first-at-g3 contract needs the integer bands to round
     // cleanly — same floor as q193 (review r11)
     require(baseRows >= 100,
@@ -5923,7 +5923,7 @@ object Similarity {
       sq8LsmDeltaOf(sq8LsmArrivals(embeddings, g), cents)
         .write.mode("overwrite").parquet(p)
       deltaPaths :+= p
-      deltaRows += spark.read.parquet(p).count()
+      deltaRows += graft.FsUtil.parquetRowCount(spark, p)
       audits += audit(s"g$g", deltaRows, 0L)
       onState(s"g$g")
       if (deltaRows * 100L > baseRows * LsmDeltaPct) {
@@ -5933,7 +5933,7 @@ object Similarity {
           graft.FsUtil.deleteRecursively(new java.io.File(d)))
         deltaPaths = Vector.empty
         basePath = np
-        baseRows = spark.read.parquet(np).count()
+        baseRows = graft.FsUtil.parquetRowCount(spark, np)
         deltaRows = 0L
         audits += audit(s"g${g}c", 0L, 1L)
         onState(s"g${g}c")
@@ -6513,7 +6513,7 @@ object Similarity {
           col("enc_checksum"))
         .localCheckpoint()
     }
-    var baseRows = spark.read.parquet(basePath).count()
+    var baseRows = graft.FsUtil.parquetRowCount(spark, basePath)
     // same small-N oracle contract as lsmVectorIndexTo (review r11)
     require(baseRows >= 100,
       s"lsmComposedIndex: fixture needs >= 100 vectors (got $baseRows) " +
@@ -6526,7 +6526,7 @@ object Similarity {
       lsmComposedDeltaOf(lsmArrivals(q0, g), cents, cb)
         .write.mode("overwrite").parquet(p)
       deltaPaths :+= p
-      deltaRows += spark.read.parquet(p).count()
+      deltaRows += graft.FsUtil.parquetRowCount(spark, p)
       audits += audit(s"g$g", deltaRows, 0L)
       onState(s"g$g")
       if (deltaRows * 100L > baseRows * LsmDeltaPct) {
@@ -6537,7 +6537,7 @@ object Similarity {
         deltaPaths = Vector.empty
         basePath = np
         // re-anchor on the compacted base, as the stream leg does
-        baseRows = spark.read.parquet(np).count()
+        baseRows = graft.FsUtil.parquetRowCount(spark, np)
         deltaRows = 0L
         audits += audit(s"g${g}c", 0L, 1L)
         onState(s"g${g}c")
